@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+One place to configure the session so tests, the bench harness, and the driver
+entry all run with the same analytics-friendly settings.  Defaults are chosen
+for correctness-vs-DuckDB comparisons (UTC timestamps) and local[{cpus}]
+execution while remaining sane on a real cluster:
+
+* AQE on — runtime coalescing of shuffle partitions, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned partition counts when the
+  data is 1000x bigger than the local test scale.
+* Arrow on — any toPandas()/createDataFrame(pandas) boundary is columnar.
+* shuffle.partitions defaults to the local core count; on a cluster this should
+  be overridden to ~2-3x total cores (AQE coalesces the excess).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "efficient-trees-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with analytics defaults.
+
+    :param master: Spark master; defaults to ``local[$SPARK_GRAFT_CPUS]``
+        (falling back to ``local[*]``) when not already inside a session.
+    :param shuffle_partitions: number of shuffle partitions; defaults to the
+        local parallelism so tiny local runs don't fan out into 200 empty tasks.
+    :param extra_conf: additional ``spark.*`` settings applied last.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

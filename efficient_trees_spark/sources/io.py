@@ -1,0 +1,65 @@
+"""Sources and sinks (reference SURVEY.md §2.1, S1-S5).
+
+The reference's lazy scans (``pl.scan_parquet`` — examples/amex_default.py:12,
+``pl.scan_csv`` — examples/heart_disease.py:12) map to Spark's always-lazy
+readers; predicate/projection pushdown into the Parquet scan is Catalyst
+built-in (check ``PushedFilters``/``ReadSchema`` in ``df.explain``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — lazy parquet scan, schema from footer (amex_default.py:12)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, infer_schema: bool = True) -> DataFrame:
+    """S2 — CSV scan with header + inferred schema (heart_disease.py:12).
+    In production prefer an explicit schema: inference scans the file twice."""
+    return spark.read.csv(path, header=True, inferSchema=infer_schema)
+
+
+def from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
+    """S3 — in-memory table (iris.py:18-22); Arrow-accelerated by session conf."""
+    return spark.createDataFrame(pdf)
+
+
+def to_list(df: DataFrame, column: str | None = None) -> list:
+    """S5 — single-column result sink → Python list (tree.py:113,144)."""
+    col = column or df.columns[0]
+    return [row[0] for row in df.select(col).collect()]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table present under ``sf_dir`` (TESTDATA.md)."""
+    out: dict[str, DataFrame] = {}
+    for name in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for spark.sql(...) access."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,343 @@
+"""DecisionTreeClassifier — exact-split decision tree training as Spark dataflow.
+
+Same capabilities as the reference classifier
+(``/root/reference/efficient_trees/tree.py:16-385``) re-architected for Spark:
+
+* **Exact split search** over every distinct feature value (not MLlib's
+  quantile bins — SURVEY.md §7.3), as ONE declarative job per tree node
+  (``operators/split_finder.py``) instead of one plan per feature.
+* **Batch prediction compiled to a single CASE projection**
+  (``plans/case_compiler.py``) instead of a 2^depth filter-union.
+* **No Python in the hot path** — fit and transform are pure Catalyst
+  expression plans; driver-side Python only orchestrates recursion over the
+  (tiny) node dicts, matching the reference's discipline (SURVEY.md §2.11).
+* **Lineage discipline for deep recursion**: each node's frame is persisted
+  before its split search and unpersisted when its subtree completes, and
+  lineage is truncated with ``localCheckpoint`` every ``checkpoint_interval``
+  levels — without this, depth-d children replay the scan plus d filters
+  (SURVEY.md §4.3.1).
+
+Model artifact: the same nested dict as the reference — internal nodes
+``{"type": "node", "feature", "threshold", "information_gain",
+"criterion_value", "target_distribution", "left", "right"}`` (tree.py:374-383),
+leaves ``{"type": "leaf", "value"}`` — so persistence is pickle/JSON of a
+driver-side object, independent of Spark.
+
+Semantic fine print reproduced from the reference (SURVEY.md §2.11):
+
+* recursion continues only while best information gain > 0 (tree.py:350);
+* rows NULL in the chosen split feature drop out of BOTH children during fit
+  and batch predict (tree.py:351-358, 129-130) — ``transform`` exposes this as
+  ``null_policy="drop"`` (parity), plus ``"keep"`` and ``"strict"`` modes;
+* candidate thresholds are distinct feature values with each feature's maximum
+  excluded (tree.py:244, 274-277);
+* tie-breaking, engine-order-dependent in the reference (§2.11.4), is replaced
+  by total orders: splits by (gain desc, feature position asc, threshold asc),
+  majority class by (count desc, class value asc).
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from collections.abc import Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.enums import Criterion
+from efficient_trees_spark.operators import split_finder
+from efficient_trees_spark.plans.case_compiler import compile_tree
+
+_TARGET_IDX = split_finder.TARGET_IDX
+
+# Above this cardinality, categorical codes are applied via a broadcast-join
+# mapping table instead of a literal CASE map (SURVEY.md §2.8).
+_LITERAL_MAP_MAX = 256
+
+
+class DecisionTreeClassifier:
+    """Decision tree classifier with a Spark DataFrame backend.
+
+    :param max_depth: maximum tree depth; None = unbounded (gain>0 still stops).
+    :param categorical_columns: columns to target-encode to ordinal codes
+        before training (reference tree.py:93-108).
+    :param criterion: impurity criterion (entropy default, like the reference).
+    :param checkpoint_interval: truncate plan lineage with localCheckpoint
+        every this many tree levels (Spark-specific; no reference analogue).
+    """
+
+    def __init__(
+        self,
+        max_depth: int | None = None,
+        categorical_columns: list[str] | None = None,
+        criterion: Criterion = Criterion.ENTROPY,
+        checkpoint_interval: int = 4,
+    ):
+        self.max_depth = max_depth
+        self.categorical_columns = categorical_columns
+        self.criterion = Criterion(criterion)
+        self.checkpoint_interval = checkpoint_interval
+        self.categorical_mappings: dict[str, dict[Any, int]] | None = None
+        self.tree: dict[str, Any] | None = None
+
+    # ------------------------------------------------------------------ io
+
+    def save_model(self, path: str) -> None:
+        """Persist the model artifact (pickle, like reference tree.py:41-53)."""
+        with open(path, "wb") as f:
+            pickle.dump(
+                {"tree": self.tree, "categorical_mappings": self.categorical_mappings},
+                f,
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+
+    def load_model(self, path: str) -> None:
+        """Load a model artifact saved by :meth:`save_model` (tree.py:55-65)."""
+        with open(path, "rb") as f:
+            loaded = pickle.load(f)
+        self.tree = loaded["tree"]
+        self.categorical_mappings = loaded["categorical_mappings"]
+
+    def to_json(self) -> str:
+        """Portable JSON form of the model (extension beyond the reference)."""
+        return json.dumps(
+            {
+                "tree": self.tree,
+                "categorical_mappings": (
+                    {
+                        col: [[k, v] for k, v in mapping.items()]
+                        for col, mapping in self.categorical_mappings.items()
+                    }
+                    if self.categorical_mappings
+                    else None
+                ),
+            }
+        )
+
+    @classmethod
+    def from_json(cls, payload: str) -> "DecisionTreeClassifier":
+        data = json.loads(payload)
+        model = cls()
+        model.tree = data["tree"]
+        if data["categorical_mappings"] is not None:
+            model.categorical_mappings = {
+                col: {k: v for k, v in pairs}
+                for col, pairs in data["categorical_mappings"].items()
+            }
+        return model
+
+    # ------------------------------------------------- categorical encoding
+
+    def _fit_categorical_mappings(self, df: DataFrame, target_name: str) -> None:
+        """Target encoding: order each categorical's values by mean target
+        (reference tree.py:93-107).  Deterministic tie-break: (avg asc nulls
+        first, value asc) — the reference inherits engine order on ties."""
+        mappings: dict[str, dict[Any, int]] = {}
+        for col in self.categorical_columns or []:
+            rows = (
+                df.groupBy(col)
+                .agg(F.avg(F.col(target_name).try_cast("double")).alias("avg"))
+                .orderBy(F.asc_nulls_first("avg"), F.asc(col))
+                .collect()
+            )
+            mappings[col] = {row[col]: index for index, row in enumerate(rows)}
+        self.categorical_mappings = mappings
+
+    def apply_categorical_mappings(self, df: DataFrame) -> DataFrame:
+        """Replace categorical values with their ordinal codes (tree.py:67-77).
+
+        Small mappings become a literal map lookup (pure expression, no
+        shuffle); large ones a broadcast-join against a tiny mapping table —
+        both broadcast-cheap at any data scale.
+        """
+        if not self.categorical_mappings:
+            return df
+        for col, mapping in self.categorical_mappings.items():
+            if len(mapping) <= _LITERAL_MAP_MAX:
+                literal_map = F.create_map(
+                    *[x for k, v in mapping.items() for x in (F.lit(k), F.lit(v))]
+                )
+                df = df.withColumn(col, literal_map[F.col(col)].cast("int"))
+            else:
+                spark = df.sparkSession
+                mapping_df = spark.createDataFrame(
+                    [(k, v) for k, v in mapping.items()], [col, f"__code_{col}"]
+                )
+                df = (
+                    df.join(F.broadcast(mapping_df), on=col, how="left")
+                    .withColumn(col, F.col(f"__code_{col}").cast("int"))
+                    .drop(f"__code_{col}")
+                )
+        return df
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, data: DataFrame, target_name: str) -> None:
+        """Train the tree.  Reference lifecycle: tree.py:79-115.
+
+        The reference's ``shrink_dtype`` pass (tree.py:90) has no Catalyst
+        analogue and is semantics-neutral; Parquet encodings + Tungsten already
+        compact storage, so it is intentionally skipped (SURVEY.md §4.1).
+        """
+        feature_names = [c for c in data.columns if c != target_name]
+
+        if self.categorical_columns:
+            self._fit_categorical_mappings(data, target_name)
+            data = self.apply_categorical_mappings(data)
+
+        # Distinct class labels, sorted ascending for deterministic indexing
+        # (reference keeps engine order, tree.py:110-113).
+        unique_targets = [
+            row[0]
+            for row in data.select(target_name).distinct().orderBy(target_name).collect()
+        ]
+        self._unique_targets = unique_targets
+
+        # One normalized training relation: features cast to double (so the
+        # split finder's unpivot has a common value type), target encoded to
+        # its class index (cheap int comparisons in the conditional counts).
+        label_to_idx = F.create_map(
+            *[x for i, v in enumerate(unique_targets) for x in (F.lit(v), F.lit(i))]
+        )
+        prepared = data.select(
+            *[F.col(f).cast("double").alias(f) for f in feature_names],
+            label_to_idx[F.col(target_name)].cast("int").alias(_TARGET_IDX),
+        )
+
+        self.tree = self._build_tree(prepared, feature_names, unique_targets, depth=0)
+
+    def _distribution(self, df: DataFrame) -> list[tuple[int, int]]:
+        """(class_idx, count) pairs, class-ascending.  One tiny job — serves
+        both the majority vote (reference tree.py:166-178) and the node's
+        target_distribution (tree.py:363-372)."""
+        rows = df.groupBy(_TARGET_IDX).count().orderBy(_TARGET_IDX).collect()
+        return [(row[_TARGET_IDX], row["count"]) for row in rows]
+
+    @staticmethod
+    def _majority_idx(distribution: list[tuple[int, int]]) -> int:
+        """Majority class with (count desc, class asc) tie-break; the
+        reference's filter(len == len.max()) + row 0 (tree.py:175-178) is
+        engine-order-dependent on ties."""
+        return max(distribution, key=lambda pair: (pair[1], -pair[0]))[0]
+
+    def _build_tree(
+        self,
+        data: DataFrame,
+        feature_names: list[str],
+        unique_targets: list[Any],
+        depth: int,
+    ) -> dict[str, Any]:
+        """Recursive node construction mirroring reference tree.py:180-385,
+        with Spark cache/lineage discipline layered on."""
+        if self.checkpoint_interval and depth > 0 and depth % self.checkpoint_interval == 0:
+            data = data.localCheckpoint(eager=False)
+        data = data.persist()
+        try:
+            distribution = self._distribution(data)  # also materializes the cache
+            majority = unique_targets[self._majority_idx(distribution)]
+
+            if self.max_depth is not None and depth >= self.max_depth:
+                return {"type": "leaf", "value": majority}
+
+            best = split_finder.find_best_split(
+                data, feature_names, len(unique_targets), self.criterion
+            )
+            if best is None or not best["information_gain"] > 0:
+                return {"type": "leaf", "value": majority}
+
+            feature, threshold = best["feature"], best["threshold"]
+            # NULL split-feature rows satisfy neither predicate → dropped from
+            # both children, matching the reference's mask semantics
+            # (tree.py:351-358; SURVEY.md §2.11.3).
+            left = data.filter(F.col(feature) <= threshold)
+            right = data.filter(F.col(feature) > threshold)
+
+            return {
+                "type": "node",
+                "feature": feature,
+                "threshold": threshold,
+                "information_gain": best["information_gain"],
+                "criterion_value": best["parent_criterion"],
+                # counts of present classes ordered by class value, like
+                # value_counts().sort(target) (tree.py:363-372)
+                "target_distribution": [count for _, count in distribution],
+                "left": self._build_tree(left, feature_names, unique_targets, depth + 1),
+                "right": self._build_tree(right, feature_names, unique_targets, depth + 1),
+            }
+        finally:
+            data.unpersist()
+
+    # ------------------------------------------------------------- predict
+
+    def transform(
+        self,
+        df: DataFrame,
+        prediction_col: str = "prediction",
+        null_policy: str = "drop",
+    ) -> DataFrame:
+        """Spark-idiomatic batch inference: input DataFrame + one compiled
+        CASE projection → input columns plus ``prediction_col``.  No action is
+        triggered; the result composes into larger plans.
+
+        :param null_policy:
+            ``"drop"``  — rows whose root-to-leaf path hits a NULL split
+            feature are removed (bit-parity with reference predict_many,
+            tree.py:129-130);
+            ``"keep"``  — such rows survive with a NULL prediction;
+            ``"strict"`` — raise if any such row exists (the per-row
+            ``predict`` analogue, which fails on NULL comparisons).
+        """
+        if self.tree is None:
+            raise RuntimeError("model not fitted: call fit() or load_model() first")
+        if self.categorical_mappings:
+            df = self.apply_categorical_mappings(df)
+        out = df.withColumn(prediction_col, compile_tree(self.tree))
+        if null_policy == "drop":
+            return out.filter(F.col(prediction_col).isNotNull())
+        if null_policy == "keep":
+            return out
+        if null_policy == "strict":
+            n_bad = out.filter(F.col(prediction_col).isNull()).count()
+            if n_bad:
+                raise ValueError(
+                    f"{n_bad} rows hit a NULL split feature; impute nulls or use "
+                    "null_policy='drop'/'keep'"
+                )
+            return out
+        raise ValueError(f"unknown null_policy: {null_policy!r}")
+
+    def predict_many(self, data: DataFrame) -> list[Any]:
+        """Reference-shaped API (tree.py:117-145): list of predictions in input
+        row order.  The plan is select+filter only — no shuffle — so collected
+        order equals input order without the reference's row-index + re-sort."""
+        rows = self.transform(data, null_policy="drop").select("prediction").collect()
+        return [row[0] for row in rows]
+
+    def predict(self, data: Iterable[dict]) -> list[Any]:
+        """Pure-driver per-row tree walk (reference tree.py:147-164); useful as
+        an oracle against the compiled CASE plan.  Categorical codes are applied
+        from the fitted mappings; a NULL/None split feature raises, like the
+        reference's None-comparison TypeError."""
+
+        def walk(node: dict[str, Any], sample: dict) -> Any:
+            if node["type"] == "leaf":
+                return node["value"]
+            value = sample[node["feature"]]
+            if value is None:
+                raise TypeError(
+                    f"NULL value for split feature {node['feature']!r} in predict(); "
+                    "use transform(null_policy=...) for explicit NULL routing"
+                )
+            if self.categorical_mappings and node["feature"] in self.categorical_mappings:
+                value = self.categorical_mappings[node["feature"]][value]
+            return walk(node["left"] if value <= node["threshold"] else node["right"], sample)
+
+        return [walk(self.tree, sample) for sample in data]
+
+    def get_majority_class(self, df: DataFrame, target_name: str) -> Any:
+        """Majority class of a frame (reference tree.py:166-178), with the
+        deterministic (count desc, value asc) tie-break."""
+        rows = df.groupBy(target_name).count().orderBy(F.desc("count"), F.asc(target_name)).limit(1).collect()
+        return rows[0][0]
