@@ -1,0 +1,631 @@
+"""SURVEY.md §2 operator inventory as checkable queries on the TPC-H-ish
+testdata, each paired with a DuckDB oracle.
+
+Conventions for oracle agreement:
+* every computed column is aliased identically on both sides;
+* money aggregates go through DECIMAL(18,4) so sums are exact and
+  order-independent (double summation order differs between engines);
+* ratio/criterion outputs are rounded to 9 dp on both sides;
+* timestamps are formatted to strings;
+* any LIMIT is preceded by a total-order sort.
+
+Scale notes are inline per query — these run at sf0.01 for the gate but are
+written for the 100 TB layout (pushdown-friendly filters, broadcast dims,
+partial aggregation, no driver-side loops).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.workloads.base import load, workload
+
+DEC = "decimal(18,4)"
+
+
+# --------------------------------------------------------------------- scans
+
+@workload(
+    "s1_scan_project_filter",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_quantity > 30 AND l_returnflag = 'R'
+    """,
+    description="S1+P1+F1/F2: parquet scan with projection+predicate pushdown "
+    "(reference: pl.scan_parquet, amex_default.py:12; select/filter tree.py:239)",
+    tags=("inventory",),
+)
+def s1_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both the filter and the 3-column projection reach the parquet reader
+    # (PushedFilters / ReadSchema in explain) — at 100 TB this is the
+    # difference between scanning 3 columns of a few row groups and the table.
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .drop("l_returnflag")
+    )
+
+
+# --------------------------------------------------------- projection suite
+
+@workload(
+    "p_projection_suite",
+    oracle="""
+        SELECT o_orderkey,
+               o_totalprice AS price,
+               CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(0.1 AS DECIMAL(4,2)) AS DOUBLE) AS tax,
+               upper(o_orderpriority) AS priority,
+               'orders' AS src,
+               CAST(o_orderkey AS VARCHAR) AS key_str
+        FROM orders
+    """,
+    description="P2-P6: drop/rename/computed/literal/cast columns "
+    "(reference tree.py:75-77,133,240,334; test_tree.py:24-34)",
+    tags=("inventory",),
+)
+def p_projection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .drop("o_custkey", "o_orderstatus", "o_orderdate")  # P2
+        .withColumnRenamed("o_totalprice", "price")  # P3
+        .withColumn("tax", (F.col("price").cast(DEC) * F.lit(0.1).cast("decimal(4,2)")).cast("double"))  # P4/P6
+        .withColumn("priority", F.upper("o_orderpriority"))  # P4
+        .withColumn("src", F.lit("orders"))  # P5
+        .withColumn("key_str", F.col("o_orderkey").cast("string"))  # P6
+        .select("o_orderkey", "price", "tax", "priority", "src", "key_str")
+    )
+
+
+@workload(
+    "p7_replace_map",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 WHEN 'R' THEN 2 END AS flag_code
+        FROM lineitem
+    """,
+    description="P7: dict-based value replace → literal map lookup "
+    "(reference pl.col().replace(mapping), tree.py:76)",
+    tags=("inventory",),
+)
+def p7_replace_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mapping = {"A": 0, "N": 1, "R": 2}
+    literal_map = F.create_map(*[x for k, v in mapping.items() for x in (F.lit(k), F.lit(v))])
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", literal_map[F.col("l_returnflag")].alias("flag_code")
+    )
+
+
+@workload(
+    "p8_fill_null",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               coalesce(CASE WHEN l_discount < 0.02 THEN NULL ELSE l_discount END, 0.0) AS disc_filled
+        FROM lineitem
+    """,
+    description="P8: null imputation fill_null(0.0) (reference amex_default.py:23); "
+    "nulls synthesized since testdata has none",
+    tags=("inventory",),
+)
+def p8_fill_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") < 0.02, F.lit(None)).otherwise(F.col("l_discount")).alias("disc_filled"),
+    )
+    return df.na.fill({"disc_filled": 0.0})
+
+
+@workload(
+    "p9_nan_guard",
+    oracle="""
+        WITH p AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM lineitem) AS prop
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               round(CASE WHEN prop > 0 THEN prop * log2(prop) ELSE 0.0 END, 9) AS entropy_term
+        FROM p
+    """,
+    description="P9: the 0*log2(0)=0 guard from the entropy expression "
+    "(reference fill_nan(0.0), tree.py:215)",
+    tags=("inventory",),
+)
+def p9_nan_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w_all = Window.partitionBy()
+    props = li.groupBy("l_returnflag").count().select(
+        "l_returnflag",
+        (F.col("count").cast("double") / F.sum("count").over(w_all)).alias("prop"),
+    )
+    return props.select(
+        "l_returnflag",
+        F.round(
+            F.when(F.col("prop") > 0, F.col("prop") * F.log2("prop")).otherwise(0.0), 9
+        ).alias("entropy_term"),
+    )
+
+
+@workload(
+    "p11_row_index",
+    oracle="""
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS idx
+        FROM orders
+        QUALIFY idx <= 1000
+    """,
+    description="P11: stable row index over an explicit total order "
+    "(reference with_row_index, tree.py:135 — but see SURVEY §2.9: the engine "
+    "avoids the index entirely for prediction)",
+    tags=("inventory",),
+)
+def p11_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A global row index forces a single-partition window: acceptable only on
+    # small/aggregated relations (here: capped at 1000 output rows). The engine
+    # itself never needs one (CASE-compiled prediction preserves order).
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("idx", F.row_number().over(w))
+        .filter(F.col("idx") <= 1000)
+        .drop("o_totalprice")
+    )
+
+
+# ------------------------------------------------------------------ filters
+
+@workload(
+    "f3_filter_above_global_avg",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+    description="F3: filter against a scalar aggregate broadcast "
+    "(reference sum>cum_sum filter, tree.py:274-277)",
+    tags=("inventory",),
+)
+def f3_filter_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark form of Polars' scalar broadcast: empty-partition window (A4).
+    # At scale: the window's agg is computed once per partition-tree by the
+    # exchange; equivalently crossJoin(broadcast(agg)) — both avoid a driver trip.
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w_all = Window.partitionBy()
+    return orders.withColumn("avg_price", F.avg("o_totalprice").over(w_all)).filter(
+        F.col("o_totalprice") > F.col("avg_price")
+    ).drop("avg_price")
+
+
+@workload(
+    "f6_having_max",
+    oracle="""
+        WITH counts AS (SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n FROM counts WHERE n = (SELECT max(n) FROM counts)
+    """,
+    description="F6: HAVING against the max count — the reference's majority-class "
+    "pattern (group_by.len().filter(len == len.max()), tree.py:175)",
+    tags=("inventory",),
+)
+def f6_having_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = load(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    return counts.withColumn("max_n", F.max("n").over(w_all)).filter(
+        F.col("n") == F.col("max_n")
+    ).drop("max_n")
+
+
+# ------------------------------------------------------------- aggregations
+
+@workload(
+    "a1_conditional_counts",
+    oracle="""
+        SELECT l_quantity AS feature_value,
+               count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS class_a_count,
+               count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS class_n_count,
+               count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS class_r_count,
+               count(*) AS count_examples
+        FROM lineitem
+        GROUP BY l_quantity
+    """,
+    description="A1 (the workhorse): per distinct feature value, per-class "
+    "conditional counts + total (reference tree.py:243-254)",
+    tags=("inventory",),
+)
+def a1_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_quantity").alias("feature_value")).agg(
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("class_a_count"),
+        F.count(F.when(F.col("l_returnflag") == "N", 1)).alias("class_n_count"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("class_r_count"),
+        F.count(F.lit(1)).alias("count_examples"),
+    )
+
+
+@workload(
+    "a2_target_encoding_order",
+    oracle="""
+        SELECT c_mktsegment, round(avg(c_acctbal), 9) AS avg_bal
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    description="A2: group-by mean — the target-encoding ordering query "
+    "(reference tree.py:99-102)",
+    tags=("inventory",),
+)
+def a2_target_encoding_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.avg("c_acctbal"), 9).alias("avg_bal"))
+    )
+
+
+@workload(
+    "a4_group_share_of_total",
+    oracle="""
+        SELECT c_nationkey,
+               count(*) AS n,
+               round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM customer), 9) AS share
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    description="A4: scalar aggregate broadcast alongside row-level columns "
+    "(reference agg-inside-select, tree.py:261-268)",
+    tags=("inventory",),
+)
+def a4_group_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = load(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    return counts.select(
+        "c_nationkey",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_all), 9).alias("share"),
+    )
+
+
+@workload(
+    "a5_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    description="A5: distinct — the unique-targets query (reference tree.py:110-113)",
+    tags=("inventory",),
+)
+def a5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@workload(
+    "a6_argmax_per_group",
+    oracle="""
+        SELECT l_returnflag, l_quantity AS top_quantity, n
+        FROM (
+            SELECT l_returnflag, l_quantity, count(*) AS n,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY count(*) DESC, l_quantity ASC) AS rk
+            FROM lineitem GROUP BY l_returnflag, l_quantity
+        ) WHERE rk = 1
+    """,
+    description="A6: arg-max per group with deterministic tie-break "
+    "(reference sort desc + head(1), tree.py:332-333; SURVEY §2.11.4)",
+    tags=("inventory",),
+)
+def a6_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("l_quantity"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("top_quantity"), "n")
+    )
+
+
+@workload(
+    "a7_horizontal_sum",
+    oracle="""
+        SELECT l_quantity AS feature_value,
+               count(CASE WHEN l_returnflag = 'A' THEN 1 END)
+             + count(CASE WHEN l_returnflag = 'N' THEN 1 END)
+             + count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS horizontal_total
+        FROM lineitem GROUP BY l_quantity
+    """,
+    description="A7: row-wise sum across generated per-class columns "
+    "(reference pl.sum_horizontal, tree.py:210-218) — a plain + fold in Spark",
+    tags=("inventory",),
+)
+def a7_horizontal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_class = [
+        F.count(F.when(F.col("l_returnflag") == flag, 1)).alias(f"class_{flag}")
+        for flag in ["A", "N", "R"]
+    ]
+    agg = li.groupBy(F.col("l_quantity").alias("feature_value")).agg(*per_class)
+    total = reduce(lambda a, b: a + b, [F.col(f"class_{flag}") for flag in ["A", "N", "R"]])
+    return agg.select("feature_value", total.alias("horizontal_total"))
+
+
+# ------------------------------------------------------------------ windows
+
+@workload(
+    "w1_prefix_sums",
+    oracle="""
+        WITH long AS (
+            SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS feature_value,
+                   l_returnflag FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', CAST(l_discount AS DOUBLE), l_returnflag FROM lineitem
+        ),
+        counts AS (
+            SELECT feature, feature_value,
+                   count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS class_r,
+                   count(*) AS n
+            FROM long GROUP BY feature, feature_value
+        )
+        SELECT feature, feature_value,
+               sum(class_r) OVER w AS cum_class_r,
+               sum(n) OVER w AS cum_n
+        FROM counts
+        WINDOW w AS (PARTITION BY feature ORDER BY feature_value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    description="W1: per-feature prefix sums over sorted distinct values — the "
+    "split-finder core shape (reference cum_sum, tree.py:255-268), melt+window "
+    "partitioned by feature so no single-partition sort",
+    tags=("inventory",),
+)
+def w1_prefix_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+        "l_returnflag",
+    )
+    long_df = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_discount"],
+        variableColumnName="feature",
+        valueColumnName="feature_value",
+    )
+    counts = long_df.groupBy("feature", "feature_value").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("class_r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("feature_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counts.select(
+        "feature",
+        "feature_value",
+        F.sum("class_r").over(w).alias("cum_class_r"),
+        F.sum("n").over(w).alias("cum_n"),
+    )
+
+
+# ------------------------------------------------------------- sorts/limits
+
+@workload(
+    "o2_topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    description="O2: top-k by metric with total-order tie-break "
+    "(reference sort desc + head, tree.py:332-333) — TakeOrderedAndProject, no full sort",
+    tags=("inventory",),
+)
+def o2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@workload(
+    "o3_slice_offset",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM (
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders
+        ) WHERE rk BETWEEN 101 AND 200
+    """,
+    description="O3: offset/length slice — requires an explicit total order on an "
+    "unordered relation (reference data.slice, heart_disease.py:25-26)",
+    tags=("inventory",),
+)
+def o3_slice_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk").between(101, 200))
+        .drop("rk")
+    )
+
+
+# ------------------------------------------------------------------- unions
+
+@workload(
+    "u1_union_relaxed",
+    oracle="""
+        SELECT 'l_quantity' AS feature, CAST(max(l_quantity) AS DOUBLE) AS max_value FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber' AS feature, CAST(max(l_linenumber) AS DOUBLE) AS max_value FROM lineitem
+    """,
+    description="U1: union with supertype coercion — Spark requires the explicit "
+    "double cast Polars' vertical_relaxed does implicitly (tree.py:341-343)",
+    tags=("inventory",),
+)
+def u1_union_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.agg(F.max("l_quantity").cast("double").alias("max_value")).select(
+        F.lit("l_quantity").alias("feature"), "max_value"
+    )
+    b = li.agg(F.max("l_linenumber").cast("double").alias("max_value")).select(
+        F.lit("l_linenumber").alias("feature"), "max_value"
+    )
+    return a.unionByName(b)
+
+
+@workload(
+    "u2_union_by_name_missing",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders WHERE o_totalprice > 400000
+        UNION ALL BY NAME
+        SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority FROM orders WHERE o_totalprice <= 400000
+    """,
+    description="U2: union-by-name with missing columns (diagonal concat, "
+    "reference tree.py:131)",
+    tags=("inventory",),
+)
+def u2_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_totalprice")
+    low = orders.filter(F.col("o_totalprice") <= 400000).select("o_orderkey", "o_orderpriority")
+    return high.unionByName(low, allowMissingColumns=True)
+
+
+# ----------------------------------------------------------- headline joins
+
+@workload(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 9) AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 9) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 9) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 adapted: the multi-aggregate scan — partial (map-side) "
+    "aggregation makes the shuffle 6 rows per partition regardless of scale",
+    tags=("headline", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("sum_disc_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) * (F.lit(1) + dec("l_tax"))).cast("double").alias("sum_charge"),
+        F.round(F.sum(dec("l_quantity")).cast("double") / F.count("*"), 9).alias("avg_qty"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double") / F.count("*"), 9).alias("avg_price"),
+        F.round(F.sum(dec("l_discount")).cast("double") / F.count("*"), 9).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@workload(
+    "q3_top_revenue_orders",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    description="TPC-H Q3 adapted: selective dim filter → broadcast join → agg "
+    "→ top-k. customer is broadcast; only lineitem shuffles (on l_orderkey)",
+    tags=("headline", "bench"),
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    # customer is the only side safe to broadcast unconditionally; the
+    # orders⨝lineitem join is large-large → leave the strategy to Catalyst/AQE
+    # (shuffle join on l_orderkey, or runtime broadcast if the filtered side
+    # turns out small).
+    joined = li.join(
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@workload(
+    "q5_region_nation_volume",
+    oracle="""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        FROM region
+          JOIN nation ON n_regionkey = r_regionkey
+          JOIN customer ON c_nationkey = n_nationkey
+          JOIN orders ON o_custkey = c_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    description="TPC-H Q5 adapted: star join — every dimension broadcasts, the "
+    "fact table shuffles once for the aggregation; local-supplier condition "
+    "(s_nationkey = c_nationkey) applied as a post-join predicate",
+    tags=("headline", "bench"),
+)
+def q5_region_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
+
+    # region/nation are constant-size → always broadcast; customer/orders/
+    # supplier grow with SF → plain joins, Catalyst/AQE picks broadcast at
+    # runtime when a filtered side fits, shuffle join otherwise.
+    dims = (
+        customer.join(F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+                      customer.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey", "n_name", "n_nationkey")
+    )
+    fact = (
+        li.join(orders.join(dims, orders.o_custkey == dims.c_custkey)
+                .select("o_orderkey", "n_name", "n_nationkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(supplier, (li.l_suppkey == supplier.s_suppkey)
+              & (supplier.s_nationkey == F.col("n_nationkey")))
+    )
+    return fact.groupBy("n_name").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue")
+    )

@@ -1,0 +1,114 @@
+"""Event-stream analytics on the ``events`` table.
+
+The reference's ``streaming=True`` is out-of-core batch, not event-time
+streaming (SURVEY.md §2.10) — Spark's partitioned execution covers that for
+free.  These workloads are the *extension* surface a training-data pipeline
+needs over an event log: tumbling-window aggregation, sessionization, JSON
+prop extraction.  Their batch forms are oracle-checked here; the same
+window aggregation also runs under Structured Streaming in
+``efficient_trees_spark/streaming/windows.py`` (tested in tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.workloads.base import load, workload
+
+
+@workload(
+    "events_tumbling_window",
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL 6 hours, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="Tumbling 6h window aggregation (F.window batch form; same plan "
+    "runs under Structured Streaming with a watermark)",
+    tags=("timeseries", "bench"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@workload(
+    "events_sessionization",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 minutes
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM gaps
+        )
+        SELECT user_id,
+               count(DISTINCT session_id) AS n_sessions,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id
+    """,
+    description="Sessionization: lag-gap > 30min marks a session boundary, "
+    "prefix-sum assigns ids — windows partition by user so parallelism = users",
+    tags=("timeseries",),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w_order)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = gaps.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return sessions.groupBy("user_id").agg(
+        F.count_distinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@workload(
+    "events_json_extract",
+    oracle="""
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 9) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+    description="JSON prop extraction (get_json_object) + aggregation",
+    tags=("timeseries",),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("double")), 9).alias("avg_k")
+    )

@@ -1,0 +1,175 @@
+"""The decision-tree engine's own dataflow as checkable queries.
+
+``split_candidate_gains_gini`` / ``split_best_gini`` run the actual
+``operators/split_finder.py`` pipeline on the lineitem table (features =
+numeric lineitem columns, target = l_returnflag) and are verified against a
+pure-SQL re-derivation in DuckDB — i.e. the engine's core math is in the
+correctness gate, not just unit tests.
+
+Gini is used for the oracle-checked variants because it is pure arithmetic
+(count ratios, exact in IEEE doubles given identical expression shape);
+entropy involves libm log2 whose last-ulp behavior may differ between the JVM
+and DuckDB, so the entropy variant rounds to 9 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.enums import Criterion
+from efficient_trees_spark.operators import split_finder
+from efficient_trees_spark.tree import DecisionTreeClassifier
+from efficient_trees_spark.workloads.base import load, workload
+
+FEATURES = ["l_quantity", "l_discount", "l_tax"]
+CLASSES = ["A", "N", "R"]  # distinct l_returnflag, ascending
+
+
+def _prepared_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    class_map = F.create_map(*[x for i, c in enumerate(CLASSES) for x in (F.lit(c), F.lit(i))])
+    return li.select(
+        *[F.col(f).cast("double").alias(f) for f in FEATURES],
+        class_map[F.col("l_returnflag")].cast("int").alias(split_finder.TARGET_IDX),
+    )
+
+
+def _gains_oracle(criterion: str) -> str:
+    """SQL re-derivation of the split-gain pipeline for DuckDB."""
+    melt = "\nUNION ALL\n".join(
+        f"SELECT '{f}' AS feature, CAST({f} AS DOUBLE) AS feature_value, l_returnflag FROM lineitem"
+        for f in FEATURES
+    )
+    class_counts = ",\n".join(
+        f"count(CASE WHEN l_returnflag = '{c}' THEN 1 END) AS class_{i}"
+        for i, c in enumerate(CLASSES)
+    )
+    cum_cols = ",\n".join(
+        f"sum(class_{i}) OVER w_cum AS cum_{i}, sum(class_{i}) OVER w_tot AS tot_{i}"
+        for i in range(len(CLASSES))
+    )
+    if criterion == "gini":
+        left = " + ".join(f"pow(CAST(cum_{i} AS DOUBLE)/cum_n, 2)" for i in range(len(CLASSES)))
+        right = " + ".join(
+            f"pow(CAST(tot_{i}-cum_{i} AS DOUBLE)/(tot_n-cum_n), 2)" for i in range(len(CLASSES))
+        )
+        parent = " + ".join(f"pow(CAST(tot_{i} AS DOUBLE)/tot_n, 2)" for i in range(len(CLASSES)))
+        crit = lambda body: f"(1.0 - ({body}))"  # noqa: E731
+        left_e, right_e, parent_e = crit(left), crit(right), crit(parent)
+    else:  # entropy
+        def ent(num, den):
+            terms = " + ".join(
+                f"(CASE WHEN CAST({num.format(i=i)} AS DOUBLE)/{den} > 0 "
+                f"THEN (CAST({num.format(i=i)} AS DOUBLE)/{den}) * log2(CAST({num.format(i=i)} AS DOUBLE)/{den}) "
+                f"ELSE 0.0 END)"
+                for i in range(len(CLASSES))
+            )
+            return f"(-1.0 * ({terms}))"
+
+        left_e = ent("cum_{i}", "cum_n")
+        right_e = ent("tot_{i}-cum_{i}", "(tot_n-cum_n)")
+        parent_e = ent("tot_{i}", "tot_n")
+
+    return f"""
+        WITH long AS ({melt}),
+        counts AS (
+            SELECT feature, feature_value, {class_counts}, count(*) AS n
+            FROM long GROUP BY feature, feature_value
+        ),
+        cum AS (
+            SELECT feature, feature_value, {cum_cols},
+                   sum(n) OVER w_cum AS cum_n, sum(n) OVER w_tot AS tot_n
+            FROM counts
+            WINDOW w_cum AS (PARTITION BY feature ORDER BY feature_value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_tot AS (PARTITION BY feature)
+        )
+        SELECT feature, feature_value,
+               round({parent_e} - (CAST(cum_n AS DOUBLE)/tot_n * {left_e}
+                     + CAST(tot_n-cum_n AS DOUBLE)/tot_n * {right_e}), 9) AS information_gain,
+               round({parent_e}, 9) AS parent_criterion
+        FROM cum
+        WHERE tot_n > cum_n
+    """
+
+
+def _rounded_gains(spark: SparkSession, sf_dir: str, criterion: Criterion) -> DataFrame:
+    gains = split_finder.candidate_split_gains(
+        _prepared_lineitem(spark, sf_dir), FEATURES, len(CLASSES), criterion
+    )
+    return gains.select(
+        "feature",
+        "feature_value",
+        F.round("information_gain", 9).alias("information_gain"),
+        F.round("parent_criterion", 9).alias("parent_criterion"),
+    )
+
+
+@workload(
+    "split_candidate_gains_gini",
+    oracle=_gains_oracle("gini"),
+    description="The engine's unified split-gain pipeline (melt → conditional "
+    "counts → prefix-sum windows → gini gain) vs a pure-SQL re-derivation",
+    tags=("inventory", "engine", "bench"),
+)
+def split_candidate_gains_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rounded_gains(spark, sf_dir, Criterion.GINI)
+
+
+@workload(
+    "split_candidate_gains_entropy",
+    oracle=_gains_oracle("entropy"),
+    description="Same pipeline with the entropy criterion (log2 guarded at p=0)",
+    tags=("inventory", "engine"),
+)
+def split_candidate_gains_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rounded_gains(spark, sf_dir, Criterion.ENTROPY)
+
+
+@workload(
+    "split_best_gini",
+    oracle=f"""
+        WITH gains AS ({_gains_oracle("gini")})
+        SELECT feature, feature_value, information_gain
+        FROM gains
+        ORDER BY information_gain DESC,
+                 CASE feature {' '.join(f"WHEN '{f}' THEN {i}" for i, f in enumerate(FEATURES))} END ASC,
+                 feature_value ASC
+        LIMIT 1
+    """,
+    description="Global argmax over candidate splits with the engine's "
+    "total-order tie-break (reference tree.py:341-348, made deterministic)",
+    tags=("inventory", "engine"),
+)
+def split_best_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gains = _rounded_gains(spark, sf_dir, Criterion.GINI)
+    position = F.create_map(
+        *[x for i, f in enumerate(FEATURES) for x in (F.lit(f), F.lit(i))]
+    )[F.col("feature")]
+    return (
+        gains.orderBy(F.desc("information_gain"), position.asc(), F.asc("feature_value"))
+        .limit(1)
+        .select("feature", "feature_value", "information_gain")
+    )
+
+
+@workload(
+    "tree_fit_predict_distribution",
+    oracle=None,  # recursive fit is not SQL-expressible → rows-only check
+    description="End-to-end: fit a depth-2 gini tree on lineitem numerics "
+    "predicting l_returnflag, then batch-predict and count predictions per class",
+    tags=("engine", "bench"),
+)
+def tree_fit_predict_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        F.col("l_returnflag").alias("target"),
+    )
+    model = DecisionTreeClassifier(max_depth=2, criterion=Criterion.GINI)
+    model.fit(li, "target")
+    return (
+        model.transform(li, null_policy="keep")
+        .groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
