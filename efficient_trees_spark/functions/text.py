@@ -1,0 +1,144 @@
+"""Text-analysis Column expressions for large-scale corpus processing.
+
+Everything here is a pure Catalyst expression over built-in
+``pyspark.sql.functions`` — no UDFs — so text statistics for a 100 TB corpus
+run inside whole-stage codegen with zero Python workers.  Each expression has
+an exact ANSI-SQL twin used by the DuckDB oracles in
+``workloads/text_pipeline.py``; keep both in sync.
+
+Extension surface beyond the reference (which has no text ops): language-ID,
+quality scoring, token counting, fingerprinting — the text half of a
+training-data pipeline (briefed in the build spec; SURVEY.md §7.1 step 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization contract (shared with every oracle): lowercase, split on
+# non-alphanumeric runs, drop empties.  Simple enough to be byte-identical
+# across engines (Java regex vs RE2 agree on this class).
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+# Tiny embedded stopword lists for the language-ID heuristic (public common
+# function words).  Deliberately small: the heuristic is n-gram/stopword
+# overlap scoring, not a trained model.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "je", "pas", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "que", "por"],
+    "it": ["il", "la", "e", "che", "di", "non", "un", "una", "per", "sono"],
+}
+
+
+def normalized(col: Column | str) -> Column:
+    """Lowercased, non-alphanumerics collapsed to single spaces, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), _TOKEN_SPLIT, " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """array<string> of normalized tokens."""
+    return F.filter(F.split(normalized(col), " "), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Type-token ratio — low values indicate repetitive/boilerplate text."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(
+        F.size(toks) > 0, total_chars.cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(
+        F.size(toks) > 0, n_stop.cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Share of characters that are a-z after lowercasing (punct/digit-heavy
+    text scores low)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    n_alpha = F.length(F.regexp_replace(c, "[^a-z]", ""))
+    return F.when(
+        F.length(c) > 0, n_alpha.cast("double") / F.length(c)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Deterministic heuristic quality score in [0,1]: mixture of length
+    band, lexical diversity, alphabetic share and stopword presence — the
+    usual cheap pre-filter before expensive pipeline stages."""
+    sw = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+    n_tok = token_count(col).cast("double")
+    length_band = F.when(n_tok < 5, n_tok / F.lit(10.0)).otherwise(
+        F.least(F.lit(1.0), n_tok / F.lit(50.0))
+    )
+    return F.round(
+        F.lit(0.3) * length_band
+        + F.lit(0.3) * distinct_token_ratio(col)
+        + F.lit(0.2) * alpha_ratio(col)
+        + F.lit(0.2) * F.least(F.lit(1.0), stopword_ratio(col, sw) * 5),
+        9,
+    )
+
+
+def lang_scores(col: Column | str) -> list[tuple[str, Column]]:
+    """(lang, stopword-hit-count) per language, for the lang-ID argmax."""
+    toks = tokens(col)
+    out = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        sw = F.array(*[F.lit(w) for w in words])
+        out.append((lang, F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))))
+    return out
+
+
+def lang_id(col: Column | str, min_hits: int = 1) -> Column:
+    """Argmax language by stopword hits; ties break lexicographically (the
+    scores list is sorted); below ``min_hits`` → 'und'."""
+    scores = lang_scores(col)
+    best = F.lit("und")
+    best_score = F.lit(min_hits - 1)
+    # Forward order + strict '>' ⇒ on equal scores the earliest (lexically
+    # smallest) language sticks — the deterministic tie-break the oracle mirrors.
+    for lang, score in scores:
+        keep_new = score > best_score
+        best = F.when(keep_new, F.lit(lang)).otherwise(best)
+        best_score = F.when(keep_new, score).otherwise(best_score)
+    return best
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """Exact-content fingerprint: md5 of the normalized text."""
+    return F.md5(F.encode(normalized(col), "utf-8"))
+
+
+def bag_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token bag —
+    catches shuffled/reordered copies exact dedup misses."""
+    bag = F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
+    return F.md5(F.encode(bag, "utf-8"))

@@ -1,0 +1,316 @@
+"""Corpus deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All four are pure DataFrame compositions (no UDFs) designed around shuffle
+volume at the 100 TB scale:
+
+* the raw corpus is never self-joined — every pairwise comparison happens
+  AFTER an aggregation step that reduces rows to (doc, token/shingle/bucket)
+  or per-doc signatures;
+* candidate generation is bucket-local (LSH bands / SimHash chunks / shared
+  shingles), so the join key is a bucket hash with bounded fan-out, not a
+  cross product;
+* the hash family is md5-derived (``hash32``) — deterministic across engines,
+  which makes every stage oracle-checkable in DuckDB, and uniformly
+  distributed, which keeps bucket skew bounded.
+
+The reference has no dedup operators; this is the extension surface for
+training-data pipelines (build brief; SURVEY.md §7.1 step 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.functions import text
+
+# ------------------------------------------------------------ hash plumbing
+
+def hash32(col: Column, salt: str | None = None) -> Column:
+    """Deterministic 32-bit hash as bigint: first 8 hex chars of md5.
+    Engine-portable: DuckDB twin is ('0x' || substr(md5(x),1,8))::BIGINT."""
+    salted = F.concat(F.lit(f"{salt}:"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(F.encode(salted, "utf-8")), 1, 8), 16, 10).cast("bigint")
+
+
+def hash60(col: Column) -> Column:
+    """60-bit hash as bigint (15 hex chars) — SimHash bit source."""
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 15), 16, 10).cast("bigint")
+
+
+# ------------------------------------------------------------- exact dedup
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str, by: str = "content") -> DataFrame:
+    """Map every doc to the canonical (minimum) id of its fingerprint group.
+
+    ``by='content'`` uses the normalized-content md5; ``by='bag'`` the
+    order-insensitive token-bag md5.  One shuffle on the fingerprint; group
+    sizes are tiny (true duplicates), so no skew concern.
+    """
+    fp = text.content_fingerprint(text_col) if by == "content" else text.bag_fingerprint(text_col)
+    with_fp = df.select(F.col(id_col), fp.alias("fp"))
+    canon = with_fp.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return with_fp.join(canon, "fp").select(id_col, "canonical_id", "group_size")
+
+
+# ---------------------------------------------------------------- shingles
+
+def token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) distinct — the unigram shingle relation."""
+    return (
+        df.select(F.col(id_col), F.explode(text.tokens(text_col)).alias("token"))
+        .distinct()
+    )
+
+
+def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct with word n-gram shingles."""
+    toks = text.tokens(text_col)
+    # positions 1..len-n+1 (1-based element_at).  Guard the short-doc case
+    # explicitly: sequence(1, 0) is DESCENDING in Spark ([1,0]), not empty.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    shingles = F.transform(idx, gram)
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ jaccard
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str, min_jaccard: float, shingle_col: str = "shingle"
+) -> DataFrame:
+    """Exact Jaccard over all pairs sharing ≥1 shingle.
+
+    The self-join key is the shingle, so common shingles fan out — callers
+    should bound shingle document-frequency first (see ``df_capped``) on
+    heavy-tailed corpora; for near-dup thresholds the verified pairs always
+    share rare shingles, so dropping ultra-common shingles is lossless in
+    practice and removes the skew.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.select(F.col(id_col).alias("id_a"), F.col(shingle_col))
+    b = shingles.select(F.col(id_col).alias("id_b"), F.col(shingle_col))
+    shared = (
+        a.join(b, shingle_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                9,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def df_capped(shingles: DataFrame, shingle_col: str = "shingle", max_df: int = 1000) -> DataFrame:
+    """Drop shingles appearing in more than ``max_df`` docs — the standard
+    skew guard before a shingle self-join at scale."""
+    freq = shingles.groupBy(shingle_col).agg(F.count(F.lit(1)).alias("df"))
+    return shingles.join(freq.filter(F.col("df") <= max_df), shingle_col).drop("df")
+
+
+def shingle_relation(df: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
+    """(id, shingle) distinct — unigram token sets for ngram=1, word n-grams
+    otherwise.  Word n-grams (n≈3) are the right default for near-dup work:
+    unigram sets degenerate on small vocabularies."""
+    if ngram == 1:
+        return token_sets(df, id_col, text_col).withColumnRenamed("token", "shingle")
+    return ngram_shingles(df, id_col, text_col, ngram)
+
+
+# ------------------------------------------------------------------ minhash
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, ngram: int = 3
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) MinHash signatures over n-gram shingle sets.
+
+    One explode + one groupBy: the k hash functions are k expressions over the
+    same (id, shingle) row, aggregated with k ``min``s — a single shuffle whose
+    width is k int64 columns, independent of document length.
+    """
+    shingles = shingle_relation(df, id_col, text_col, ngram)
+    hashed = shingles.select(
+        id_col, *[hash32(F.col("shingle"), salt=str(i)).alias(f"h_{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs whose signatures collide in ≥1 LSH band.
+
+    Bands become (band_idx, band_hash) bucket keys; the pair join is bucket-
+    local.  With b bands of r rows, collision probability is the classic
+    1-(1-s^r)^b curve — tune (num_hashes, band_size) for the target
+    similarity, not the data size.
+    """
+    n_bands = num_hashes // band_size
+    bands = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col(f"sig_{b * band_size + r}").cast("string")
+                                        for r in range(band_size)
+                                    ],
+                                ),
+                                "utf-8",
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.5,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates → exact
+    Jaccard verification on the candidate set only (never all pairs)."""
+    shingles = shingle_relation(df, id_col, text_col, ngram)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram)
+    candidates = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                9,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+N_SIMHASH_BITS = 60
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, ngram: int = 3) -> DataFrame:
+    """(id, simhash) — 60-bit SimHash over n-gram shingles.
+
+    Bit-majority as 60 conditional-sum aggregates over the (id, shingle)
+    relation: one shuffle, map-side combinable, no explode by bit.
+    """
+    toks = shingle_relation(df, id_col, text_col, ngram).select(
+        id_col, hash60(F.col("shingle")).alias("h")
+    )
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{j}")
+            for j in range(N_SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return bit_sums.select(id_col, fp.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    fingerprints: DataFrame, id_col: str, max_hamming: int = 3, n_chunks: int = 4
+) -> DataFrame:
+    """(id_a, id_b, hamming) for pairs within ``max_hamming`` bits.
+
+    Pigeonhole banding: a pair within h bits agrees exactly on ≥1 of
+    (h+1) chunks — with 4 chunks of 15 bits any pair ≤3 bits apart collides
+    in some chunk, so the join is chunk-bucket-local."""
+    chunk_bits = N_SIMHASH_BITS // n_chunks
+    chunks = fingerprints.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * chunk_bits)
+                        .bitwiseAND(F.lit(2**chunk_bits - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.chunk_val")
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "chunk_val")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "chunk_val")
+    return (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,96 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata struct —
+the 100 TB-pipeline pattern where payload bytes stay opaque to the planner and
+all decode/feature work happens in Arrow-batched Python (``mapInPandas``),
+partition-parallel, with an explicit output schema.
+
+The decode step itself is STUBBED in this environment (no image/audio libs in
+the container — see the build brief): ``decode_image`` raises
+``NotImplementedError`` unless a decoder library is importable, while
+``fake_image_features`` provides a deterministic byte-level featurizer so the
+Spark-side plumbing (schema, batch iteration, partitioning) is real and
+tested end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+N_HISTOGRAM_BINS = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("histogram", ArrayType(DoubleType())),
+    ]
+)
+
+
+def to_binary_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulate a multimodal ingest: payload = utf-8 bytes of the text column,
+    metadata = (n_bytes, content md5) struct computed JVM-side."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).alias("n_bytes"),
+            F.md5(payload).alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+def fake_image_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Deterministic stand-in for an image featurizer, with the REAL pipeline
+    shape: Arrow batches in, explicit schema out, one Python worker per
+    partition.  'Decodes' dimensions from the first bytes and emits a
+    normalized 16-bin byte histogram."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                if not data:
+                    rows.append((int(doc_id), 0, 0, [0.0] * N_HISTOGRAM_BINS))
+                    continue
+                width = data[0] % 64 + 1
+                height = data[min(1, len(data) - 1)] % 64 + 1
+                hist = [0] * N_HISTOGRAM_BINS
+                for b in data:
+                    hist[b * N_HISTOGRAM_BINS // 256] += 1
+                total = float(len(data))
+                rows.append(
+                    (int(doc_id), width, height, [round(h / total, 9) for h in hist])
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "histogram"])
+
+    return df.select(id_col, payload_col).mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real image decode — requires an imaging library, absent from this
+    container.  The stub keeps the API surface and fails loudly."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - exercised via tests
+        raise NotImplementedError(
+            "image decoding requires Pillow (not available in this environment); "
+            "use fake_image_features() for pipeline plumbing, or install a decoder"
+        ) from exc
+    raise NotImplementedError("real decoder wiring lands when a decoder lib is present")

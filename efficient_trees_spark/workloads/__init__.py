@@ -17,6 +17,7 @@ try:  # extensions register themselves too; keep core importable if one breaks
     from efficient_trees_spark.workloads import text_pipeline  # noqa: F401
     from efficient_trees_spark.workloads import dedup_queries  # noqa: F401
     from efficient_trees_spark.workloads import similarity_queries  # noqa: F401
+    from efficient_trees_spark.workloads import multimodal_queries  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
 

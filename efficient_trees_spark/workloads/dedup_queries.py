@@ -1,0 +1,197 @@
+"""Deduplication workloads on ``documents``, each oracle-checked in DuckDB.
+
+The oracles re-derive the full pipelines (shingling → md5-family hashing →
+banding → verification) in pure SQL, so the hash-exact outputs — not just row
+counts — are in the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.operators import dedup
+from efficient_trees_spark.workloads.base import load, workload
+
+NUM_HASHES = 16
+BAND_SIZE = 4
+
+# DuckDB twins of the shingling contract (functions/text.py + operators/dedup.py)
+_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),"
+    " t -> t != '')"
+)
+_TRIGRAM_REL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        FROM t
+    )
+"""
+_HASH32 = "('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+_HASH60 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+@workload(
+    "dedup_exact_bag",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+            FROM documents
+        ),
+        canon AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size FROM fp GROUP BY fp)
+        SELECT doc_id, canonical_id, group_size
+        FROM fp JOIN canon USING (fp)
+    """,
+    description="Exact dedup via order-insensitive token-bag fingerprint: "
+    "every doc mapped to its group's canonical (min) id",
+    tags=("dedup", "bench"),
+)
+def dedup_exact_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load(spark, sf_dir, "documents"), "doc_id", "text", by="bag")
+
+
+@workload(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        {_TRIGRAM_REL},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 9) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    """,
+    description="Exact trigram-shingle Jaccard near-dup pairs (threshold 0.5); "
+    "self-join is shingle-bucket-local with a document-frequency skew cap "
+    "available for heavy-tailed corpora",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingles = dedup.ngram_shingles(load(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+    return dedup.jaccard_pairs(shingles, "doc_id", min_jaccard=0.5)
+
+
+# Build the MinHash-LSH oracle SQL by generation (16 sigs, 4 bands of 4).
+_SIGS = ",\n".join(
+    "min(" + _HASH32.format(expr=f"'{i}:' || shingle") + f") AS sig_{i}"
+    for i in range(NUM_HASHES)
+)
+_BANDS = ",\n".join(
+    "md5(" + " || ',' || ".join(
+        f"CAST(sig_{b * BAND_SIZE + r} AS VARCHAR)" for r in range(BAND_SIZE)
+    ) + f") AS band_{b}"
+    for b in range(NUM_HASHES // BAND_SIZE)
+)
+_BAND_UNION = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, band_{b} AS band_hash FROM bands"
+    for b in range(NUM_HASHES // BAND_SIZE)
+)
+
+_MINHASH_ORACLE = f"""
+    {_TRIGRAM_REL},
+    sigs AS (
+        SELECT doc_id, {_SIGS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (SELECT doc_id, {_BANDS} FROM sigs),
+    band_rows AS ({_BAND_UNION}),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band_rows a JOIN band_rows b USING (band, band_hash)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT c.id_a, c.id_b, count(*) AS shared
+        FROM candidates c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 9) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+"""
+
+
+@workload(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    description="Full MinHash-LSH: 16 md5-family minhashes over trigram "
+    "shingles → 4 bands of 4 → bucket-local candidate join → exact Jaccard "
+    "verification of candidates only (threshold 0.5)",
+    tags=("dedup", "bench"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_duplicates(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        min_jaccard=0.5, num_hashes=NUM_HASHES, band_size=BAND_SIZE, ngram=3,
+    )
+
+
+_BIT_SUMS = ",\n".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+    for j in range(dedup.N_SIMHASH_BITS)
+)
+_FP_SUM = " + ".join(
+    f"(CASE WHEN s_{j} > 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END)"
+    for j in range(dedup.N_SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+    {_TRIGRAM_REL},
+    hashed AS (SELECT doc_id, {_HASH60.format(expr='shingle')} AS h FROM sh),
+    bit_sums AS (SELECT doc_id, {_BIT_SUMS} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {_FP_SUM} AS simhash
+    FROM bit_sums
+"""
+
+
+@workload(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
+    description="60-bit SimHash fingerprints over trigram shingles — "
+    "bit-majority as 60 conditional sums, one shuffle, no per-bit explode",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf_dir, "documents"), "doc_id", "text", ngram=3)
+
+
+@workload(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH fps AS ({_SIMHASH_ORACLE}),
+        chunks AS (
+            SELECT doc_id, simhash, c.chunk,
+                   (simhash >> (c.chunk * 15)) & 32767 AS chunk_val
+            FROM fps, (SELECT unnest(range(4)) AS chunk) c
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM chunks a JOIN chunks b USING (chunk, chunk_val)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    description="SimHash near-dup candidates within Hamming distance 3 via "
+    "pigeonhole chunk banding (4 chunks of 15 bits → bucket-local join)",
+    tags=("dedup",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = dedup.simhash(load(spark, sf_dir, "documents"), "doc_id", "text", ngram=3)
+    return dedup.simhash_candidate_pairs(fps, "doc_id", max_hamming=3, n_chunks=4)

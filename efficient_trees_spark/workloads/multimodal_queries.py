@@ -1,0 +1,49 @@
+"""Multimodal-column workloads: binary payloads + metadata on documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.operators import multimodal
+from efficient_trees_spark.workloads.base import load, workload
+
+
+@workload(
+    "mm_binary_metadata",
+    oracle="""
+        SELECT doc_id,
+               octet_length(text::BLOB) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+    description="Binary payload ingest: opaque bytes column + JVM-side typed "
+    "metadata (size, content hash) — payload never crosses into Python",
+    tags=("multimodal",),
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    binary = multimodal.to_binary_table(docs, "doc_id", "text")
+    return binary.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+@workload(
+    "mm_fake_image_features",
+    oracle=None,  # mapInPandas featurizer — not SQL-expressible, rows-only check
+    description="Arrow-batched featurizer over binary payloads (mapInPandas, "
+    "explicit schema; deterministic fake decode — real decoders are stubbed, "
+    "see operators/multimodal.py) aggregated per 'image' width",
+    tags=("multimodal",),
+)
+def mm_fake_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    binary = multimodal.to_binary_table(docs, "doc_id", "text")
+    feats = multimodal.fake_image_features(binary)
+    return feats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.element_at("histogram", 1)), 9).alias("avg_bin0"),
+    )

@@ -1,0 +1,115 @@
+"""Similarity-search workloads on ``embeddings`` (64-dim float vectors),
+oracle-checked against DuckDB list arithmetic.
+
+Query set: ``vec_id % 25 = 0`` — a deterministic ~4% subset standing in for
+a query batch.  Scores are computed in double and rounded to 6 dp on both
+sides before thresholding/ranking, so FP association differences between
+engines cannot flip results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.operators import similarity
+from efficient_trees_spark.workloads.base import load, workload
+
+DIM = 64
+_Q_FILTER = "vec_id % 25 = 0"
+
+_DOT = (
+    "list_sum(list_transform(range(1, {n}), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    d = _DOT.format(n=DIM + 1, a=a, b=b)
+    na = _DOT.format(n=DIM + 1, a=a, b=a)
+    nb = _DOT.format(n=DIM + 1, a=b, b=b)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+_PAIRS_CTE = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE {_Q_FILTER}),
+    scores AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round({_cos("q.embedding", "e.embedding")}, 6) AS cos
+        FROM q, embeddings e
+        WHERE e.vec_id != q.vec_id
+    )
+"""
+
+
+@workload(
+    "ann_cosine_threshold",
+    oracle=f"{_PAIRS_CTE} SELECT query_id, neighbor_id, cos FROM scores WHERE cos >= 0.3",
+    description="Brute-force cosine baseline: broadcast query batch × single "
+    "corpus scan, pairs above 0.3 — zero shuffle before the filter",
+    tags=("similarity", "bench"),
+)
+def ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_Q_FILTER))
+    return similarity.cosine_above_threshold(emb, queries, "vec_id", "embedding", threshold=0.3)
+
+
+@workload(
+    "ann_cosine_topk",
+    oracle=f"""
+        {_PAIRS_CTE},
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scores
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+    description="Top-5 neighbors per query, ranked on rounded score with id "
+    "tie-break (total order → stable under any partitioning)",
+    tags=("similarity", "bench"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_Q_FILTER))
+    return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for p in range(similarity.N_PLANES):
+        weights = ", ".join(str(similarity.plane_weight(p, d)) for d in range(DIM))
+        dot = (
+            f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+            f"CAST({vec}[i] AS DOUBLE) * ([{weights}]::DOUBLE[])[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@workload(
+    "ann_lsh_bucketed",
+    oracle=f"""
+        WITH withb AS (
+            SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM withb WHERE {_Q_FILTER})
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round({_cos("q.embedding", "e.embedding")}, 6) AS cos
+        FROM q JOIN withb e USING (bucket)
+        WHERE e.vec_id != q.vec_id
+          AND round({_cos("q.embedding", "e.embedding")}, 6) >= 0.2
+    """,
+    description="Scale path: 8-hyperplane sign LSH buckets the corpus; "
+    "query-corpus compare is bucket-local (partial recall, documented)",
+    tags=("similarity",),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_Q_FILTER))
+    return similarity.lsh_cosine_above_threshold(
+        emb, queries, "vec_id", "embedding", dim=DIM, threshold=0.2
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis workloads on the ``documents`` table, oracle-checked.
+
+Each DuckDB oracle re-implements the exact expression contract of
+``functions/text.py`` (same tokenization regex, same tie-breaks, same
+rounding) so value-hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.functions import text
+from efficient_trees_spark.workloads.base import load, workload
+
+# DuckDB twins of the tokenization contract in functions/text.py
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t != '')"
+
+
+def _sw_array(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@workload(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               length(text) AS n_chars,
+               round(CASE WHEN len({_TOKS}) > 0
+                     THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})
+                     ELSE 0.0 END, 9) AS distinct_ratio
+        FROM documents
+    """,
+    description="Token counting + type-token ratio per document — pure "
+    "expression plan, no shuffle, scales linearly with the corpus",
+    tags=("text", "bench"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.char_count("text").alias("n_chars"),
+        F.round(text.distinct_token_ratio("text"), 9).alias("distinct_ratio"),
+    )
+
+
+@workload(
+    "text_quality_score",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+                   CASE WHEN len({_TOKS}) > 0
+                        THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})
+                        ELSE 0.0 END AS distinct_ratio,
+                   CASE WHEN length(lower(text)) > 0
+                        THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                             / length(lower(text))
+                        ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN len({_TOKS}) > 0
+                        THEN CAST(len(list_filter({_TOKS},
+                             t -> list_contains({_sw_array(text.LANG_STOPWORDS["en"])}, t))) AS DOUBLE)
+                             / len({_TOKS})
+                        ELSE 0.0 END AS sw_ratio
+            FROM documents
+        )
+        SELECT doc_id,
+               round(0.3 * (CASE WHEN n_tok < 5 THEN n_tok / 10.0
+                            ELSE least(1.0, n_tok / 50.0) END)
+                   + 0.3 * distinct_ratio
+                   + 0.2 * alpha_ratio
+                   + 0.2 * least(1.0, sw_ratio * 5), 9) AS quality
+        FROM t
+    """,
+    description="Heuristic quality score (length band, lexical diversity, "
+    "alpha share, stopword presence) — the cheap pre-filter stage",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+def _lang_id_oracle_case() -> str:
+    """Nested CASE replicating lang_id()'s forward/strict-> fold exactly."""
+    langs = sorted(text.LANG_STOPWORDS.items())
+    score = {
+        lang: f"len(list_filter({_TOKS}, t -> list_contains({_sw_array(words)}, t)))"
+        for lang, words in langs
+    }
+    # iterative fold: best = 'und', best_score = 0
+    best_expr, best_score_expr = "'und'", "0"
+    for lang, _ in langs:
+        s = score[lang]
+        best_expr = f"(CASE WHEN {s} > {best_score_expr} THEN '{lang}' ELSE {best_expr} END)"
+        best_score_expr = f"(CASE WHEN {s} > {best_score_expr} THEN {s} ELSE {best_score_expr} END)"
+    return best_expr
+
+
+@workload(
+    "text_lang_id",
+    oracle=f"""
+        SELECT {_lang_id_oracle_case()} AS lang_pred, count(*) AS n
+        FROM documents
+        GROUP BY 1
+    """,
+    description="Stopword-overlap language ID (argmax with lexicographic "
+    "tie-break), aggregated to a distribution",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(text.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@workload(
+    "text_fingerprints",
+    oracle=f"""
+        SELECT doc_id,
+               md5({_NORM}) AS content_fp,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bag_fp
+        FROM documents
+    """,
+    description="Content fingerprint (md5 of normalized text) + "
+    "order-insensitive bag fingerprint (md5 of sorted distinct tokens)",
+    tags=("text",),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.content_fingerprint("text").alias("content_fp"),
+        text.bag_fingerprint("text").alias("bag_fp"),
+    )

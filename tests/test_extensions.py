@@ -1,0 +1,183 @@
+"""Unit tests for the pipeline-extension operators: text analysis, dedup,
+similarity, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.functions import text
+from efficient_trees_spark.operators import dedup, multimodal, similarity
+
+
+# ------------------------------------------------------------------- text
+
+def test_text_expressions_edge_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox and the lazy dog!"),
+            (2, ""),
+            (3, "!!! ??? ..."),
+            (4, "word word word word"),
+        ],
+        ["id", "t"],
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            text.token_count("t").alias("n"),
+            text.distinct_token_ratio("t").alias("ttr"),
+            text.lang_id("t").alias("lang"),
+            text.quality_score("t").alias("q"),
+        ).collect()
+    }
+    assert rows[1]["n"] == 8
+    assert rows[1]["lang"] == "en"  # 'the' and 'and' hit the en stopwords
+    assert rows[2]["n"] == 0 and rows[2]["lang"] == "und" and rows[2]["ttr"] == 0.0
+    assert rows[3]["n"] == 0
+    assert rows[4]["ttr"] == 0.25
+    assert all(0.0 <= rows[i]["q"] <= 1.0 for i in rows)
+
+
+def test_fingerprints_detect_reordering(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta delta")],
+        ["id", "t"],
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            text.content_fingerprint("t").alias("cfp"),
+            text.bag_fingerprint("t").alias("bfp"),
+        ).collect()
+    }
+    assert out[1]["cfp"] != out[2]["cfp"]  # different byte content
+    assert out[1]["bfp"] == out[2]["bfp"]  # same token bag
+    assert out[1]["bfp"] != out[3]["bfp"]
+
+
+# ------------------------------------------------------------------ dedup
+
+@pytest.fixture()
+def near_dup_corpus(spark):
+    base = "the cat sat on the mat while the dog slept near the door in the warm sun"
+    variant = base.replace("warm sun", "cold rain")  # near-dup of base
+    other = "completely different text about spark query engines and shuffles at scale"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, variant), (4, other)], ["doc_id", "text"]
+    )
+
+
+def test_exact_duplicates(spark, near_dup_corpus):
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["group_size"])
+        for r in dedup.exact_duplicates(near_dup_corpus, "doc_id", "text").collect()
+    }
+    assert out[1] == (1, 2) and out[2] == (1, 2)  # 1 and 2 identical
+    assert out[3] == (3, 1) and out[4] == (4, 1)
+
+
+def test_jaccard_and_minhash_agree(spark, near_dup_corpus):
+    shingles = dedup.ngram_shingles(near_dup_corpus, "doc_id", "text", n=3)
+    exact_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(shingles, "doc_id", min_jaccard=0.4).collect()
+    }
+    assert (1, 2) in exact_pairs and exact_pairs[(1, 2)] == 1.0
+    assert (1, 3) in exact_pairs  # near-dup pair survives 0.4
+    assert not any(4 in pair for pair in exact_pairs)
+
+    mh_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(
+            near_dup_corpus, "doc_id", "text", min_jaccard=0.4
+        ).collect()
+    }
+    # verified minhash pairs must be a subset with identical jaccard values,
+    # and must catch the exact duplicate pair (signatures identical)
+    assert (1, 2) in mh_pairs
+    for pair, j in mh_pairs.items():
+        assert exact_pairs[pair] == j
+
+
+def test_simhash_close_for_near_dups(spark, near_dup_corpus):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(near_dup_corpus, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    ham_13 = bin(fps[1] ^ fps[3]).count("1")
+    ham_14 = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated text
+
+
+# ------------------------------------------------------------- similarity
+
+def test_cosine_known_geometry(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),   # parallel to 1 → cos 1.0
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1 → cos 0.0
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite → cos -1.0
+        (5, [1.0, 1.0, 0.0, 0.0]),   # 45° → cos ≈ 0.707107
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") == 1)
+    scores = {
+        r["neighbor_id"]: r["cos"]
+        for r in similarity.cosine_above_threshold(
+            df, queries, "vec_id", "embedding", threshold=-1.0
+        ).collect()
+    }
+    assert scores[2] == 1.0
+    assert scores[3] == 0.0
+    assert scores[4] == -1.0
+    assert math.isclose(scores[5], 0.707107, abs_tol=1e-6)
+
+    topk = similarity.cosine_topk(df, queries, "vec_id", "embedding", k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in sorted(topk, key=lambda r: r["rank"])] == [
+        (2, 1),
+        (5, 2),
+    ]
+
+
+def test_lsh_buckets_subset_of_bruteforce(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_above_threshold(
+            emb, queries, "vec_id", "embedding", threshold=0.2
+        ).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_cosine_above_threshold(
+            emb, queries, "vec_id", "embedding", dim=64, threshold=0.2
+        ).collect()
+    }
+    assert lsh <= brute  # approximate result never invents pairs
+    # every query collides with itself-adjacent bucket content; recall sanity:
+    assert len(lsh) > 0
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "")], ["doc_id", "text"])
+    binary = multimodal.to_binary_table(df, "doc_id", "text")
+    meta = {r["doc_id"]: r for r in binary.select("doc_id", "meta.*").collect()}
+    assert meta[1]["n_bytes"] == 11
+    assert meta[2]["n_bytes"] == 0
+
+    feats = {r["doc_id"]: r for r in multimodal.fake_image_features(binary).collect()}
+    assert feats[1]["width"] == ord("h") % 64 + 1
+    assert len(feats[1]["histogram"]) == multimodal.N_HISTOGRAM_BINS
+    assert math.isclose(sum(feats[1]["histogram"]), 1.0, abs_tol=1e-6)
+    assert feats[2]["width"] == 0 and sum(feats[2]["histogram"]) == 0.0
+
+    # determinism across runs
+    again = {r["doc_id"]: r for r in multimodal.fake_image_features(binary).collect()}
+    assert again[1]["histogram"] == feats[1]["histogram"]
+
+    with pytest.raises(NotImplementedError, match="decoder"):
+        multimodal.decode_image(binary)
