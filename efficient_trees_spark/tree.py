@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import pickle
 from collections.abc import Iterable
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -174,8 +175,20 @@ class DecisionTreeClassifier:
 
     # ------------------------------------------------------------------ fit
 
-    def fit(self, data: DataFrame, target_name: str) -> None:
+    def fit(self, data: DataFrame, target_name: str, strategy: str = "level") -> None:
         """Train the tree.  Reference lifecycle: tree.py:79-115.
+
+        :param strategy:
+            ``"level"`` (default) — PLANET-style level-wise growth: ONE split
+            job + one distribution job per tree LEVEL, scoring every node of
+            the level in a single plan keyed by a routing node-id column.
+            Depth-4 fit = ~10 Spark jobs regardless of node count, the input
+            relation is persisted once, and lineage stays one select deep.
+            The scale answer for wide/deep trees on big clusters.
+            ``"node"`` — the reference-shaped recursion (tree.py:180-385):
+            one split + one distribution job per NODE with per-node persists.
+            Kept as a cross-check oracle; produces the identical tree (both
+            strategies share the same total-order tie-breaks).
 
         The reference's ``shrink_dtype`` pass (tree.py:90) has no Catalyst
         analogue and is semantics-neutral; Parquet encodings + Tungsten already
@@ -206,7 +219,12 @@ class DecisionTreeClassifier:
             label_to_idx[F.col(target_name)].cast("int").alias(_TARGET_IDX),
         )
 
-        self.tree = self._build_tree(prepared, feature_names, unique_targets, depth=0)
+        if strategy == "level":
+            self.tree = self._build_tree_levelwise(prepared, feature_names, unique_targets)
+        elif strategy == "node":
+            self.tree = self._build_tree(prepared, feature_names, unique_targets, depth=0)
+        else:
+            raise ValueError(f"unknown strategy: {strategy!r}")
 
     def _distribution(self, df: DataFrame) -> list[tuple[int, int]]:
         """(class_idx, count) pairs, class-ascending.  One tiny job — serves
@@ -221,6 +239,121 @@ class DecisionTreeClassifier:
         reference's filter(len == len.max()) + row 0 (tree.py:175-178) is
         engine-order-dependent on ties."""
         return max(distribution, key=lambda pair: (pair[1], -pair[0]))[0]
+
+    # ------------------------------------------------ level-wise training
+
+    @staticmethod
+    def _routing_expr(node: dict[str, Any]):
+        """Compile the partial tree into a node-id routing Column: rows land
+        on their pending node's id, NULL under finished leaves or NULL split
+        features (the reference's drop-from-both-children semantics)."""
+        if node["type"] == "pending":
+            return F.lit(node["node_id"])
+        if node["type"] == "leaf":
+            return F.lit(None).cast("int")
+        feature, threshold = node["feature"], node["threshold"]
+        return (
+            F.when(
+                F.col(feature) <= threshold,
+                DecisionTreeClassifier._routing_expr(node["left"]),
+            )
+            .when(
+                F.col(feature) > threshold,
+                DecisionTreeClassifier._routing_expr(node["right"]),
+            )
+            .otherwise(F.lit(None).cast("int"))
+        )
+
+    def _build_tree_levelwise(
+        self,
+        data: DataFrame,
+        feature_names: list[str],
+        unique_targets: list[Any],
+    ) -> dict[str, Any]:
+        """PLANET-style breadth-first growth (the published strategy behind
+        MLlib's trees, here with exact distinct-value splits): each level runs
+        ONE distribution job and ONE split-search job covering every pending
+        node, keyed by a routing column compiled from the partial tree."""
+        node_col = "__node_id"
+        data = data.persist()
+        try:
+            root: dict[str, Any] = {"type": "pending", "node_id": 0}
+            frontier: dict[int, dict[str, Any]] = {0: root}
+            depth = 0
+            while frontier:
+                with_node = data.withColumn(node_col, self._routing_expr(root)).filter(
+                    F.col(node_col).isNotNull()
+                )
+
+                at_max_depth = self.max_depth is not None and depth >= self.max_depth
+
+                # The (cheap) distribution job and the (expensive) split-search
+                # job are independent — submit both at once and let the Spark
+                # scheduler overlap them; wall time per level ≈ the split job.
+                def collect_distributions():
+                    rows = (
+                        with_node.groupBy(node_col, _TARGET_IDX)
+                        .count()
+                        .orderBy(node_col, _TARGET_IDX)
+                        .collect()
+                    )
+                    out: dict[int, list[tuple[int, int]]] = {}
+                    for row in rows:
+                        out.setdefault(row[node_col], []).append(
+                            (row[_TARGET_IDX], row["count"])
+                        )
+                    return out
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    dist_future = pool.submit(collect_distributions)
+                    best_by_node: dict[int, dict[str, Any]] = {}
+                    if not at_max_depth:
+                        best_by_node = {
+                            b["node_id"]: b
+                            for b in split_finder.find_best_splits_per_node(
+                                with_node,
+                                feature_names,
+                                len(unique_targets),
+                                self.criterion,
+                                node_col,
+                            )
+                        }
+                    distributions = dist_future.result()
+
+                next_frontier: dict[int, dict[str, Any]] = {}
+                for node_id, placeholder in frontier.items():
+                    distribution = distributions[node_id]
+                    majority = unique_targets[self._majority_idx(distribution)]
+                    best = best_by_node.get(node_id)
+                    if at_max_depth or best is None or not best["information_gain"] > 0:
+                        placeholder.clear()
+                        placeholder.update({"type": "leaf", "value": majority})
+                        continue
+                    left: dict[str, Any] = {"type": "pending", "node_id": 2 * node_id + 1}
+                    right: dict[str, Any] = {"type": "pending", "node_id": 2 * node_id + 2}
+                    placeholder.clear()
+                    placeholder.update(
+                        {
+                            "type": "node",
+                            "feature": best["feature"],
+                            "threshold": best["threshold"],
+                            "information_gain": best["information_gain"],
+                            "criterion_value": best["parent_criterion"],
+                            "target_distribution": [c for _, c in distribution],
+                            "left": left,
+                            "right": right,
+                        }
+                    )
+                    next_frontier[left["node_id"]] = left
+                    next_frontier[right["node_id"]] = right
+
+                frontier = next_frontier
+                depth += 1
+            return root
+        finally:
+            data.unpersist()
+
+    # ----------------------------------------------- node-wise (reference)
 
     def _build_tree(
         self,

@@ -84,8 +84,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Build the MinHash-LSH oracle SQL by generation (16 sigs, 4 bands of 4).
+# Hash family matches dedup.hash32_family: digest salt = i // 4, 32-bit slot
+# = i % 4 sliced out of the same md5.
 _SIGS = ",\n".join(
-    "min(" + _HASH32.format(expr=f"'{i}:' || shingle") + f") AS sig_{i}"
+    f"min(('0x' || substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8))::BIGINT) AS sig_{i}"
     for i in range(NUM_HASHES)
 )
 _BANDS = ",\n".join(

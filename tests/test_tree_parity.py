@@ -105,6 +105,19 @@ def test_null_routing_drops_rows_from_both_children(spark):
         model.transform(sdf, null_policy="strict").count()
 
 
+def test_levelwise_equals_nodewise(spark):
+    """The PLANET-style level-wise trainer and the reference-shaped node-wise
+    recursion must produce the identical tree, including under nulls."""
+    for seed, with_nulls in [(42, False), (7, True)]:
+        pdf = _synthetic_frame(seed=seed, with_nulls=with_nulls)
+        sdf = spark.createDataFrame(pdf)
+        level = DecisionTreeClassifier(max_depth=4)
+        level.fit(sdf, "target", strategy="level")
+        node = DecisionTreeClassifier(max_depth=4)
+        node.fit(sdf, "target", strategy="node")
+        assert _trees_equal(level.tree, node.tree)
+
+
 def test_gain_zero_becomes_leaf(spark):
     # constant features → no positive gain → single leaf with majority class
     pdf = pd.DataFrame({"x": [1.0] * 10, "target": [0] * 6 + [1] * 4})
