@@ -175,7 +175,13 @@ class DecisionTreeClassifier:
 
     # ------------------------------------------------------------------ fit
 
-    def fit(self, data: DataFrame, target_name: str, strategy: str = "level") -> None:
+    def fit(
+        self,
+        data: DataFrame,
+        target_name: str,
+        strategy: str = "level",
+        shrink_features: bool = True,
+    ) -> None:
         """Train the tree.  Reference lifecycle: tree.py:79-115.
 
         :param strategy:
@@ -189,10 +195,20 @@ class DecisionTreeClassifier:
             one split + one distribution job per NODE with per-node persists.
             Kept as a cross-check oracle; produces the identical tree (both
             strategies share the same total-order tie-breaks).
-
-        The reference's ``shrink_dtype`` pass (tree.py:90) has no Catalyst
-        analogue and is semantics-neutral; Parquet encodings + Tungsten already
-        compact storage, so it is intentionally skipped (SURVEY.md §4.1).
+        :param shrink_features:
+            ``True`` (default) replicates the reference's ``shrink_dtype``
+            pass (tree.py:90): float features are rounded to float32 before
+            split search, so thresholds are f32 values.  This is NOT
+            semantics-neutral — inference compares the user's unrounded
+            float64 data against the f32 threshold, so a row sitting exactly
+            on a split value can route differently than under f64 training
+            (e.g. ``1.9 <= float32(1.9)=1.8999999762`` is false).  The
+            reference's golden iris outputs depend on this behavior; bit
+            parity requires it.  ``False`` trains in full float64.
+            Divergence note: polars shrinks Float64→Float32 only when the
+            column's min/max fit in f32 range (±3.4e38); this engine shrinks
+            unconditionally to avoid an extra min/max scan.  Integer features
+            are exact either way.
         """
         feature_names = [c for c in data.columns if c != target_name]
 
@@ -211,11 +227,27 @@ class DecisionTreeClassifier:
         # One normalized training relation: features cast to double (so the
         # split finder's unpivot has a common value type), target encoded to
         # its class index (cheap int comparisons in the conditional counts).
+        # With shrink_features, fractional features round-trip through float32
+        # first (reference shrink_dtype, tree.py:90) so every candidate
+        # threshold downstream is an f32 value; integer/decimal features go
+        # straight to double (exact, like polars' lossless int shrink).
+        fractional = {
+            f.name
+            for f in data.schema.fields
+            if f.dataType.typeName() in ("float", "double")
+        }
+
+        def feature_expr(name: str):
+            col = F.col(name)
+            if shrink_features and name in fractional:
+                col = col.cast("float")
+            return col.cast("double").alias(name)
+
         label_to_idx = F.create_map(
             *[x for i, v in enumerate(unique_targets) for x in (F.lit(v), F.lit(i))]
         )
         prepared = data.select(
-            *[F.col(f).cast("double").alias(f) for f in feature_names],
+            *[feature_expr(f) for f in feature_names],
             label_to_idx[F.col(target_name)].cast("int").alias(_TARGET_IDX),
         )
 

@@ -107,6 +107,7 @@ def fit_reference(
     criterion: str = "entropy",
     max_depth: int | None = None,
     categorical_columns: list[str] | None = None,
+    shrink_features: bool = True,
 ) -> tuple[dict, dict]:
     """Returns (tree_dict, categorical_mappings) under the engine's contract."""
     df = pdf.copy()
@@ -122,7 +123,12 @@ def fit_reference(
     classes = sorted(df[target].unique().tolist())
     features = [c for c in df.columns if c != target]
     for f in features:
-        df[f] = df[f].astype(float)
+        # Reference shrink_dtype (tree.py:90): fractional features round to
+        # float32, so thresholds are f32 values; ints/codes stay exact.
+        if shrink_features and df[f].dtype.kind == "f":
+            df[f] = df[f].astype(np.float32).astype(np.float64)
+        else:
+            df[f] = df[f].astype(float)
     tree = build_tree(df, features, target, classes, criterion, max_depth)
     return tree, mappings
 
