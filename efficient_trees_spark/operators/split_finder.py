@@ -203,9 +203,17 @@ def find_best_splits_per_node(
 ) -> list[dict[str, Any]]:
     """Best split of EVERY node of a tree level in one job (PLANET-style).
 
-    Same total-order tie-break as :func:`find_best_split`, applied per node
-    via a row_number window over (node) — the collect returns at most one row
-    per active node.
+    Same total-order tie-break as :func:`find_best_split` — (gain desc,
+    feature position asc, threshold asc) — expressed as ``max_by`` over an
+    ordering struct rather than a ``row_number`` window.  The window form is
+    a scale trap: at the root level the node column is the foldable
+    ``lit(0)``, Catalyst folds it out of the partition spec, and the window
+    serializes EVERY candidate gain row through one partition.  ``max_by``
+    aggregates with map-side partial combine (one surviving row per node per
+    input partition) and shuffles only those. Struct comparison is
+    lexicographic; position and threshold are negated so the whole order is
+    a single max, and (gain, position, threshold) is unique per candidate so
+    no arbitrary tie remains.
     """
     gains = candidate_split_gains(
         df, feature_names, n_classes, criterion, target_idx_col, node_col=node_col
@@ -213,22 +221,25 @@ def find_best_splits_per_node(
     position = F.create_map(
         *[x for i, name in enumerate(feature_names) for x in (F.lit(name), F.lit(i))]
     )[F.col(FEATURE)]
-    w = Window.partitionBy(node_col).orderBy(
-        F.desc("information_gain"), position.asc(), F.asc(FEATURE_VALUE)
+    order = F.struct(
+        F.col("information_gain"),
+        (-position).alias("neg_position"),
+        (-F.col(FEATURE_VALUE)).alias("neg_value"),
     )
-    rows = (
-        gains.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
-        .collect()
+    payload = F.struct(
+        F.col(FEATURE).alias("feature"),
+        F.col(FEATURE_VALUE).alias("threshold"),
+        F.col("information_gain").alias("information_gain"),
+        F.col("parent_criterion").alias("parent_criterion"),
     )
+    rows = gains.groupBy(node_col).agg(F.max_by(payload, order).alias("best")).collect()
     return [
         {
             "node_id": row[node_col],
-            "feature": row[FEATURE],
-            "threshold": row[FEATURE_VALUE],
-            "information_gain": row["information_gain"],
-            "parent_criterion": row["parent_criterion"],
+            "feature": row["best"]["feature"],
+            "threshold": row["best"]["threshold"],
+            "information_gain": row["best"]["information_gain"],
+            "parent_criterion": row["best"]["parent_criterion"],
         }
         for row in rows
     ]
