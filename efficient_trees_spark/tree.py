@@ -75,11 +75,17 @@ class DecisionTreeClassifier:
         categorical_columns: list[str] | None = None,
         criterion: Criterion = Criterion.ENTROPY,
         checkpoint_interval: int = 4,
+        streaming: bool = False,
     ):
         self.max_depth = max_depth
         self.categorical_columns = categorical_columns
         self.criterion = Criterion(criterion)
         self.checkpoint_interval = checkpoint_interval
+        # Drop-in compatibility with the reference signature (tree.py:20-26):
+        # `streaming` selects Polars' out-of-core engine there.  Spark executes
+        # partition-at-a-time with spill by architecture (SURVEY.md §2.10), so
+        # the knob is accepted and recorded but changes nothing.
+        self.streaming = streaming
         self.categorical_mappings: dict[str, dict[Any, int]] | None = None
         self.tree: dict[str, Any] | None = None
 
