@@ -75,6 +75,7 @@ def candidate_split_gains(
     criterion: Criterion,
     target_idx_col: str = TARGET_IDX,
     node_col: str | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Information gain of EVERY candidate split of every feature.
 
@@ -85,11 +86,26 @@ def candidate_split_gains(
     this ONE plan, grouping and windowing by (node, feature)).
 
     Mirrors the reference's per-feature pipeline (tree.py:243-330) with the
-    scalar-broadcast totals (tree.py:261-268) expressed as
-    ``Window.partitionBy(feature)`` aggregates and the last-candidate filter
-    (tree.py:274-277) as a plain column comparison.
+    scalar-broadcast totals (tree.py:261-268) expressed as grouped aggregates
+    + broadcast joins and the last-candidate filter (tree.py:274-277) as a
+    plain column comparison.
+
+    The prefix sums over sorted candidate values (reference W1,
+    tree.py:255-268) use a two-phase distributed scan, NOT a plain
+    ``Window.partitionBy(feature)`` — that window is one task per
+    (node, feature), i.e. a serial sort of every distinct value of a
+    continuous feature (583k at sf0.1 lineitem; billions at cluster scale).
+    Phase 1 computes prefix sums inside ``num_buckets`` uniform value ranges
+    per feature (parallelism = nodes x features x buckets); phase 2 adds each
+    bucket's starting offset, computed by a window over the per-bucket totals
+    relation (<= buckets rows per (node, feature) — trivially small).  Count
+    sums are 64-bit-integer additions, so bucketed results are bit-identical
+    to the serial scan.
     """
     keys = ([node_col] if node_col else []) + [FEATURE]
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     long_df = melt_features(
         df, feature_names, target_idx_col, extra_id_cols=[node_col] if node_col else None
     )
@@ -99,33 +115,86 @@ def candidate_split_gains(
         F.count(F.lit(1)).alias("count_examples"),
     )
 
-    w_cum = (
-        Window.partitionBy(*keys)
-        .orderBy(FEATURE_VALUE)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-
-    cum_cols = [
-        F.sum(exprs.class_count_col(i)).over(w_cum).alias(f"cum_class_{i}")
-        for i in range(n_classes)
-    ] + [F.sum("count_examples").over(w_cum).alias("cum_n")]
-
     # Per-(node,feature) totals as a grouped aggregate + broadcast join — NOT
     # an unbounded-frame window: WindowExec buffers the whole partition for
     # an unbounded frame, which serializes and spills on high-cardinality
     # continuous features (measured 10x slower at 600k distinct values).
     # This is the reference's scalar-broadcast A4 (tree.py:261-268) as
-    # "tiny agg + broadcast" (SURVEY.md §4.3.3).
+    # "tiny agg + broadcast" (SURVEY.md §4.3.3).  It also carries the value
+    # range that defines the scan buckets (NaN excluded: Spark's max treats
+    # NaN as the largest double, which would poison width_bucket).
+    finite_value = F.when(~F.isnan(FEATURE_VALUE), F.col(FEATURE_VALUE))
     totals = counts.groupBy(*keys).agg(
         *[
             F.sum(exprs.class_count_col(i)).alias(f"sum_class_{i}")
             for i in range(n_classes)
         ],
         F.sum("count_examples").alias("sum_n"),
+        F.min(finite_value).alias("__vmin"),
+        F.max(finite_value).alias("__vmax"),
     )
 
-    cum = counts.select(*keys, FEATURE_VALUE, *cum_cols).join(
-        F.broadcast(totals), keys
+    # Bucket id: uniform value ranges; v == vmax lands in bucket B+1 (SQL
+    # width_bucket upper bound is exclusive) and NaN in B+2 — both sort after
+    # every in-range bucket, matching double ordering (NaN greatest).
+    bucket = (
+        F.when(F.isnan(FEATURE_VALUE), F.lit(num_buckets + 2))
+        .when(
+            F.col("__vmax") > F.col("__vmin"),
+            F.width_bucket(
+                F.col(FEATURE_VALUE), F.col("__vmin"), F.col("__vmax"), F.lit(num_buckets)
+            ),
+        )
+        .otherwise(F.lit(1))
+    )
+    bucketed = counts.join(F.broadcast(totals), keys).withColumn("__bucket", bucket)
+
+    # Phase 1: prefix sums within each (keys, bucket) range.
+    w_in = (
+        Window.partitionBy(*keys, "__bucket")
+        .orderBy(FEATURE_VALUE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_cum = [
+        F.sum(exprs.class_count_col(i)).over(w_in).alias(f"in_cum_{i}")
+        for i in range(n_classes)
+    ] + [F.sum("count_examples").over(w_in).alias("in_cum_n")]
+
+    # Phase 2: each bucket's starting offset = totals of all earlier buckets.
+    # The offsets relation has <= num_buckets+2 rows per (node, feature), so
+    # its serial window is trivial; the join back is a broadcast.
+    bucket_totals = bucketed.groupBy(*keys, "__bucket").agg(
+        *[
+            F.sum(exprs.class_count_col(i)).alias(f"bt_{i}")
+            for i in range(n_classes)
+        ],
+        F.sum("count_examples").alias("bt_n"),
+    )
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_totals.select(
+        *keys,
+        "__bucket",
+        *[
+            F.coalesce(F.sum(f"bt_{i}").over(w_off), F.lit(0)).alias(f"off_{i}")
+            for i in range(n_classes)
+        ],
+        F.coalesce(F.sum("bt_n").over(w_off), F.lit(0)).alias("off_n"),
+    )
+
+    cum_cols = [
+        (F.col(f"in_cum_{i}") + F.col(f"off_{i}")).alias(f"cum_class_{i}")
+        for i in range(n_classes)
+    ] + [(F.col("in_cum_n") + F.col("off_n")).alias("cum_n")]
+
+    sum_cols = [F.col(f"sum_class_{i}") for i in range(n_classes)] + [F.col("sum_n")]
+    cum = (
+        bucketed.select(*keys, "__bucket", FEATURE_VALUE, *in_cum, *sum_cols)
+        .join(F.broadcast(offsets), [*keys, "__bucket"])
+        .select(*keys, FEATURE_VALUE, *cum_cols, *sum_cols)
     )
 
     # Drop the maximal value of each feature: a split there leaves the right
