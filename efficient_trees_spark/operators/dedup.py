@@ -49,6 +49,46 @@ def hash32_family(col: Column, num_hashes: int) -> list[Column]:
     return out
 
 
+# Universal-hash MinHash family: ONE md5 digest per shingle supplies a 32-bit
+# base value h; hash i is (a_i*h + b_i) mod (2^31-1) — the classic
+# Carter-Wegman construction.  One cryptographic hash instead of ceil(k/4),
+# and the linear transforms are integer ops inside whole-stage codegen.
+# Bounds: a_i,b_i < 2^31, h < 2^32, so a_i*h + b_i < 2^63 — no ANSI-mode
+# bigint overflow.  Coefficients are fixed (seeded LCG) so the DuckDB oracle
+# embeds them as literals.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a_i odd/nonzero, b_i arbitrary."""
+    state = 0x5DEECE66D
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 16) % (MINHASH_PRIME - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def minhash_base(col: Column) -> Column:
+    """32-bit base hash for the universal-hash family (one md5)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def minhash_family(base: Column, num_hashes: int) -> list[Column]:
+    """k MinHash hash functions over an already-computed base hash column.
+    The base is taken as a COLUMN, not recomputed per function — project it
+    first so the md5 runs once per row regardless of k."""
+    return [
+        ((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_PRIME))
+        for a, b in minhash_coefficients(num_hashes)
+    ]
+
+
 def hash60(col: Column) -> Column:
     """60-bit hash as bigint (15 hex chars) — SimHash bit source."""
     return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 15), 16, 10).cast("bigint")
@@ -171,14 +211,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}) MinHash signatures over n-gram shingle sets.
 
-    One explode + one groupBy: the k hash functions are k expressions over the
-    same (id, shingle) row — ceil(k/4) md5 digests sliced into 32-bit slots —
-    aggregated with k ``min``s: a single shuffle whose width is k int64
-    columns, independent of document length.
+    One explode + one groupBy: ONE md5 per (id, shingle) row supplies the
+    base hash, the k hash functions are k integer linear transforms of it
+    (universal hashing), aggregated with k ``min``s: a single shuffle whose
+    width is k int64 columns, independent of document length.
     """
     shingles = shingle_relation(df, id_col, text_col, ngram)
-    hashes = hash32_family(F.col("shingle"), num_hashes)
-    hashed = shingles.select(id_col, *[h.alias(f"h_{i}") for i, h in enumerate(hashes)])
+    based = shingles.select(id_col, minhash_base(F.col("shingle")).alias("__base"))
+    hashes = minhash_family(F.col("__base"), num_hashes)
+    hashed = based.select(id_col, *[h.alias(f"h_{i}") for i, h in enumerate(hashes)])
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(num_hashes)]
     )

@@ -84,11 +84,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Build the MinHash-LSH oracle SQL by generation (16 sigs, 4 bands of 4).
-# Hash family matches dedup.hash32_family: digest salt = i // 4, 32-bit slot
-# = i % 4 sliced out of the same md5.
+# Hash family matches dedup.minhash_family: one md5 base per shingle, then
+# sig_i = min((a_i*base + b_i) mod p) with the engine's fixed coefficients
+# embedded as literals.
+_BASE = _HASH32.format(expr="shingle")
 _SIGS = ",\n".join(
-    f"min(('0x' || substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8))::BIGINT) AS sig_{i}"
-    for i in range(NUM_HASHES)
+    f"min(({a} * {_BASE} + {b}) % {dedup.MINHASH_PRIME}) AS sig_{i}"
+    for i, (a, b) in enumerate(dedup.minhash_coefficients(NUM_HASHES))
 )
 _BANDS = ",\n".join(
     "md5(" + " || ',' || ".join(
