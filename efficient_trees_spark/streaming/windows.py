@@ -34,14 +34,22 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """File-source stream over the events parquet (one file = one microbatch
-    in tests; a real deployment points the same code at a Kafka source)."""
-    # The file stream source wants a directory; glob-filter to the events file.
+    in tests; a real deployment points the same code at a Kafka source).
+
+    :param glob: file filter — the default pins to the events table so the
+        source can point at a testdata directory full of other tables; pass
+        ``"*.parquet"`` for a dedicated drop-directory where late files
+        (e.g. the parity test's watermark-advancing sentinel) must be picked
+        up too.
+    """
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

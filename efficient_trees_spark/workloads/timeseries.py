@@ -98,6 +98,56 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_session_window",
+    oracle="""
+        WITH e AS (
+            -- floor, not cast: DuckDB double->int casts round-half-even,
+            -- Spark's timestamp cast("long") floors
+            SELECT user_id, floor(epoch(ts))::BIGINT AS sec FROM events
+        ),
+        gaps AS (
+            SELECT user_id, sec,
+                   CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+                        OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e
+        ),
+        s AS (
+            SELECT user_id, sec,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM gaps
+        )
+        SELECT user_id,
+               strftime(to_timestamp(min(sec)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(to_timestamp(max(sec) + 1800), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    description="Native session_window operator (batch form; identical "
+    "aggregation runs under Structured Streaming with a watermark in "
+    "streaming/sessions.py): 30min-gap sessions per user with start/end/size. "
+    "session_window merges inclusively (event at exactly session_end joins "
+    "it), so gap=1800s over whole-second timestamps equals the lag rule",
+    tags=("timeseries",),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_seconds(F.col("ts").cast("long")).alias("ts")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", "1800 seconds").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("s.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("s.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@workload(
     "events_json_extract",
     oracle="""
         SELECT event_type,
