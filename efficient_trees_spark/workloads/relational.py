@@ -629,3 +629,29 @@ def q5_region_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.groupBy("n_name").agg(
         F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue")
     )
+
+
+# ------------------------------------------------------------- CSV source
+
+@workload(
+    "s2_csv_scan",
+    oracle="""
+        SELECT n_regionkey, count(*) AS n_nations, sum(n_nationkey) AS key_sum
+        FROM nation GROUP BY n_regionkey
+    """,
+    description="S2: CSV sink + scan with header and schema inference "
+    "(reference: pl.scan_csv, heart_disease.py:12). The table round-trips "
+    "parquet -> CSV -> DataFrame, so the oracle's parquet-side aggregate "
+    "matches only when the CSV reader re-derives identical values and types",
+    tags=("inventory",),
+)
+def s2_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    csv_dir = f"{tempfile.gettempdir()}/spark_graft_s2_nation_csv"
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(csv_dir)
+    nation_csv = spark.read.csv(csv_dir, header=True, inferSchema=True)
+    return nation_csv.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )

@@ -113,3 +113,55 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_above_threshold(
         emb, queries, "vec_id", "embedding", dim=DIM, threshold=0.2
     )
+
+
+@workload(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, vec,
+                   sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+            FROM v
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum(list_transform(range(1, {DIM + 1}),
+                         i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm), 6) AS cos
+            FROM n a JOIN n b ON a.vec_id != b.vec_id
+        )
+        SELECT v.vec_id,
+               least(v.vec_id, coalesce(min(p.id_b), v.vec_id)) AS canonical_id
+        FROM v
+        LEFT JOIN pairs p ON p.id_a = v.vec_id AND p.cos >= 0.95
+        GROUP BY v.vec_id
+    """,
+    description="Embedding-cosine near-dup: canonical id = least id among "
+    "self and all neighbors with cos >= 0.95. Brute-force all-pairs is the "
+    "exactness baseline (one broadcast, no shuffle before the agg); at "
+    "corpus scale the same canonicalization runs over ann_lsh_bucketed's "
+    "bucket-local pairs instead",
+    tags=("similarity", "dedup"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    scores = similarity.brute_force_scores(emb, emb, "vec_id", "embedding")
+    neighbors = (
+        scores.select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+        .filter(F.col("cos") >= 0.95)
+        .groupBy("query_id")
+        .agg(F.min("neighbor_id").alias("min_neighbor"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(neighbors, emb.vec_id == F.col("query_id"), "left")
+        .select(
+            "vec_id",
+            F.least(
+                F.col("vec_id"), F.coalesce(F.col("min_neighbor"), F.col("vec_id"))
+            ).alias("canonical_id"),
+        )
+    )
