@@ -76,6 +76,7 @@ def candidate_split_gains(
     target_idx_col: str = TARGET_IDX,
     node_col: str | None = None,
     num_buckets: int | None = None,
+    include_child_counts: bool = False,
 ) -> DataFrame:
     """Information gain of EVERY candidate split of every feature.
 
@@ -84,6 +85,13 @@ def candidate_split_gains(
     threshold), ``information_gain``, ``parent_criterion`` (plus ``node_col``
     when given — level-wise training scores every tree node of a level in
     this ONE plan, grouping and windowing by (node, feature)).
+
+    With ``include_child_counts``, each candidate row also carries
+    ``left_counts`` / ``right_counts`` — per-class row counts of the would-be
+    children (the prefix sums at the threshold and their complements).  These
+    are free by-products of the scan; level-wise training uses them to derive
+    every child node's class distribution from its parent's chosen split,
+    eliminating the per-level distribution job entirely.
 
     Mirrors the reference's per-feature pipeline (tree.py:243-330) with the
     scalar-broadcast totals (tree.py:261-268) expressed as grouped aggregates
@@ -207,9 +215,23 @@ def candidate_split_gains(
     # that exceeds the JIT method limits and drops the whole stage out of
     # codegen (measured 5-8x slower); named columns let Catalyst's collapse
     # guard keep the stages separate and fully code-generated.
-    carry = [*keys, FEATURE_VALUE, F.col("cum_n"), F.col("sum_n")]
+    first_carry: list = [*keys, FEATURE_VALUE, F.col("cum_n"), F.col("sum_n")]
+    carry: list = [*keys, FEATURE_VALUE, F.col("cum_n"), F.col("sum_n")]
+    if include_child_counts:
+        first_carry += [
+            F.array(
+                *[F.col(f"cum_class_{i}") for i in range(n_classes)]
+            ).alias("left_counts"),
+            F.array(
+                *[
+                    (F.col(f"sum_class_{i}") - F.col(f"cum_class_{i}"))
+                    for i in range(n_classes)
+                ]
+            ).alias("right_counts"),
+        ]
+        carry += [F.col("left_counts"), F.col("right_counts")]
     props = cum.select(
-        *carry,
+        *first_carry,
         *[
             (F.col(f"cum_class_{i}") / F.col("cum_n")).alias(f"left_p_{i}")
             for i in range(n_classes)
@@ -259,6 +281,7 @@ def candidate_split_gains(
             "information_gain"
         ),
         "parent_criterion",
+        *(["left_counts", "right_counts"] if include_child_counts else []),
     )
 
 
@@ -285,7 +308,13 @@ def find_best_splits_per_node(
     no arbitrary tie remains.
     """
     gains = candidate_split_gains(
-        df, feature_names, n_classes, criterion, target_idx_col, node_col=node_col
+        df,
+        feature_names,
+        n_classes,
+        criterion,
+        target_idx_col,
+        node_col=node_col,
+        include_child_counts=True,
     )
     position = F.create_map(
         *[x for i, name in enumerate(feature_names) for x in (F.lit(name), F.lit(i))]
@@ -300,6 +329,8 @@ def find_best_splits_per_node(
         F.col(FEATURE_VALUE).alias("threshold"),
         F.col("information_gain").alias("information_gain"),
         F.col("parent_criterion").alias("parent_criterion"),
+        F.col("left_counts").alias("left_counts"),
+        F.col("right_counts").alias("right_counts"),
     )
     rows = gains.groupBy(node_col).agg(F.max_by(payload, order).alias("best")).collect()
     return [
@@ -309,6 +340,8 @@ def find_best_splits_per_node(
             "threshold": row["best"]["threshold"],
             "information_gain": row["best"]["information_gain"],
             "parent_criterion": row["best"]["parent_criterion"],
+            "left_counts": list(row["best"]["left_counts"]),
+            "right_counts": list(row["best"]["right_counts"]),
         }
         for row in rows
     ]

@@ -310,65 +310,94 @@ class DecisionTreeClassifier:
     ) -> dict[str, Any]:
         """PLANET-style breadth-first growth (the published strategy behind
         MLlib's trees, here with exact distinct-value splits): each level runs
-        ONE distribution job and ONE split-search job covering every pending
-        node, keyed by a routing column compiled from the partial tree."""
+        ONE split-search job covering every pending node, keyed by a routing
+        column compiled from the partial tree.
+
+        Class distributions cost no extra jobs beyond the root's: a node's
+        distribution over its children is a free by-product of its split scan
+        (the prefix-sum counts at the chosen threshold are exactly the left
+        child's per-class counts; total − prefix the right's — the same
+        identity the gain math itself uses), so each child's distribution is
+        recorded when its parent splits.  A depth-d fit is therefore d split
+        jobs plus one root-distribution job that runs concurrently with the
+        first of them.  The reference recomputes value_counts per node
+        (tree.py:363-372); the results are identical because split routing
+        (`f <= thr` / `f > thr`, NULLs to neither side) partitions rows the
+        same way the not-null prefix sums count them.
+        """
         node_col = "__node_id"
         data = data.persist()
         try:
             root: dict[str, Any] = {"type": "pending", "node_id": 0}
             frontier: dict[int, dict[str, Any]] = {0: root}
+            # node_id -> [(class_idx, count), ...] class-ascending, zero-count
+            # classes absent (value_counts semantics, reference tree.py:363-372).
+            distributions: dict[int, list[tuple[int, int]]] = {}
             depth = 0
             while frontier:
-                with_node = data.withColumn(node_col, self._routing_expr(root)).filter(
-                    F.col(node_col).isNotNull()
-                )
-
                 at_max_depth = self.max_depth is not None and depth >= self.max_depth
+                need_root_dist = depth == 0
 
-                # The (cheap) distribution job and the (expensive) split-search
-                # job are independent — submit both at once and let the Spark
-                # scheduler overlap them; wall time per level ≈ the split job.
-                def collect_distributions():
-                    rows = (
-                        with_node.groupBy(node_col, _TARGET_IDX)
-                        .count()
-                        .orderBy(node_col, _TARGET_IDX)
-                        .collect()
-                    )
-                    out: dict[int, list[tuple[int, int]]] = {}
-                    for row in rows:
-                        out.setdefault(row[node_col], []).append(
-                            (row[_TARGET_IDX], row["count"])
+                best_by_node: dict[int, dict[str, Any]] = {}
+                if need_root_dist or not at_max_depth:
+                    with_node = data.withColumn(
+                        node_col, self._routing_expr(root)
+                    ).filter(F.col(node_col).isNotNull())
+
+                    def collect_root_distribution():
+                        rows = (
+                            with_node.groupBy(_TARGET_IDX)
+                            .count()
+                            .orderBy(_TARGET_IDX)
+                            .collect()
                         )
-                    return out
+                        return [(row[_TARGET_IDX], row["count"]) for row in rows]
 
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    dist_future = pool.submit(collect_distributions)
-                    best_by_node: dict[int, dict[str, Any]] = {}
-                    if not at_max_depth:
-                        best_by_node = {
-                            b["node_id"]: b
-                            for b in split_finder.find_best_splits_per_node(
-                                with_node,
-                                feature_names,
-                                len(unique_targets),
-                                self.criterion,
-                                node_col,
-                            )
-                        }
-                    distributions = dist_future.result()
+                    # The (cheap) root-distribution job and the (expensive)
+                    # split job are independent — submit both and let the
+                    # scheduler overlap them; level wall time ≈ the split job.
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        dist_future = (
+                            pool.submit(collect_root_distribution)
+                            if need_root_dist
+                            else None
+                        )
+                        if not at_max_depth:
+                            best_by_node = {
+                                b["node_id"]: b
+                                for b in split_finder.find_best_splits_per_node(
+                                    with_node,
+                                    feature_names,
+                                    len(unique_targets),
+                                    self.criterion,
+                                    node_col,
+                                )
+                            }
+                        if dist_future is not None:
+                            distributions[0] = dist_future.result()
 
                 next_frontier: dict[int, dict[str, Any]] = {}
                 for node_id, placeholder in frontier.items():
-                    distribution = distributions[node_id]
+                    distribution = distributions.pop(node_id)
                     majority = unique_targets[self._majority_idx(distribution)]
                     best = best_by_node.get(node_id)
                     if at_max_depth or best is None or not best["information_gain"] > 0:
                         placeholder.clear()
                         placeholder.update({"type": "leaf", "value": majority})
                         continue
-                    left: dict[str, Any] = {"type": "pending", "node_id": 2 * node_id + 1}
-                    right: dict[str, Any] = {"type": "pending", "node_id": 2 * node_id + 2}
+                    # A pure child (single surviving class) can never split
+                    # again (every candidate gain is 0 → leaf with that class,
+                    # reference tree.py:350,384-385), so it is finalized here
+                    # and its rows never enter the next level's split job.
+                    def make_child(child_id: int, counts: list[int]) -> dict[str, Any]:
+                        pairs = [(i, c) for i, c in enumerate(counts) if c > 0]
+                        if len(pairs) == 1:
+                            return {"type": "leaf", "value": unique_targets[pairs[0][0]]}
+                        distributions[child_id] = pairs
+                        return {"type": "pending", "node_id": child_id}
+
+                    left = make_child(2 * node_id + 1, best["left_counts"])
+                    right = make_child(2 * node_id + 2, best["right_counts"])
                     placeholder.clear()
                     placeholder.update(
                         {
@@ -382,8 +411,9 @@ class DecisionTreeClassifier:
                             "right": right,
                         }
                     )
-                    next_frontier[left["node_id"]] = left
-                    next_frontier[right["node_id"]] = right
+                    for child in (left, right):
+                        if child["type"] == "pending":
+                            next_frontier[child["node_id"]] = child
 
                 frontier = next_frontier
                 depth += 1
