@@ -655,3 +655,93 @@ def s2_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.sum("n_nationkey").alias("key_sum"),
     )
+
+
+# ------------------------------------------------- remaining inventory rows
+
+@workload(
+    "s3_inmemory_table",
+    oracle="""
+        SELECT sepal_length, petal_length, target,
+               sepal_length + petal_length AS total_length
+        FROM (VALUES (5.1, 1.4, 0), (4.9, 1.4, 0), (6.3, 4.7, 1), (5.8, 4.1, 1))
+             AS t(sepal_length, petal_length, target)
+    """,
+    description="S3: in-memory table from driver arrays "
+    "(reference pl.DataFrame(X, schema=...), iris.py:18-22, test_tree.py:21-22)",
+    tags=("inventory",),
+)
+def s3_inmemory_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [(5.1, 1.4, 0), (4.9, 1.4, 0), (6.3, 4.7, 1), (5.8, 4.1, 1)]
+    df = spark.createDataFrame(rows, ["sepal_length", "petal_length", "target"])
+    return df.withColumn("total_length", F.col("sepal_length") + F.col("petal_length"))
+
+
+@workload(
+    "o4_shuffle",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders",
+    description="O4: random reorder via orderBy(rand(seed)) "
+    "(reference .sample(fraction=1.0, shuffle=True), heart_disease.py:22). "
+    "The oracle checks multiset equality — the compare sorts values, so any "
+    "permutation of the same rows hash-matches",
+    tags=("inventory",),
+)
+def o4_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A full-table random sort is ONE shuffle keyed by rand(seed); at scale
+    # prefer repartition(rand) when only decorrelation (not a total order)
+    # is needed — that is a round-robin-ish exchange with no sort.
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.rand(seed=42))
+    )
+
+
+@workload(
+    "f5_mask_split",
+    oracle="""
+        SELECT 'left' AS side, count(*) AS cnt FROM lineitem
+        WHERE (CASE WHEN l_discount < 0.02 THEN NULL ELSE l_discount END) <= 0.05
+        UNION ALL
+        SELECT 'right' AS side, count(*) AS cnt FROM lineitem
+        WHERE NOT ((CASE WHEN l_discount < 0.02 THEN NULL ELSE l_discount END) <= 0.05)
+        UNION ALL
+        SELECT 'total' AS side, count(*) AS cnt FROM lineitem
+    """,
+    description="F5: boolean-mask filter + negation with NULL-drop semantics "
+    "(reference tree.py:351-358): rows NULL in the mask column satisfy "
+    "neither mask nor ~mask, so left+right < total — the semantic trap of "
+    "SURVEY.md §2.11.3, checked by count",
+    tags=("inventory",),
+)
+def f5_mask_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "masked_disc",
+        F.when(F.col("l_discount") < 0.02, F.lit(None)).otherwise(F.col("l_discount")),
+    )
+    pred = F.col("masked_disc") <= 0.05
+    left = li.filter(pred).select(F.lit("left").alias("side")).groupBy("side").agg(F.count(F.lit(1)).alias("cnt"))
+    right = li.filter(~pred).select(F.lit("right").alias("side")).groupBy("side").agg(F.count(F.lit(1)).alias("cnt"))
+    total = li.select(F.lit("total").alias("side")).groupBy("side").agg(F.count(F.lit(1)).alias("cnt"))
+    return left.unionByName(right).unionByName(total)
+
+
+@workload(
+    "p10_shrink_dtype",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS price_f32
+        FROM lineitem
+    """,
+    description="P10: dtype shrinking — float64 -> float32 round-trip, the "
+    "load-bearing precision loss behind the reference's shrink_dtype "
+    "(tree.py:90; SURVEY.md P10): thresholds become f32 values. Both engines "
+    "use IEEE round-to-nearest-even so values match bit-for-bit",
+    tags=("inventory",),
+)
+def p10_shrink_dtype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("float").cast("double").alias("price_f32"),
+    )
