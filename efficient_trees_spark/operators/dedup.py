@@ -380,3 +380,66 @@ def simhash_candidate_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# -------------------------------------------------- cluster / canonicalize
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Cluster near-duplicate pairs: (id, cluster_id) where cluster_id is the
+    minimum doc id reachable through the pair graph; singletons cluster with
+    themselves.  This is the step that turns pairwise dedup output into a
+    keep/drop decision per document.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(graph diameter)
+    rounds.  Near-dup clusters are small and dense (diameter 1-3 in
+    practice), so the loop is shallow; for adversarial long-chain graphs the
+    large-star/small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") halves diameter per round and would replace the
+    body without changing the contract.
+
+    Scale notes: each round is one join (labels onto edges, key = node id)
+    plus one groupBy(id).min — both shuffles on the node-id key.  Labels are
+    localCheckpoint-ed per round so the plan does not grow with iterations,
+    and the convergence test rides the same materialization (count of
+    changed labels), costing no extra pass over the edges.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_labels = edges.join(
+            labels, edges.src == labels.id
+        ).select(F.col("dst").alias("id"), "label")
+        proposed = (
+            labels.union(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        merged = (
+            proposed.join(
+                labels.withColumnRenamed("label", "old_label"), "id"
+            )
+            .select("id", "label", (F.col("label") != F.col("old_label")).alias("changed"))
+            .localCheckpoint()
+        )
+        n_changed = merged.filter("changed").count()
+        labels = merged.select("id", "label")
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )

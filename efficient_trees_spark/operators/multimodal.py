@@ -25,6 +25,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -94,3 +95,58 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             "use fake_image_features() for pipeline plumbing, or install a decoder"
         ) from exc
     raise NotImplementedError("real decoder wiring lands when a decoder lib is present")
+
+
+FRAME_BYTES = 64
+MAX_FRAMES = 8
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+        StructField("frame_len", IntegerType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = FRAME_BYTES,
+    max_frames: int = MAX_FRAMES,
+) -> DataFrame:
+    """Sample fixed-size byte frames from a binary payload — the video
+    frame-sampling pipeline shape: one input row fans out to up to
+    ``max_frames`` frame rows (``mapInPandas``, Arrow batches, explicit
+    schema; the decode itself is the deterministic byte slicing stand-in
+    this container permits — a real build swaps the slicer for a video
+    decoder without touching the Spark plumbing).
+
+    Frames are ``frame_bytes`` wide; sampling stride = ceil(n_frames /
+    max_frames) keeps the output bounded for arbitrarily long payloads —
+    the property that makes this safe against 10 GB outlier blobs at scale.
+    """
+    import hashlib
+    import math
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                n_frames = math.ceil(len(data) / frame_bytes)
+                if n_frames == 0:
+                    continue
+                stride = max(1, math.ceil(n_frames / max_frames))
+                for idx in range(0, n_frames, stride):
+                    frame = data[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    rows.append(
+                        (int(doc_id), idx, hashlib.md5(frame).hexdigest(), len(frame))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_md5", "frame_len"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SCHEMA)

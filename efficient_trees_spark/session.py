@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deliberately NOT lowering adaptive.coalescePartitions.minPartitionSize:
+        # a 64k floor (more post-shuffle tasks on small data) was A/B-measured
+        # ~30% SLOWER on the depth-2 tree fit at sf0.1 — per-task overhead
+        # dominates these sub-second stages.  The 1m default is right here and
+        # immaterial at cluster scale where advisory size governs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise
         # unreadable; read as int64 ns and convert at the source (io.load).

@@ -256,6 +256,12 @@ class DecisionTreeClassifier:
             *[feature_expr(f) for f in feature_names],
             label_to_idx[F.col(target_name)].cast("int").alias(_TARGET_IDX),
         )
+        # NOTE: widening the persisted relation to defaultParallelism via an
+        # up-front repartition was measured SLOWER (A/B at sf0.1: ~12s vs
+        # ~9s per fit) — the extra shuffle costs more than the narrow cached
+        # map side, because the expensive work all happens after the split
+        # finder's own shuffles, which AQE already fans out.  Keep the
+        # source partitioning.
 
         if strategy == "level":
             self.tree = self._build_tree_levelwise(prepared, feature_names, unique_targets)

@@ -199,3 +199,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = dedup.simhash(load(spark, sf_dir, "documents"), "doc_id", "text", ngram=3)
     return dedup.simhash_candidate_pairs(fps, "doc_id", max_hamming=3, n_chunks=4)
+
+
+_JACCARD_PAIRS = f"""
+    {_TRIGRAM_REL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    )
+"""
+
+
+@workload(
+    "dedup_cluster_canonical",
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_PAIRS.strip().removeprefix("WITH ")},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        walk(id, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+        )
+        SELECT id AS doc_id,
+               min(label) AS cluster_id,
+               (min(label) = id) AS keep
+        FROM walk GROUP BY id
+    """,
+    description="Dedup end-game: trigram-Jaccard near-dup pairs (>= 0.5) "
+    "clustered by connected components (iterative min-label propagation), "
+    "one keep/drop decision per document with the cluster's min id as "
+    "canonical.  Oracle walks the same graph with a recursive CTE",
+    tags=("dedup",),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    shingles = dedup.ngram_shingles(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(shingles, "doc_id", min_jaccard=0.5)
+    return dedup.connected_components(pairs, docs, "doc_id")

@@ -47,3 +47,38 @@ def mm_fake_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(F.element_at("histogram", 1)), 9).alias("avg_bin0"),
     )
+
+
+@workload(
+    "mm_frame_sample",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+            FROM documents
+        ),
+        strided AS (
+            SELECT doc_id, text, n_frames,
+                   greatest(CAST(ceil(n_frames / 8.0) AS BIGINT), 1) AS stride
+            FROM d WHERE n_frames > 0
+        ),
+        idx AS (
+            SELECT doc_id, text,
+                   unnest(range(0, n_frames, stride)) AS frame_idx
+            FROM strided
+        )
+        SELECT doc_id, frame_idx,
+               md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5,
+               length(substr(text, frame_idx * 64 + 1, 64)) AS frame_len
+        FROM idx
+    """,
+    description="Video-style frame sampling: one binary payload row fans out "
+    "to <= 8 fixed-width byte frames (mapInPandas; stride bounds output for "
+    "outlier blobs).  Documents are pure ASCII so the byte-slice md5 has an "
+    "exact VARCHAR oracle",
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    binary = multimodal.to_binary_table(docs, "doc_id", "text")
+    return multimodal.frame_sample(binary)

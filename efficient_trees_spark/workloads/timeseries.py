@@ -162,3 +162,74 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.avg(F.get_json_object("props", "$.k").cast("double")), 9).alias("avg_k")
     )
+
+
+@workload(
+    "events_capped_sessions",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, floor(epoch(ts))::BIGINT AS sec FROM events
+        ),
+        gaps AS (
+            SELECT user_id, sec,
+                   CASE WHEN sec - lag(sec) OVER w > 1800
+                        OR lag(sec) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+        ),
+        s AS (
+            SELECT user_id, sec,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+            FROM gaps
+        ),
+        capped AS (
+            SELECT user_id, sec, gid,
+                   (row_number() OVER (PARTITION BY user_id, gid ORDER BY sec) - 1) // 50 AS sub
+            FROM s
+        )
+        SELECT user_id,
+               min(sec) AS session_start,
+               max(sec) AS session_end,
+               count(*) AS n_events
+        FROM capped GROUP BY user_id, gid, sub
+    """,
+    description="Capped sessionization (batch twin of the "
+    "applyInPandasWithState stream operator, streaming/stateful.py): a "
+    "session closes on a >30min gap OR at 50 events — the cap bounds "
+    "per-user state, which session_window cannot express.  Gap-session via "
+    "lag/cumsum, then sub-split by floor(row_number/50); (start, end, n) "
+    "are order-insensitive within a session so both forms agree exactly",
+    tags=("timeseries",),
+)
+def events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from efficient_trees_spark.streaming.stateful import GAP_SECONDS, MAX_EVENTS
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("sec")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gaps = ev.withColumn("prev_sec", F.lag("sec").over(w_order)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_sec").isNull()
+            | (F.col("sec") - F.col("prev_sec") > GAP_SECONDS),
+            1,
+        ).otherwise(0),
+    )
+    sessions = gaps.withColumn("gid", F.sum("new_session").over(w_cum))
+    w_sub = Window.partitionBy("user_id", "gid").orderBy("sec")
+    capped = sessions.withColumn(
+        "sub", F.floor((F.row_number().over(w_sub) - 1) / MAX_EVENTS)
+    )
+    return capped.groupBy("user_id", "gid", "sub").agg(
+        F.min("sec").alias("session_start"),
+        F.max("sec").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("gid", "sub")

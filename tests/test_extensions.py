@@ -181,3 +181,22 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError, match="decoder"):
         multimodal.decode_image(binary)
+
+
+def test_connected_components_chain(spark):
+    """A 5-doc chain a-b-c-d-e needs several propagation rounds; the min id
+    must reach the far end, and the singleton stays its own cluster."""
+    from efficient_trees_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in connected_components(pairs, nodes, "doc_id").collect()
+    }
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False),
+        4: (0, False), 5: (5, True),
+    }
