@@ -152,3 +152,91 @@ def lsh_cosine_above_threshold(
     return pairs.select(
         "query_id", "neighbor_id", F.round(cos, round_to).alias("cos")
     ).filter(F.col("cos") >= threshold)
+
+
+# ------------------------------------------------------------ IVF bucketing
+
+def nearest_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, cell, probe_rank) — each vector's ``nprobe`` nearest centroids by
+    cosine (rounded, centroid-id tie-break: a total order both engines agree
+    on).  ``centroids`` is (cid, cvec); it is broadcast, so assignment is a
+    map-only pass over the corpus — the IVF coarse quantizer.
+    """
+    from pyspark.sql import Window
+
+    c = centroids.select(
+        F.col("cid"),
+        as_double_array("cvec").alias("cvec"),
+        norm(as_double_array("cvec")).alias("cnorm"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("__vid"),
+        as_double_array(vec_col).alias("__vec"),
+        norm(as_double_array(vec_col)).alias("__vnorm"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "__vid",
+        "cid",
+        F.round(
+            dot(F.col("__vec"), F.col("cvec")) / (F.col("__vnorm") * F.col("cnorm")),
+            round_to,
+        ).alias("__ccos"),
+    )
+    w = Window.partitionBy("__vid").orderBy(F.desc("__ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(F.col("__vid").alias(id_col), F.col("cid").alias("cell"), "probe_rank")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    cell; each query probes its ``nprobe`` nearest cells and ranks only the
+    vectors inside them.  Compared to hyperplane LSH this gives data-adapted
+    cells (any centroid set works — k-means iterations or a fixed seed
+    sample) and an explicit recall knob (nprobe).
+
+    Scale shape: centroid assignment is broadcast-map-only; the candidate
+    join keys on the cell id (bounded fan-out = cell size); per-query work
+    is |probed cells| not |corpus|.  A query touching nprobe/n_cells of the
+    data replaces the brute-force full scan.
+    """
+    corpus_cells = nearest_centroids(corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to)
+    query_cells = nearest_centroids(queries, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to)
+
+    c = _with_norm(corpus, id_col, vec_col, "neighbor").join(
+        corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cell"), "neighbor_id"
+    )
+    q = _with_norm(queries, id_col, vec_col, "query").join(
+        query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
+    )
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = dot(F.col("query_vec"), F.col("neighbor_vec")) / (
+        F.col("query_norm") * F.col("neighbor_norm")
+    )
+    scores = pairs.select(
+        "query_id", "neighbor_id", F.round(cos, round_to).alias("cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -165,3 +165,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("canonical_id"),
         )
     )
+
+
+_CENTROID_FILTER = "vec_id % 31 = 1"  # ~16 deterministic seed centroids
+
+
+def _ivf_assign_sql(source_filter: str, nprobe: int) -> str:
+    """Rank-limited nearest-centroid assignment as a DuckDB subquery."""
+    return f"""
+        SELECT vec_id, cid AS cell, rn AS probe_rank FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_cos("e.embedding", "c.cvec")}, 6) DESC,
+                                c.cid ASC) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE {source_filter}) e,
+                 (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                  WHERE {_CENTROID_FILTER}) c
+        ) WHERE rn <= {nprobe}
+    """
+
+
+@workload(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH corpus_cells AS ({_ivf_assign_sql("TRUE", 1)}),
+        query_cells AS ({_ivf_assign_sql(_Q_FILTER, 2)}),
+        cand AS (
+            SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+            FROM query_cells qc
+            JOIN corpus_cells cc ON cc.cell = qc.cell
+            WHERE cc.vec_id != qc.vec_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round({_cos("q.embedding", "e.embedding")}, 6) AS cos
+            FROM cand c
+            JOIN embeddings q ON q.vec_id = c.query_id
+            JOIN embeddings e ON e.vec_id = c.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+    description="IVF approximate top-5: ~16 seed centroids partition the "
+    "corpus into cells (broadcast map-only coarse quantizer); queries probe "
+    "their 2 nearest cells and rank only those members.  Data-adapted cells "
+    "with an explicit recall knob (nprobe) — the ANN scale path alongside "
+    "hyperplane LSH",
+    tags=("similarity",),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.expr(_CENTROID_FILTER)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(F.expr(_Q_FILTER))
+    return similarity.ivf_cosine_topk(
+        emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=2
+    )
