@@ -1,0 +1,102 @@
+"""Plan-quality gates: the physical plans that make this engine scale are
+asserted here, so a regression that silently de-optimizes (drops a pushdown,
+un-broadcasts a dim, adds a shuffle to inference) fails CI — not just the
+100 TB run.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from efficient_trees_spark import DecisionTreeClassifier
+from efficient_trees_spark.workloads.base import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    """S1: the filter and the 3-column projection must reach the parquet
+    reader — at 100 TB this is the difference between reading a few column
+    chunks of a few row groups and scanning the table."""
+    df = REGISTRY["s1_scan_project_filter"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,30" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # Column pruning: the scan schema carries only the needed columns.
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_star_join_broadcasts(spark):
+    """Q5: every dimension side must hash-broadcast; a sort-merge join of
+    the fact table against a dimension is the classic at-scale regression."""
+    df = REGISTRY["q5_region_nation_volume"].fn(spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_finder_no_cartesian_and_codegen(spark):
+    """The split search must stay in whole-stage codegen (no UDF stages,
+    no cartesian blowup) — its cost dominates training.  Codegen spans only
+    appear in the AQE FINAL plan, so execute first and inspect that."""
+    df = REGISTRY["split_candidate_gains_gini"].fn(spark, SF_DIR)
+    df.collect()  # finalize the AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # codegen spans print as "*(n) Operator" in the final plan
+    assert plan.count("*(") > 10
+
+
+def test_inference_is_shuffle_free(spark):
+    """Compiled-CASE inference must add ZERO exchanges on top of the scan:
+    prediction composes into any plan without repartitioning the data."""
+    model = DecisionTreeClassifier()
+    model.tree = {
+        "type": "node",
+        "feature": "l_quantity",
+        "threshold": 25.0,
+        "information_gain": 0.1,
+        "criterion_value": 0.5,
+        "target_distribution": [1, 1],
+        "left": {"type": "leaf", "value": "lo"},
+        "right": {
+            "type": "node",
+            "feature": "l_discount",
+            "threshold": 0.05,
+            "information_gain": 0.05,
+            "criterion_value": 0.4,
+            "target_distribution": [1, 1],
+            "left": {"type": "leaf", "value": "mid"},
+            "right": {"type": "leaf", "value": "hi"},
+        },
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = model.transform(li, null_policy="keep")
+    plan = plan_of(out, "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_minhash_no_raw_self_join(spark):
+    """The MinHash pipeline must never cartesian the corpus; candidate
+    generation happens after aggregation, keyed on band buckets."""
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
