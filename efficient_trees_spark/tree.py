@@ -67,6 +67,22 @@ class DecisionTreeClassifier:
     :param criterion: impurity criterion (entropy default, like the reference).
     :param checkpoint_interval: truncate plan lineage with localCheckpoint
         every this many tree levels (Spark-specific; no reference analogue).
+    :param max_bins: None (default) = the reference's EXACT split search over
+        every distinct feature value (tree.py:244).  An integer caps the
+        candidate set at ``max_bins`` equi-depth quantile edges per feature —
+        the PLANET/MLlib scale strategy.  Exact mode's shuffle volume is
+        Σ_f |distinct(f)| rows; on a 100 TB table a continuous feature has
+        ~billions of distinct values, so that aggregated relation itself
+        becomes the bottleneck.  Binned mode bounds it at
+        n_features × max_bins regardless of data size.  The gain computed for
+        each surviving candidate is EXACT — not an approximation — because
+        binning maps every value to the smallest edge ≥ it, which preserves
+        the row count of ``value <= edge`` for every edge; only the candidate
+        set is thinned.  Thresholds remain real feature-space values, so
+        inference is unchanged.
+    :param bin_rel_error: relative rank error of the quantile sketch
+        (``approxQuantile``) used to place bin edges; only the edge PLACEMENT
+        is approximate, never the gains at the chosen edges.
     """
 
     def __init__(
@@ -76,11 +92,16 @@ class DecisionTreeClassifier:
         criterion: Criterion = Criterion.ENTROPY,
         checkpoint_interval: int = 4,
         streaming: bool = False,
+        max_bins: int | None = None,
+        bin_rel_error: float = 1e-3,
     ):
         self.max_depth = max_depth
         self.categorical_columns = categorical_columns
         self.criterion = Criterion(criterion)
         self.checkpoint_interval = checkpoint_interval
+        self.max_bins = max_bins
+        self.bin_rel_error = bin_rel_error
+        self.bin_edges_: dict[str, list[float]] | None = None
         # Drop-in compatibility with the reference signature (tree.py:20-26):
         # `streaming` selects Polars' out-of-core engine there.  Spark executes
         # partition-at-a-time with spill by architecture (SURVEY.md §2.10), so
@@ -263,12 +284,69 @@ class DecisionTreeClassifier:
         # finder's own shuffles, which AQE already fans out.  Keep the
         # source partitioning.
 
+        if self.max_bins is not None:
+            prepared = self._bin_features(prepared, feature_names)
+
         if strategy == "level":
             self.tree = self._build_tree_levelwise(prepared, feature_names, unique_targets)
         elif strategy == "node":
             self.tree = self._build_tree(prepared, feature_names, unique_targets, depth=0)
         else:
             raise ValueError(f"unknown strategy: {strategy!r}")
+
+    # -------------------------------------------------- quantile binning
+
+    def _bin_features(self, prepared: DataFrame, feature_names: list[str]) -> DataFrame:
+        """Collapse each feature to ≤ ``max_bins`` equi-depth candidate edges.
+
+        MLlib's trees use the same strategy (quantile-binned candidates); here
+        it is an OPT-IN scale path layered on the exact engine rather than the
+        only mode (SURVEY.md §7.3 — exactness is what MLlib can't do).
+
+        Mechanics: one multi-column Greenwald-Khanna sketch pass places edges
+        at ranks k/max_bins (``approxQuantile`` ignores NULL and NaN), plus one
+        cheap map-side max pass so the top edge is the TRUE max — the sketch
+        alone only guarantees an element within ε·n ranks of the top, and a
+        top edge below the max would leave high values unmappable.  Every
+        value is then replaced by the smallest edge ≥ it (``array_min`` over a
+        filtered literal array — pure codegen'd collection expressions, O(B)
+        per cell, no UDF).  Because each edge's ``value <= edge`` row count is
+        unchanged by that mapping, downstream gains at the surviving
+        candidates are bit-identical to exact-mode gains at those same
+        thresholds; the candidate set is thinned, nothing else.  NULLs stay
+        NULL (dropped per-feature by the melt, reference F1) and NaN stays NaN
+        (a distinct value sorting greatest, same as exact mode).
+
+        Edges are computed AFTER the f32 shrink cast, so they are themselves
+        representable shrunk values and golden-parity semantics compose.
+        """
+        n_bins = int(self.max_bins)
+        if n_bins < 2:
+            raise ValueError(f"max_bins must be >= 2, got {self.max_bins}")
+        probs = [k / n_bins for k in range(1, n_bins)]
+        quantiles = prepared.stat.approxQuantile(feature_names, probs, self.bin_rel_error)
+        finite_max = prepared.select(
+            *[
+                F.max(F.when(~F.isnan(f), F.col(f))).alias(f)
+                for f in feature_names
+            ]
+        ).first()
+
+        self.bin_edges_ = {}
+        exprs_out = []
+        for name, qs in zip(feature_names, quantiles):
+            top = finite_max[name]
+            edges = sorted({q for q in qs if q is not None} | ({top} if top is not None else set()))
+            self.bin_edges_[name] = edges
+            if not edges:  # all-NULL/NaN feature: nothing to bin
+                exprs_out.append(F.col(name))
+                continue
+            arr = F.array(*[F.lit(e).cast("double") for e in edges])
+            snapped = F.array_min(F.filter(arr, lambda x: x >= F.col(name)))
+            exprs_out.append(
+                F.when(F.isnan(name), F.col(name)).otherwise(snapped).alias(name)
+            )
+        return prepared.select(*exprs_out, _TARGET_IDX)
 
     def _distribution(self, df: DataFrame) -> list[tuple[int, int]]:
         """(class_idx, count) pairs, class-ascending.  One tiny job — serves

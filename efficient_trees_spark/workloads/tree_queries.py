@@ -173,3 +173,26 @@ def tree_fit_predict_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("prediction")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@workload(
+    "tree_fit_binned_distribution",
+    oracle=None,  # quantile-sketch edge placement is not SQL-reproducible
+    description="The 100 TB fit path: same tree workload with max_bins=32 "
+    "quantile-binned candidates — shuffle volume capped at features x bins "
+    "instead of sum of per-feature distinct counts (l_extendedprice alone has "
+    "~600k distinct values at sf0.1; billions at cluster scale)",
+    tags=("engine", "bench", "scale"),
+)
+def tree_fit_binned_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        F.col("l_returnflag").alias("target"),
+    )
+    model = DecisionTreeClassifier(max_depth=2, criterion=Criterion.GINI, max_bins=32)
+    model.fit(li, "target")
+    return (
+        model.transform(li, null_policy="keep")
+        .groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

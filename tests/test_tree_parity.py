@@ -118,6 +118,59 @@ def test_levelwise_equals_nodewise(spark):
         assert _trees_equal(level.tree, node.tree)
 
 
+def test_binned_matches_exact_when_bins_cover_values(spark):
+    """With more bins than training rows every distinct value becomes a bin
+    edge, so binned mode must reproduce the exact tree bit-for-bit — binning
+    thins the candidate set and changes nothing else."""
+    pdf = _synthetic_frame(seed=3)
+    sdf = spark.createDataFrame(pdf.drop(columns=["categorical_feature"]))
+    exact = DecisionTreeClassifier(max_depth=4)
+    exact.fit(sdf, "target")
+    binned = DecisionTreeClassifier(max_depth=4, max_bins=256)
+    binned.fit(sdf, "target")
+    assert _trees_equal(exact.tree, binned.tree)
+
+
+def test_binned_thresholds_are_edges_with_exact_gains(spark):
+    """Coarse binning: every split threshold is a stored quantile edge, and
+    the root's recorded gain equals the EXACT-mode gain of that same threshold
+    on the raw data — the `value <= edge` count-preservation invariant."""
+    from pyspark.sql import functions as F
+
+    from efficient_trees_spark.operators import split_finder
+
+    pdf = _synthetic_frame(seed=11)
+    features = ["f_a", "f_b", "f_c", "f_d"]
+    sdf = spark.createDataFrame(pdf[features + ["target"]])
+    model = DecisionTreeClassifier(max_depth=3, max_bins=8)
+    model.fit(sdf, "target")
+
+    def walk(node):
+        if node["type"] == "node":
+            assert node["threshold"] in model.bin_edges_[node["feature"]]
+            walk(node["left"])
+            walk(node["right"])
+
+    walk(model.tree)
+
+    prepared = sdf.select(
+        *[F.col(f).cast("float").cast("double").alias(f) for f in features],
+        F.col("target").cast("int").alias(split_finder.TARGET_IDX),
+    )
+    raw_gains = split_finder.candidate_split_gains(
+        prepared, features, 3, Criterion.ENTROPY
+    )
+    root = model.tree
+    row = raw_gains.filter(
+        (F.col("feature") == root["feature"])
+        & (F.col("feature_value") == root["threshold"])
+    ).collect()
+    assert len(row) == 1
+    assert math.isclose(
+        row[0]["information_gain"], root["information_gain"], rel_tol=1e-9
+    )
+
+
 def test_gain_zero_becomes_leaf(spark):
     # constant features → no positive gain → single leaf with majority class
     pdf = pd.DataFrame({"x": [1.0] * 10, "target": [0] * 6 + [1] * 4})
