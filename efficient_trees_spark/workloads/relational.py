@@ -745,3 +745,81 @@ def p10_shrink_dtype(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.col("l_extendedprice").cast("float").cast("double").alias("price_f32"),
     )
+
+
+# ----------------------------------------------------------- sinks at scale
+
+@workload(
+    "s6_partitioned_parquet_sink",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+    """,
+    description="Hive-partitioned parquet sink + partition-pruned scan-back: "
+    "orders written partitionBy(o_orderpriority), re-read with a partition "
+    "filter that prunes to one directory (PartitionFilters in the scan, not "
+    "a post-read filter) — the layout a 100 TB table would use so queries "
+    "touch only the partitions they name",
+    tags=("inventory", "sink"),
+)
+def s6_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/spark_graft_s6_orders_part"
+    load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@workload(
+    "s7_bucketed_colocated_join",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    description="Bucketed-table sink + shuffle-free co-located join: customer "
+    "and orders both written bucketBy(8, custkey) sorted within buckets, then "
+    "joined bucket-to-bucket — zero Exchange on either side of the join "
+    "(asserted by a plan test). THE layout for repeated large-to-large joins "
+    "at cluster scale: the shuffle is paid once at write time, never per query",
+    tags=("inventory", "sink"),
+)
+def s7_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.gettempdir()
+    for table, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
+        name = f"spark_graft_s7_{table}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    cust = spark.table("spark_graft_s7_customer")
+    orders = spark.table("spark_graft_s7_orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

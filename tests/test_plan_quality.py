@@ -100,3 +100,34 @@ def test_dedup_minhash_no_raw_self_join(spark):
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark):
+    """S6: the read-back filter on the partition column must become a
+    PartitionFilter on the scan — only the named directory is listed/read,
+    never the other partitions."""
+    df = REGISTRY["s6_partitioned_parquet_sink"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    pf_line = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "o_orderpriority" in pf_line and "1-URGENT" in pf_line
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """S7: with both sides bucketed on the join key, a large-to-large join
+    reads bucket-to-bucket with ZERO exchange on either input.  At sf0.001
+    AQE rightly broadcasts the tiny side instead (also shuffle-free), so the
+    at-scale plan — sort-merge — is forced with a merge hint and the
+    assertion is that bucketing removed both shuffles from it."""
+    REGISTRY["s7_bucketed_colocated_join"].fn(spark, SF_DIR).collect()  # writes tables
+    cust = spark.table("spark_graft_s7_customer").hint("merge")
+    orders = spark.table("spark_graft_s7_orders")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    assert "Exchange" not in final
+    assert final.count("SelectedBucketsCount: 8 out of 8") == 2
