@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from efficient_trees_spark.functions import text
-from efficient_trees_spark.workloads.base import load, workload
+from efficient_trees_spark.workloads.base import REGISTRY, load, workload
 
 # DuckDB twins of the tokenization contract in functions/text.py
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
@@ -139,3 +139,86 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.content_fingerprint("text").alias("content_fp"),
         text.bag_fingerprint("text").alias("bag_fp"),
     )
+
+
+# ------------------------------------------------ composed curation pipeline
+
+_QUALITY = f"""
+    round(0.3 * (CASE WHEN len({_TOKS}) < 5 THEN len({_TOKS}) / 10.0
+                 ELSE least(1.0, len({_TOKS}) / 50.0) END)
+        + 0.3 * (CASE WHEN len({_TOKS}) > 0
+                 THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})
+                 ELSE 0.0 END)
+        + 0.2 * (CASE WHEN length(lower(text)) > 0
+                 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                      / length(lower(text))
+                 ELSE 0.0 END)
+        + 0.2 * least(1.0, (CASE WHEN len({_TOKS}) > 0
+                 THEN CAST(len(list_filter({_TOKS},
+                      t -> list_contains(__SW__, t))) AS DOUBLE) / len({_TOKS})
+                 ELSE 0.0 END) * 5), 9)
+"""
+
+
+@workload(
+    "docs_curation_pipeline",
+    oracle=None,  # set below — needs the lang-ID CASE built at import time
+    description="The end-to-end training-corpus curation pass, composed from "
+    "the pipeline's own stages: quality-score filter → exact dedup keyed on "
+    "content fingerprint (canonical = min doc_id, payload carried by min_by "
+    "so there is no join-back) → per-language corpus stats. Two shuffles "
+    "total for the whole pipeline (dedup groupBy, language groupBy); every "
+    "stage before them is a pure projection over the scan",
+    tags=("text", "dedup", "bench"),
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(text.quality_score("text"), 9).alias("quality"),
+        text.token_count("text").alias("n_tokens"),
+        text.content_fingerprint("text").alias("fp"),
+        text.lang_id("text").alias("lang"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5))
+    payload = F.struct("lang", "n_tokens", "quality")
+    canonical = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by(payload, "doc_id").alias("p"),
+    )
+    return (
+        canonical.groupBy(F.col("p.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p.n_tokens").alias("total_tokens"),
+            F.round(F.avg("p.quality"), 6).alias("avg_quality"),
+        )
+    )
+
+
+# The oracle mirrors the Spark pipeline stage by stage: same quality formula
+# (rounded to 9 dp BEFORE the >= 0.5 filter in both engines, so boundary docs
+# route identically), same min-doc_id canonicalization via min_by.
+REGISTRY["docs_curation_pipeline"].oracle = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_QUALITY.replace("__SW__", _sw_array(text.LANG_STOPWORDS["en"]))} AS quality,
+               len({_TOKS}) AS n_tokens,
+               md5({_NORM}) AS fp,
+               {_lang_id_oracle_case()} AS lang
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 5
+    ),
+    canonical AS (
+        SELECT fp, min(doc_id) AS doc_id,
+               min_by(lang, doc_id) AS lang,
+               min_by(n_tokens, doc_id) AS n_tokens,
+               min_by(quality, doc_id) AS quality
+        FROM kept GROUP BY fp
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM canonical GROUP BY lang
+"""
