@@ -131,3 +131,13 @@ def test_bucketed_join_is_shuffle_free(spark):
     assert "SortMergeJoin" in final
     assert "Exchange" not in final
     assert final.count("SelectedBucketsCount: 8 out of 8") == 2
+
+
+def test_curation_pipeline_two_shuffles_no_python(spark):
+    """The composed curation pass must cost exactly its two aggregations
+    (dedup groupBy, language groupBy) — no join-back shuffle, no Python
+    stages; everything else is projection over the scan."""
+    df = REGISTRY["docs_curation_pipeline"].fn(spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
