@@ -14,6 +14,7 @@ Layout:
     session.py            SparkSession factory tuned for analytics
     enums.py              Criterion enum (gini / entropy)
     tree.py               DecisionTreeClassifier (fit / predict / persistence)
+    ensemble.py           RandomForestClassifier (bagged trees, one-projection vote)
     functions/exprs.py    Column-expression library (criterion, gain, proportions)
     functions/text.py     Text analytics expressions (lang-id, quality, tokens)
     operators/split_finder.py  Unified one-job best-split search
@@ -25,7 +26,8 @@ Layout:
 """
 
 from efficient_trees_spark.enums import Criterion
+from efficient_trees_spark.ensemble import RandomForestClassifier
 from efficient_trees_spark.tree import DecisionTreeClassifier
 
-__all__ = ["Criterion", "DecisionTreeClassifier"]
+__all__ = ["Criterion", "DecisionTreeClassifier", "RandomForestClassifier"]
 __version__ = "0.1.0"

@@ -1,0 +1,196 @@
+"""RandomForestClassifier — bagged ensemble of the exact-split trees.
+
+Extension beyond the reference (which ships a single tree —
+``/root/reference/efficient_trees/tree.py:16``), composed entirely from this
+engine's existing dataflow pieces:
+
+* **One shared prepared relation.** The fit preamble (categorical encoding,
+  label discovery, double/f32 normalization, optional quantile binning) runs
+  ONCE and is persisted; every tree trains against the same cached relation —
+  not T repetitions of the scan.
+* **Bootstrap via ``sample(withReplacement=True)``** per tree (seeded, so the
+  forest is deterministic given ``seed``), plus per-tree feature subsampling
+  (driver-side RNG over column names — zero data movement).
+* **Inference is one projection.** Each tree compiles to a nested CASE column
+  (``plans/case_compiler.py``); the majority vote is an ``array_max`` over
+  per-class vote-count structs — pure Catalyst expressions, zero shuffles,
+  zero UDFs, same tie-break as the single tree (count desc, class asc).
+
+At cluster scale the incremental cost of a tree is its level-wise split
+searches on a cached sample — the scan and preparation are amortized across
+the forest, and ``max_bins`` bounds each search's shuffle volume.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+import random
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.enums import Criterion
+from efficient_trees_spark.plans.case_compiler import compile_tree
+from efficient_trees_spark.tree import DecisionTreeClassifier
+
+
+class RandomForestClassifier:
+    """Bagged forest of :class:`DecisionTreeClassifier` trees.
+
+    :param n_trees: number of trees.
+    :param max_depth: depth cap per tree.
+    :param feature_fraction: fraction of features each tree sees (ceil'd to
+        at least one); 1.0 = all features.
+    :param sample_fraction: bootstrap sample size as a fraction of the input
+        (with replacement, so 1.0 is the classic bootstrap).
+    :param max_bins: per-tree quantile binning (see DecisionTreeClassifier);
+        binning runs once on the shared relation, before sampling.
+    :param seed: makes sampling and feature subsets deterministic.
+    """
+
+    def __init__(
+        self,
+        n_trees: int = 10,
+        max_depth: int | None = 5,
+        criterion: Criterion = Criterion.ENTROPY,
+        feature_fraction: float = 1.0,
+        sample_fraction: float = 1.0,
+        max_bins: int | None = None,
+        categorical_columns: list[str] | None = None,
+        seed: int = 42,
+    ):
+        if n_trees < 1:
+            raise ValueError(f"n_trees must be >= 1, got {n_trees}")
+        if not 0.0 < feature_fraction <= 1.0:
+            raise ValueError(f"feature_fraction must be in (0, 1], got {feature_fraction}")
+        self.n_trees = n_trees
+        self.max_depth = max_depth
+        self.criterion = Criterion(criterion)
+        self.feature_fraction = feature_fraction
+        self.sample_fraction = sample_fraction
+        self.max_bins = max_bins
+        self.categorical_columns = categorical_columns
+        self.seed = seed
+        self.trees: list[dict[str, Any]] | None = None
+        self.categorical_mappings: dict[str, dict[Any, int]] | None = None
+        self._unique_targets: list[Any] | None = None
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, data: DataFrame, target_name: str, shrink_features: bool = True) -> None:
+        proto = DecisionTreeClassifier(
+            max_depth=self.max_depth,
+            categorical_columns=self.categorical_columns,
+            criterion=self.criterion,
+            max_bins=self.max_bins,
+        )
+        prepared, feature_names, unique_targets = proto._prepare(
+            data, target_name, shrink_features
+        )
+        if self.max_bins is not None:
+            prepared = proto._bin_features(prepared, feature_names)
+        self.categorical_mappings = proto.categorical_mappings
+        self._unique_targets = unique_targets
+
+        rng = random.Random(self.seed)
+        n_sub = max(1, round(self.feature_fraction * len(feature_names)))
+
+        prepared = prepared.persist()
+        try:
+            self.trees = []
+            for t in range(self.n_trees):
+                subset = (
+                    sorted(rng.sample(feature_names, n_sub))
+                    if n_sub < len(feature_names)
+                    else feature_names
+                )
+                bag = prepared.sample(
+                    withReplacement=True,
+                    fraction=self.sample_fraction,
+                    seed=self.seed + t,
+                )
+                tree = DecisionTreeClassifier(
+                    max_depth=self.max_depth, criterion=self.criterion
+                )
+                self.trees.append(
+                    tree._build_tree_levelwise(bag, subset, unique_targets)
+                )
+        finally:
+            prepared.unpersist()
+
+    # ------------------------------------------------------------- predict
+
+    def _vote_expr(self) -> Column:
+        """Majority vote over the compiled per-tree CASE columns as one
+        expression: per class, count the trees voting for it; take the
+        (count desc, class asc) argmax via a struct array_max.  A tree whose
+        root-to-leaf path hits a NULL feature abstains (its CASE yields NULL,
+        which equals no class); a row every tree abstains on predicts NULL,
+        mirroring the single tree's null routing."""
+        votes = F.array(*[compile_tree(tree) for tree in self.trees])
+
+        # NB: the filter lambda must take exactly one parameter — PySpark
+        # binds a second parameter to the element INDEX, not a closure slot.
+        def vote_count(label):
+            lit = F.lit(label)
+            return F.size(F.filter(votes, lambda v: v == lit))
+
+        per_class = [
+            F.struct(
+                vote_count(label).alias("n"),
+                F.lit(-idx).alias("neg_idx"),
+                F.lit(label).alias("label"),
+            )
+            for idx, label in enumerate(self._unique_targets)
+        ]
+        best = F.array_max(F.array(*per_class))
+        any_vote = F.exists(votes, lambda v: v.isNotNull())
+        return F.when(any_vote, best.getField("label"))
+
+    def transform(
+        self, df: DataFrame, prediction_col: str = "prediction", null_policy: str = "keep"
+    ) -> DataFrame:
+        if self.trees is None:
+            raise RuntimeError("model not fitted: call fit() or load_model() first")
+        if self.categorical_mappings:
+            helper = DecisionTreeClassifier()
+            helper.categorical_mappings = self.categorical_mappings
+            df = helper.apply_categorical_mappings(df)
+        out = df.withColumn(prediction_col, self._vote_expr())
+        if null_policy == "drop":
+            return out.filter(F.col(prediction_col).isNotNull())
+        if null_policy == "keep":
+            return out
+        raise ValueError(f"unknown null_policy: {null_policy!r}")
+
+    def predict_many(self, data: DataFrame) -> list[Any]:
+        rows = self.transform(data, null_policy="drop").select("prediction").collect()
+        return [row[0] for row in rows]
+
+    # ------------------------------------------------------------------ io
+
+    def save_model(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "trees": self.trees,
+                    "categorical_mappings": self.categorical_mappings,
+                    "unique_targets": self._unique_targets,
+                },
+                f,
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+
+    def load_model(self, path: str) -> None:
+        with open(path, "rb") as f:
+            loaded = pickle.load(f)
+        self.trees = loaded["trees"]
+        self.categorical_mappings = loaded["categorical_mappings"]
+        self._unique_targets = loaded["unique_targets"]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"trees": self.trees, "unique_targets": self._unique_targets}
+        )

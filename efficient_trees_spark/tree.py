@@ -237,6 +237,32 @@ class DecisionTreeClassifier:
             unconditionally to avoid an extra min/max scan.  Integer features
             are exact either way.
         """
+        prepared, feature_names, unique_targets = self._prepare(
+            data, target_name, shrink_features
+        )
+
+        if self.max_bins is not None:
+            prepared = self._bin_features(prepared, feature_names)
+
+        if strategy == "level":
+            self.tree = self._build_tree_levelwise(prepared, feature_names, unique_targets)
+        elif strategy == "node":
+            self.tree = self._build_tree(prepared, feature_names, unique_targets, depth=0)
+        else:
+            raise ValueError(f"unknown strategy: {strategy!r}")
+
+    def _prepare(
+        self, data: DataFrame, target_name: str, shrink_features: bool
+    ) -> tuple[DataFrame, list[str], list[Any]]:
+        """Shared fit preamble: categorical encoding, class-label discovery,
+        and the normalized training relation — features cast to double (a
+        common unpivot value type), target encoded to its class index (cheap
+        int comparisons in the conditional counts).  With shrink_features,
+        fractional features round-trip through float32 first (reference
+        shrink_dtype, tree.py:90) so every candidate threshold downstream is
+        an f32 value; integer/decimal features go straight to double (exact,
+        like polars' lossless int shrink).  Also used once per ensemble by
+        RandomForestClassifier."""
         feature_names = [c for c in data.columns if c != target_name]
 
         if self.categorical_columns:
@@ -251,13 +277,6 @@ class DecisionTreeClassifier:
         ]
         self._unique_targets = unique_targets
 
-        # One normalized training relation: features cast to double (so the
-        # split finder's unpivot has a common value type), target encoded to
-        # its class index (cheap int comparisons in the conditional counts).
-        # With shrink_features, fractional features round-trip through float32
-        # first (reference shrink_dtype, tree.py:90) so every candidate
-        # threshold downstream is an f32 value; integer/decimal features go
-        # straight to double (exact, like polars' lossless int shrink).
         fractional = {
             f.name
             for f in data.schema.fields
@@ -283,16 +302,7 @@ class DecisionTreeClassifier:
         # map side, because the expensive work all happens after the split
         # finder's own shuffles, which AQE already fans out.  Keep the
         # source partitioning.
-
-        if self.max_bins is not None:
-            prepared = self._bin_features(prepared, feature_names)
-
-        if strategy == "level":
-            self.tree = self._build_tree_levelwise(prepared, feature_names, unique_targets)
-        elif strategy == "node":
-            self.tree = self._build_tree(prepared, feature_names, unique_targets, depth=0)
-        else:
-            raise ValueError(f"unknown strategy: {strategy!r}")
+        return prepared, feature_names, unique_targets
 
     # -------------------------------------------------- quantile binning
 

@@ -196,3 +196,30 @@ def tree_fit_binned_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prediction")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@workload(
+    "forest_fit_distribution",
+    oracle=None,  # bootstrap sampling is not SQL-reproducible
+    description="Bagged random forest (4 binned trees, depth 2) on lineitem "
+    "numerics: one shared prepared+persisted relation, per-tree seeded "
+    "bootstrap samples, majority-vote inference as a single shuffle-free "
+    "projection (per-tree CASE columns + struct argmax)",
+    tags=("engine", "scale"),
+)
+def forest_fit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from efficient_trees_spark.ensemble import RandomForestClassifier
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        F.col("l_returnflag").alias("target"),
+    )
+    model = RandomForestClassifier(
+        n_trees=4, max_depth=2, criterion=Criterion.GINI, max_bins=32, seed=7
+    )
+    model.fit(li, "target")
+    return (
+        model.transform(li, null_policy="keep")
+        .groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

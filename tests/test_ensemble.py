@@ -1,0 +1,76 @@
+"""RandomForestClassifier: vote semantics, determinism, persistence."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from efficient_trees_spark import RandomForestClassifier
+from tests.iris_fixture import train_test_frames
+
+
+def _iris(spark):
+    train_pd, test_pd = train_test_frames(string_labels=False)
+    train = spark.createDataFrame(train_pd.drop(columns=["categorical_feature"]))
+    test = spark.createDataFrame(test_pd.drop(columns=["categorical_feature"]))
+    return train, test, list(test_pd["target"])
+
+
+def test_forest_accuracy_and_determinism(spark):
+    train, test, labels = _iris(spark)
+    rf = RandomForestClassifier(n_trees=7, max_depth=4, feature_fraction=0.75, seed=42)
+    rf.fit(train, "target")
+    preds = rf.predict_many(test)
+    acc = sum(p == l for p, l in zip(preds, labels)) / len(labels)
+    assert acc >= 0.9
+    rf2 = RandomForestClassifier(n_trees=7, max_depth=4, feature_fraction=0.75, seed=42)
+    rf2.fit(train, "target")
+    assert rf.trees == rf2.trees  # same seed → identical forest
+
+
+def _leaf_forest(values, targets):
+    rf = RandomForestClassifier(n_trees=len(values))
+    rf.trees = [{"type": "leaf", "value": v} for v in values]
+    rf._unique_targets = targets
+    return rf
+
+
+def test_vote_majority_and_tie_break(spark):
+    df = spark.createDataFrame([(1.0,)], ["x"])
+    # clear majority
+    rf = _leaf_forest([1, 1, 0], [0, 1])
+    assert rf.transform(df).collect()[0]["prediction"] == 1
+    # 2-2 tie breaks to the smaller class, like the single tree's majority vote
+    rf = _leaf_forest([1, 1, 0, 0], [0, 1])
+    assert rf.transform(df).collect()[0]["prediction"] == 0
+
+
+def test_vote_null_abstention(spark):
+    # both trees split on x; a NULL x means every tree abstains → NULL
+    node = {
+        "type": "node",
+        "feature": "x",
+        "threshold": 0.5,
+        "information_gain": 0.1,
+        "criterion_value": 0.5,
+        "target_distribution": [1, 1],
+        "left": {"type": "leaf", "value": 0},
+        "right": {"type": "leaf", "value": 1},
+    }
+    rf = RandomForestClassifier(n_trees=2)
+    rf.trees = [node, node]
+    rf._unique_targets = [0, 1]
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0, None]}))
+    kept = rf.transform(df, null_policy="keep").orderBy("x").collect()
+    assert [r["prediction"] for r in kept] == [None, 1]
+    assert rf.transform(df, null_policy="drop").count() == 1
+
+
+def test_forest_roundtrip(spark, tmp_path):
+    train, test, _ = _iris(spark)
+    rf = RandomForestClassifier(n_trees=3, max_depth=3, seed=7)
+    rf.fit(train, "target")
+    path = str(tmp_path / "forest.pkl")
+    rf.save_model(path)
+    loaded = RandomForestClassifier()
+    loaded.load_model(path)
+    assert loaded.predict_many(test) == rf.predict_many(test)

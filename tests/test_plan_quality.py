@@ -141,3 +141,31 @@ def test_curation_pipeline_two_shuffles_no_python(spark):
     plan = plan_of(df, "simple")
     assert plan.count("Exchange") == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_forest_inference_is_shuffle_free(spark):
+    """The forest vote — T compiled CASE columns + struct argmax — must stay
+    a pure projection: zero exchanges, zero Python stages, however many
+    trees vote."""
+    from efficient_trees_spark.ensemble import RandomForestClassifier
+
+    leaf = lambda v: {"type": "leaf", "value": v}  # noqa: E731
+    rf = RandomForestClassifier(n_trees=3)
+    rf.trees = [
+        {
+            "type": "node",
+            "feature": "l_quantity",
+            "threshold": 25.0,
+            "information_gain": 0.1,
+            "criterion_value": 0.5,
+            "target_distribution": [1, 1],
+            "left": leaf("lo"),
+            "right": leaf("hi"),
+        }
+        for _ in range(3)
+    ]
+    rf._unique_targets = ["hi", "lo"]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = plan_of(rf.transform(li), "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
