@@ -142,3 +142,67 @@ def bag_fingerprint(col: Column | str) -> Column:
     catches shuffled/reordered copies exact dedup misses."""
     bag = F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
     return F.md5(F.encode(bag, "utf-8"))
+
+
+# BPE-ish subword pre-tokenization: letter runs capped at 12 chars (long
+# words split into chunks like subword vocabularies do), single digits
+# (GPT-style digit splitting), single punctuation marks.  The pattern uses
+# only constructs Java regex and RE2 interpret identically, so the DuckDB
+# twin is byte-identical.
+_SUBWORD_RE = "[a-zA-Z]{1,12}|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+def subword_tokens(col: Column | str) -> Column:
+    """array<string> of BPE-ish subword pieces (see ``_SUBWORD_RE``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_SUBWORD_RE), 0)
+
+
+def subword_count(col: Column | str) -> Column:
+    """Token-count estimate for budgeting/pricing a training corpus —
+    closer to a real tokenizer's count than whitespace words."""
+    return F.size(subword_tokens(col))
+
+
+def winnowing_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson,
+    Aiken — the MOSS algorithm): hash every k-char gram of the normalized
+    text, then keep the minimum hash of each window of ``w`` consecutive
+    grams.  Near-identical documents share most selected fingerprints even
+    under edits, insertions, and reordering of distant parts.
+
+    Pure collection expressions (sequence → transform → slice → array_min) —
+    no UDF, no shuffle; the per-row cost is O(len·w).  Hashes are 12-hex-char
+    md5 prefixes compared lexicographically, which both Spark and DuckDB
+    order identically (the oracle twin matches bit-for-bit).  Returns the
+    sorted distinct fingerprint set.
+
+    Expression-shape subtlety that is the difference between O(len·w) and
+    O(len²·k): a Column has no let-binding, so naively referencing the grams
+    array inside the window lambda re-evaluates the ENTIRE gram-hash array
+    for every window (measured minutes per 500 docs).  Each stage is
+    therefore let-bound by wrapping it in a single-element array and
+    ``transform``-ing over it — the higher-order function evaluates its input
+    array once per row and binds the VALUE to the lambda variable, giving
+    ``let norm = … in let grams = … in select``.
+    """
+
+    def select_windows(grams: Column) -> Column:
+        window_count = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
+        selected = F.transform(
+            F.sequence(F.lit(1), window_count),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+        return F.array_sort(F.array_distinct(selected))
+
+    def gram_hashes(norm: Column) -> Column:
+        gram_count = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+        grams = F.transform(
+            F.sequence(F.lit(1), gram_count),
+            lambda i: F.substring(
+                F.md5(F.encode(norm.substr(i, F.lit(k)), "utf-8")), 1, 12
+            ),
+        )
+        return F.get(F.transform(F.array(grams), select_windows), 0)
+
+    return F.get(F.transform(F.array(normalized(col)), gram_hashes), 0)

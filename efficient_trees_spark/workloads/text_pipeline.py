@@ -222,3 +222,68 @@ REGISTRY["docs_curation_pipeline"].oracle = f"""
            round(avg(quality), 6) AS avg_quality
     FROM canonical GROUP BY lang
 """
+
+
+_SUBWORD_RE_SQL = "[a-zA-Z]{1,12}|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+@workload(
+    "text_subword_count",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_SUBWORD_RE_SQL}')) AS n_subwords,
+               len({_TOKS}) AS n_words,
+               round(CAST(len(regexp_extract_all(text, '{_SUBWORD_RE_SQL}')) AS DOUBLE)
+                     / greatest(len({_TOKS}), 1), 9) AS fertility
+        FROM documents
+    """,
+    description="BPE-ish subword token counting (letter chunks <=12 chars, "
+    "single digits, single punctuation) + fertility vs whitespace words — "
+    "the corpus-budgeting estimate a real tokenizer count would refine",
+    tags=("text",),
+)
+def text_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_sub = text.subword_count("text")
+    n_words = text.token_count("text")
+    return docs.select(
+        "doc_id",
+        n_sub.alias("n_subwords"),
+        n_words.alias("n_words"),
+        F.round(n_sub.cast("double") / F.greatest(n_words, F.lit(1)), 9).alias("fertility"),
+    )
+
+
+@workload(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(1, CAST(greatest(length(norm) - 7, 1) AS BIGINT) + 1),
+                       i -> substring(md5(substring(norm, CAST(i AS INT), 8)), 1, 12)) AS gh
+            FROM t
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(
+                       list_transform(range(1, CAST(greatest(len(gh) - 3, 1) AS BIGINT) + 1),
+                           j -> list_min(gh[CAST(j AS INT):CAST(j + 3 AS INT)])))) AS fps
+            FROM g
+        )
+        SELECT doc_id, len(fps) AS n_fp, array_to_string(fps, ',') AS fps_str FROM s
+    """,
+    description="Winnowing (MOSS) rolling-hash fingerprints: min-hash of "
+    "each window of 4 consecutive 8-char-gram hashes — near-identical docs "
+    "share most fingerprints under local edits. Pure collection expressions, "
+    "no shuffle, no UDF",
+    tags=("text", "dedup"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = text.winnowing_fingerprints("text", k=8, w=4)
+    return docs.select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.array_join(fp, ",").alias("fps_str"),
+    )
