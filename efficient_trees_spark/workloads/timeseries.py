@@ -233,3 +233,32 @@ def events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sec").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("gid", "sub")
+
+
+@workload(
+    "events_asof_join",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+               c.value AS asof_value, c.ts AS asof_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    description="Backward as-of join: each purchase enriched with the user's "
+    "latest click at-or-before it (point-in-time lookup). Implemented as "
+    "union + running last_value over a per-user window — ONE shuffle on the "
+    "key, no range join — and checked against DuckDB's native ASOF JOIN",
+    tags=("timeseries", "inventory"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from efficient_trees_spark.operators.asof import asof_join_backward
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join_backward(
+        purchases, clicks, keys=["user_id"], left_ts="ts", right_ts="ts",
+        payload_cols=["value", "ts"],
+    )

@@ -200,3 +200,32 @@ def test_connected_components_chain(spark):
         0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False),
         4: (0, False), 5: (5, True),
     }
+
+
+def test_asof_join_backward_semantics(spark):
+    """Equal timestamps match (right sorts before left); rows with no prior
+    right row get NULL; latest-not-just-any prior row is picked."""
+    import datetime as dt
+
+    from efficient_trees_spark.operators.asof import asof_join_backward
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(20)), (3, 1, t(5)), (4, 2, t(30))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(15), 150.0), (1, t(7), 70.0)],
+        ["user_id", "ts", "value"],
+    )
+    out = asof_join_backward(
+        left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+        payload_cols=["value"],
+    )
+    got = {r["event_id"]: r["asof_value"] for r in out.collect()}
+    assert got == {
+        1: 100.0,  # tie: right row AT ts matches
+        2: 150.0,  # latest of several prior rows
+        3: None,   # before any right row
+        4: None,   # key with no right rows at all
+    }
