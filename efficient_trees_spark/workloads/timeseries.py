@@ -262,3 +262,78 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, keys=["user_id"], left_ts="ts", right_ts="ts",
         payload_cols=["value", "ts"],
     )
+
+
+@workload(
+    "events_range_join_features",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts,
+               count(c.ts) AS n_clicks_30m,
+               round(coalesce(sum(c.value), 0.0), 9) AS click_sum_30m
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         AND c.ts < p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    description="Trailing-window range join: per purchase, count/sum of the "
+    "user's clicks in the preceding 30 minutes. Both sides bucketed into "
+    "window-width bins and equi-joined on (user, bin) with the right side "
+    "exploded into its 2 reachable bins — the inequality never reaches the "
+    "join planner, so no O(n*m) nested loop at scale",
+    tags=("timeseries", "inventory"),
+)
+def events_range_join_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from efficient_trees_spark.operators.rangejoin import windowed_agg_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return windowed_agg_join(
+        purchases, clicks, keys=["user_id"], left_ts="ts", right_ts="ts",
+        window_seconds=1800,
+        aggs={
+            "n_clicks_30m": F.count("r_value"),
+            "click_sum_30m": F.round(F.coalesce(F.sum("r_value"), F.lit(0.0)), 9),
+        },
+    )
+
+
+@workload(
+    "events_rollup_cascade",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               count(*) AS n, round(sum(value), 9) AS total,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="Hypertable-style cascading rollup: events aggregate to "
+    "1-minute buckets, and the hour level RE-AGGREGATES the minute relation "
+    "(sum of sums, min of mins...) instead of rescanning raw events — the "
+    "continuous-aggregate pattern where each resolution reads the one below "
+    "it. The oracle aggregates raw events straight to hours, proving the "
+    "cascade is lossless for decomposable aggregates",
+    tags=("timeseries", "inventory"),
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return minute.groupBy(
+        F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("total"), 9).alias("total"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )

@@ -229,3 +229,35 @@ def test_asof_join_backward_semantics(spark):
         3: None,   # before any right row
         4: None,   # key with no right rows at all
     }
+
+
+def test_windowed_agg_join_bins_and_boundaries(spark):
+    """Matches must cross bin boundaries (right row in the previous bin),
+    include the window start, exclude the left timestamp itself, and leave
+    zero-match rows with count 0."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from efficient_trees_spark.operators.rangejoin import windowed_agg_join
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, t(65)), (2, 2, t(30))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(10), 1.0),   # 55s before left@65, window=60 → in [5, 65): match (previous bin)
+            (1, t(5), 2.0),    # exactly at window start 65-60=5 → match
+            (1, t(65), 4.0),   # at left ts → excluded (right-open)
+            (1, t(4), 8.0),    # before window → excluded
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = windowed_agg_join(
+        left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+        window_seconds=60,
+        aggs={"n": F.count("r_value"), "s": F.coalesce(F.sum("r_value"), F.lit(0.0))},
+    )
+    got = {r["event_id"]: (r["n"], r["s"]) for r in out.collect()}
+    assert got == {1: (2, 3.0), 2: (0, 0.0)}
