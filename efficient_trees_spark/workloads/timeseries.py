@@ -337,3 +337,35 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
     )
+
+
+@workload(
+    "events_hll_mergeable_sketch",
+    oracle=None,  # sketch estimates are implementation-defined; bounds tested in pytest
+    description="Mergeable distinct-count sketches (Apache DataSketches HLL "
+    "via hll_sketch_agg): per-event-type user sketches UNIONED with "
+    "hll_union_agg into a global estimate — the only distinct-counting "
+    "pattern that scales: partial sketches combine map-side, rollups reuse "
+    "finer sketches instead of rescanning, and the shuffle carries KB-sized "
+    "sketch blobs instead of the value universe. Error bound vs exact "
+    "asserted in tests/test_extensions.py",
+    tags=("timeseries", "scale"),
+)
+def events_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias(
+            "distinct_users_est"
+        ),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("all").alias("event_type"), "distinct_users_est", "n_events")
+    per_type_est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").cast("long").alias("distinct_users_est"),
+        "n_events",
+    )
+    return per_type_est.unionByName(merged)

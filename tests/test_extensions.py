@@ -261,3 +261,26 @@ def test_windowed_agg_join_bins_and_boundaries(spark):
     )
     got = {r["event_id"]: (r["n"], r["s"]) for r in out.collect()}
     assert got == {1: (2, 3.0), 2: (0, 0.0)}
+
+
+def test_hll_sketch_estimates_within_bounds(spark):
+    """HLL(lgK=14) stderr is ~0.8%; assert every per-type estimate and the
+    merged-union estimate land within 3% of the exact distinct counts."""
+    from efficient_trees_spark.workloads import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r["distinct_users_est"]
+        for r in REGISTRY["events_hll_mergeable_sketch"].fn(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    exact["all"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for etype, est in got.items():
+        assert abs(est - exact[etype]) <= max(1, 0.03 * exact[etype]), (etype, est, exact[etype])
