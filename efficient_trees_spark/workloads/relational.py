@@ -823,3 +823,57 @@ def s7_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@workload(
+    "s8_json_scan",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 9) AS total
+        FROM events GROUP BY event_type
+    """,
+    description="JSON-lines sink + scan with explicit schema: events "
+    "round-trip parquet -> JSONL -> DataFrame. Schema is DECLARED on read "
+    "(timestampFormat included) — at scale, schema inference over JSON means "
+    "an extra full pass; production readers always pin the schema",
+    tags=("inventory", "sink"),
+)
+def s8_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/spark_graft_s8_events_json"
+    ev = load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(ev.schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 9).alias("total"),
+    )
+
+
+@workload(
+    "s9_orc_scan",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    description="ORC sink + scan (the other columnar format Spark ships a "
+    "vectorized reader for): lineitem round-trips parquet -> ORC -> "
+    "DataFrame with predicate-capable columnar scan",
+    tags=("inventory", "sink"),
+)
+def s9_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/spark_graft_s9_lineitem_orc"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    li.write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
