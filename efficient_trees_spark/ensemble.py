@@ -191,6 +191,33 @@ class RandomForestClassifier:
         self._unique_targets = loaded["unique_targets"]
 
     def to_json(self) -> str:
+        """Portable JSON form: trees + labels + categorical mappings (the
+        pair-list encoding DecisionTreeClassifier.to_json uses — dict keys
+        may be non-strings, which plain JSON objects can't carry)."""
         return json.dumps(
-            {"trees": self.trees, "unique_targets": self._unique_targets}
+            {
+                "trees": self.trees,
+                "unique_targets": self._unique_targets,
+                "categorical_mappings": (
+                    {
+                        col: [[k, v] for k, v in mapping.items()]
+                        for col, mapping in self.categorical_mappings.items()
+                    }
+                    if self.categorical_mappings
+                    else None
+                ),
+            }
         )
+
+    @classmethod
+    def from_json(cls, payload: str) -> "RandomForestClassifier":
+        data = json.loads(payload)
+        model = cls(n_trees=len(data["trees"]) or 1)
+        model.trees = data["trees"]
+        model._unique_targets = data["unique_targets"]
+        if data.get("categorical_mappings") is not None:
+            model.categorical_mappings = {
+                col: {k: v for k, v in pairs}
+                for col, pairs in data["categorical_mappings"].items()
+            }
+        return model

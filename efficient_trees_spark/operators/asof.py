@@ -21,6 +21,14 @@ frame).  Ties: a right row at exactly left_ts sorts BEFORE the left row
 (side 0 < 1), so equal timestamps match — the same contract as DuckDB's
 ``ASOF JOIN ... ON l.ts >= r.ts``, which the oracle uses.
 
+The payload travels as ONE struct column (non-NULL for every right row even
+when individual fields are NULL), so ``last(struct, ignorenulls=True)``
+returns all payload fields atomically from the single latest right row —
+filling each column independently would stitch fields from different right
+rows whenever the latest row holds a NULL field.  Right rows tied on
+(keys, ts) are ordered by the payload struct itself as a deterministic
+tie-break (largest struct wins).
+
 At 100 TB scale this behaves like any keyed window: parallelism = #keys,
 skewed keys are the hazard (mitigate upstream with AQE skew handling or key
 salting plus a second pass).
@@ -33,6 +41,7 @@ from pyspark.sql import functions as F
 
 _TS = "__asof_ts"
 _SIDE = "__asof_side"
+_PAYLOAD = "__asof_payload"
 
 
 def asof_join_backward(
@@ -54,29 +63,28 @@ def asof_join_backward(
         *keys,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias(_PAYLOAD),
     )
     l_tagged = left.select(
         "*", F.col(left_ts).alias(_TS), F.lit(1).alias(_SIDE)
     )
     unioned = l_tagged.unionByName(r, allowMissingColumns=True)
 
+    # _PAYLOAD as the trailing sort key: left rows carry NULL (sorts first,
+    # harmless — _SIDE already separates them) and right rows tied on
+    # (keys, ts) get a deterministic winner instead of partition-order luck.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(_TS, _SIDE)
+        .orderBy(_TS, _SIDE, _PAYLOAD)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"__filled_{c}")
-            for c in payload_cols
-        ],
+        "*", F.last(_PAYLOAD, ignorenulls=True).over(w).alias("__filled")
     )
     return (
         filled.filter(F.col(_SIDE) == 1)
         .select(
             *left.columns,
-            *[F.col(f"__filled_{c}").alias(f"{prefix}{c}") for c in payload_cols],
+            *[F.col(f"__filled.{c}").alias(f"{prefix}{c}") for c in payload_cols],
         )
     )

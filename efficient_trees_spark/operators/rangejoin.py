@@ -36,23 +36,40 @@ def windowed_agg_join(
     right_ts: str,
     window_seconds: int,
     aggs: dict[str, Column],
+    left_id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Left rows + trailing-window aggregates of right rows.
 
     :param aggs: output-name → aggregate Column over the matched right rows;
         right columns must be referenced with an ``r_`` prefix (the join
         renames them to avoid collisions), e.g.
-        ``{"n_clicks": F.count("r_value"), "click_sum": F.sum("r_value")}``.
+        ``{"n_clicks": F.count("r_ts"), "click_sum": F.sum("r_value")}``.
         Unmatched left rows aggregate over zero rows (count→0, sum→NULL —
         coalesce in the caller if 0 is wanted).
+    :param left_id_cols: columns that uniquely identify a left row — used as
+        the restore-group key after the join.  Pass these whenever a natural
+        key exists: they survive stage retries and caller-side repartitions,
+        whereas the ``monotonically_increasing_id`` fallback (for inputs with
+        no unique key, where duplicate left rows must stay distinct rows) is
+        only stable within a single uninterrupted plan execution.
     """
     window_us = int(window_seconds) * 1_000_000
 
-    l = left.select(
-        "*",
-        F.monotonically_increasing_id().alias(_RID),
-        (F.unix_micros(F.col(left_ts)) / window_us).cast("long").alias(_BIN),
-    )
+    if left_id_cols:
+        l = left.select(
+            "*",
+            (F.unix_micros(F.col(left_ts)) / window_us).cast("long").alias(_BIN),
+        )
+        group_cols = list(left_id_cols)
+        first_cols = [c for c in left.columns if c not in group_cols]
+    else:
+        l = left.select(
+            "*",
+            F.monotonically_increasing_id().alias(_RID),
+            (F.unix_micros(F.col(left_ts)) / window_us).cast("long").alias(_BIN),
+        )
+        group_cols = [_RID]
+        first_cols = list(left.columns)
     r = right.select(
         *[F.col(k).alias(f"r_{k}") for k in keys],
         F.col(right_ts).alias("r_ts"),
@@ -77,10 +94,10 @@ def windowed_agg_join(
     )
     joined = l.join(r, [*key_eq, l[_BIN] == r[_BIN], in_window], "left")
     return (
-        joined.groupBy(_RID)
+        joined.groupBy(*group_cols)
         .agg(
-            *[F.first(c).alias(c) for c in left.columns],
+            *[F.first(c).alias(c) for c in first_cols],
             *[expr.alias(name) for name, expr in aggs.items()],
         )
-        .drop(_RID)
+        .select(*left.columns, *aggs.keys())
     )

@@ -183,19 +183,32 @@ class DecisionTreeClassifier:
         if not self.categorical_mappings:
             return df
         for col, mapping in self.categorical_mappings.items():
-            if len(mapping) <= _LITERAL_MAP_MAX:
+            # NULL is a legal category (the target-encoding groupBy emits a
+            # NULL group, and polars' replace maps it like any other value)
+            # but neither a map key nor a join key: route it explicitly.
+            null_code = mapping.get(None)
+            non_null = {k: v for k, v in mapping.items() if k is not None}
+            if len(non_null) <= _LITERAL_MAP_MAX:
                 literal_map = F.create_map(
-                    *[x for k, v in mapping.items() for x in (F.lit(k), F.lit(v))]
+                    *[x for k, v in non_null.items() for x in (F.lit(k), F.lit(v))]
                 )
-                df = df.withColumn(col, literal_map[F.col(col)].cast("int"))
+                coded = F.when(F.col(col).isNull(), F.lit(null_code)).otherwise(
+                    literal_map[F.col(col)]
+                )
+                df = df.withColumn(col, coded.cast("int"))
             else:
                 spark = df.sparkSession
                 mapping_df = spark.createDataFrame(
-                    [(k, v) for k, v in mapping.items()], [col, f"__code_{col}"]
+                    [(k, v) for k, v in non_null.items()], [col, f"__code_{col}"]
                 )
                 df = (
                     df.join(F.broadcast(mapping_df), on=col, how="left")
-                    .withColumn(col, F.col(f"__code_{col}").cast("int"))
+                    .withColumn(
+                        col,
+                        F.when(F.col(col).isNull(), F.lit(null_code))
+                        .otherwise(F.col(f"__code_{col}"))
+                        .cast("int"),
+                    )
                     .drop(f"__code_{col}")
                 )
         return df
@@ -289,12 +302,24 @@ class DecisionTreeClassifier:
                 col = col.cast("float")
             return col.cast("double").alias(name)
 
+        # A NULL label is a class of its own (distinct() surfaces it; the
+        # reference's engine-order indexing tolerates it) — but it can't be a
+        # literal map key, so it gets an explicit isNull branch.
+        null_idx = next((i for i, v in enumerate(unique_targets) if v is None), None)
         label_to_idx = F.create_map(
-            *[x for i, v in enumerate(unique_targets) for x in (F.lit(v), F.lit(i))]
+            *[
+                x
+                for i, v in enumerate(unique_targets)
+                if v is not None
+                for x in (F.lit(v), F.lit(i))
+            ]
         )
+        target_idx_expr = F.when(
+            F.col(target_name).isNull(), F.lit(null_idx)
+        ).otherwise(label_to_idx[F.col(target_name)])
         prepared = data.select(
             *[feature_expr(f) for f in feature_names],
-            label_to_idx[F.col(target_name)].cast("int").alias(_TARGET_IDX),
+            target_idx_expr.cast("int").alias(_TARGET_IDX),
         )
         # NOTE: widening the persisted relation to defaultParallelism via an
         # up-front repartition was measured SLOWER (A/B at sf0.1: ~12s vs

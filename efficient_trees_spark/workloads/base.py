@@ -31,6 +31,13 @@ def workload(name: str, oracle: str | None = None, description: str = "", tags: 
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which a vanilla
+        # Spark session refuses to read (PARQUET_TYPE_ILLEGAL). The legacy knob
+        # surfaces it as int64 ns and is runtime-settable, so set it here rather
+        # than relying on the session builder having done so (the correctness
+        # driver constructs its own session). Idempotent.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS), surfaced as int64 ns under
     # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (integer DIV —

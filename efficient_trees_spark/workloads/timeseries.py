@@ -151,7 +151,8 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     oracle="""
         SELECT event_type,
-               round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 9) AS avg_k
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                   / count(json_extract_string(props, '$.k')) AS avg_k
         FROM events GROUP BY event_type
     """,
     description="JSON prop extraction (get_json_object) + aggregation",
@@ -159,8 +160,11 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # props.k is integral in the data: exact bigint sum / count gives the
+    # same double in any summation order (a double mean would be ULP-unstable)
+    k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(
-        F.round(F.avg(F.get_json_object("props", "$.k").cast("double")), 9).alias("avg_k")
+        (F.sum(k).cast("double") / F.count(k)).alias("avg_k")
     )
 
 
@@ -238,8 +242,11 @@ def events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "events_asof_join",
     oracle="""
-        SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
-               c.value AS asof_value, c.ts AS asof_ts
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%g') AS ts,
+               p.value AS purchase_value,
+               c.value AS asof_value,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%g') AS asof_ts
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -258,18 +265,29 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
-    return asof_join_backward(
+    out = asof_join_backward(
         purchases, clicks, keys=["user_id"], left_ts="ts", right_ts="ts",
         payload_cols=["value", "ts"],
+    )
+    # Timestamps formatted to strings (millisecond data) so both engines hash
+    # identical representations.
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+        "purchase_value",
+        "asof_value",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("asof_ts"),
     )
 
 
 @workload(
     "events_range_join_features",
     oracle="""
-        SELECT p.event_id, p.user_id, p.ts,
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%g') AS ts,
                count(c.ts) AS n_clicks_30m,
-               round(coalesce(sum(c.value), 0.0), 9) AS click_sum_30m
+               CAST(coalesce(sum(CAST(c.value AS DECIMAL(18,4))), 0) AS DOUBLE)
+                   AS click_sum_30m
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id
@@ -292,21 +310,35 @@ def events_range_join_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
-    return windowed_agg_join(
+    out = windowed_agg_join(
         purchases, clicks, keys=["user_id"], left_ts="ts", right_ts="ts",
         window_seconds=1800,
         aggs={
-            "n_clicks_30m": F.count("r_value"),
-            "click_sum_30m": F.round(F.coalesce(F.sum("r_value"), F.lit(0.0)), 9),
+            # count on the join timestamp — a matched click with NULL value
+            # still counts, same as the oracle's count(c.ts)
+            "n_clicks_30m": F.count("r_ts"),
+            # decimal-exact sum (value is 2-dp data): order-independent, so
+            # both engines produce the same double bit pattern
+            "click_sum_30m": F.coalesce(
+                F.sum(F.col("r_value").cast("decimal(18,4)")), F.lit(0)
+            ).cast("double"),
         },
+        left_id_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+        "n_clicks_30m", "click_sum_30m",
     )
 
 
 @workload(
     "events_rollup_cascade",
     oracle="""
-        SELECT date_trunc('hour', ts) AS bucket, event_type,
-               count(*) AS n, round(sum(value), 9) AS total,
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
                min(value) AS vmin, max(value) AS vmax
         FROM events
         GROUP BY 1, 2
@@ -325,7 +357,9 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("minute", "ts").alias("bucket"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("total"),
+        # decimal partials: the minute→hour re-aggregation is then EXACTLY
+        # lossless, not merely close, and both engines agree bit-for-bit
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("total"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
@@ -333,10 +367,10 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
     ).agg(
         F.sum("n").alias("n"),
-        F.round(F.sum("total"), 9).alias("total"),
+        F.sum("total").cast("double").alias("total"),
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
-    )
+    ).withColumn("bucket", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss"))
 
 
 @workload(

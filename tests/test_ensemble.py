@@ -74,3 +74,21 @@ def test_forest_roundtrip(spark, tmp_path):
     loaded = RandomForestClassifier()
     loaded.load_model(path)
     assert loaded.predict_many(test) == rf.predict_many(test)
+
+
+def test_forest_json_roundtrip_with_categoricals(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "color": ["red", "blue", "red", "green", "blue", "green"] * 5,
+            "x": [1.0, 2.0, 1.5, 3.0, 2.5, 3.5] * 5,
+            "target": [0, 1, 0, 1, 1, 1] * 5,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rf = RandomForestClassifier(n_trees=2, max_depth=3, seed=3, categorical_columns=["color"])
+    rf.fit(df, "target")
+    clone = RandomForestClassifier.from_json(rf.to_json())
+    assert clone.categorical_mappings == rf.categorical_mappings
+    assert clone.predict_many(df) == rf.predict_many(df)

@@ -284,3 +284,53 @@ def test_hll_sketch_estimates_within_bounds(spark):
     assert set(got) == set(exact)
     for etype, est in got.items():
         assert abs(est - exact[etype]) <= max(1, 0.03 * exact[etype]), (etype, est, exact[etype])
+
+
+def test_asof_payload_is_atomic_when_latest_value_is_null(spark):
+    """The latest right row wins ATOMICALLY: if it holds a NULL payload field,
+    the output carries that NULL alongside its other fields — it must not
+    stitch a non-NULL value from an older row onto the latest row's ts."""
+    import datetime as dt
+
+    from efficient_trees_spark.operators.asof import asof_join_backward
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([(1, 1, t(30))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(1, t(10), 70.0), (1, t(20), None)], ["user_id", "ts", "value"]
+    )
+    out = asof_join_backward(
+        left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+        payload_cols=["value", "ts"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["asof_value"] is None          # from the t=20 row
+    assert out[0]["asof_ts"] == t(20)            # same row, atomically
+
+
+def test_windowed_agg_join_natural_key_keeps_duplicate_left_rows(spark):
+    """With left_id_cols, grouping keys on the natural id (retry-safe at
+    scale); duplicate (user, ts) left rows with distinct ids stay distinct."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from efficient_trees_spark.operators.rangejoin import windowed_agg_join
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, t(65)), (2, 1, t(65)), (3, 2, t(30))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 1.0), (1, t(5), 2.0)], ["user_id", "ts", "value"]
+    )
+    out = windowed_agg_join(
+        left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+        window_seconds=60,
+        aggs={"n": F.count("r_ts"), "s": F.coalesce(F.sum("r_value"), F.lit(0.0))},
+        left_id_cols=["event_id"],
+    )
+    got = {r["event_id"]: (r["n"], r["s"]) for r in out.collect()}
+    assert got == {1: (2, 3.0), 2: (2, 3.0), 3: (0, 0.0)}
+    assert set(out.columns) == {"event_id", "user_id", "ts", "n", "s"}

@@ -4,11 +4,17 @@ Runs every workload's Spark query AND DuckDB oracle at a given sf dir,
 compares row count, schema (loose), and values (columns sorted by name, rows
 sorted by all columns, exact equality for non-floats, 1e-9 relative for
 floats).  Usage:  python tools/oracle_check.py [sf_dir] [name_filter]
+
+Set VANILLA=1 to use a bare ``SparkSession.builder.master("local[*]")`` session
+instead of this repo's tuned ``get_spark`` — that replicates the driver's
+environment (which does NOT preset ``spark.sql.legacy.parquet.nanosAsLong``),
+so conf-dependent bugs surface here instead of in CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -37,6 +43,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+STRICT = bool(os.environ.get("STRICT"))  # bit-exact floats, like the driver's value hash
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -45,6 +54,8 @@ def values_equal(a, b) -> bool:
             return False
         if math.isnan(a) and math.isnan(b):
             return True
+        if STRICT:
+            return float(a) == float(b)
         return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-12)
     return a == b
 
@@ -68,7 +79,17 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
-    spark = get_spark(app_name="oracle-check")
+    if os.environ.get("VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .appName("oracle-check-vanilla")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
 
