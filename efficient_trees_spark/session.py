@@ -54,9 +54,6 @@ def get_spark(
         # dominates these sub-second stages.  The 1m default is right here and
         # immaterial at cluster scale where advisory size governs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise
-        # unreadable; read as int64 ns and convert at the source (io.load).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

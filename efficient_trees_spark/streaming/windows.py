@@ -18,14 +18,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# Explicit schema: streaming readers cannot infer, and events.ts arrives as
-# int64 nanos (parquet TIMESTAMP(NANOS) under nanosAsLong — see sources/io.py).
+# Explicit schema: streaming readers cannot infer. events.ts is parquet
+# TIMESTAMP(NANOS), which Spark 4.1 reads as timestamp_ntz (micros, truncated
+# like the batch reader — see workloads/base.py load()).
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -46,13 +48,16 @@ def read_events_stream(
         (e.g. the parity test's watermark-advancing sentinel) must be picked
         up too.
     """
+    # Same normalization as batch load(): UTC session + NTZ→timestamp cast so
+    # watermarks, windows, and epoch arithmetic see the UTC instant.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_window_counts(

@@ -31,19 +31,16 @@ def workload(name: str, oracle: str | None = None, description: str = "", tags: 
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    if table == "events":
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which a vanilla
-        # Spark session refuses to read (PARQUET_TYPE_ILLEGAL). The legacy knob
-        # surfaces it as int64 ns and is runtime-settable, so set it here rather
-        # than relying on the session builder having done so (the correctness
-        # driver constructs its own session). Idempotent.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS), surfaced as int64 ns under
-    # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (integer DIV —
-    # a double division would lose precision above 2^53) like DuckDB does.
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+    # events.parquet stores ts as parquet TIMESTAMP(NANOS); Spark 4.1 reads it
+    # natively as timestamp_ntz (micros, truncated like DuckDB). NTZ rejects
+    # epoch arithmetic (cast to BIGINT / unix_micros), so pin the session to
+    # UTC (runtime-settable, idempotent) and cast to timestamp — under UTC the
+    # NTZ wall-clock IS the UTC instant, so every downstream epoch expression
+    # and date_format is unchanged.
+    if table == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

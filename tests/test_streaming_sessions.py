@@ -36,17 +36,21 @@ def test_stream_sessionization_matches_batch(spark, sf_small, tmp_path):
         query.processAllAvailable()
         # Close the tail sessions: one sentinel event far in the future
         # (user -1, filtered below) advances the watermark past everything.
-        max_ns = pd.read_parquet(f"{sf_small}/events.parquet")["ts"].astype("int64").max()
+        ts_max = pd.read_parquet(f"{sf_small}/events.parquet")["ts"].max()
+        # tz-naive datetime64[us] → parquet TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false), the exact type of the real events file, so
+        # the NTZ streaming schema (windows.EVENTS_SCHEMA) reads both.
         sentinel = pd.DataFrame(
             {
                 "event_id": [-1],
-                "ts": [int(max_ns) + 10**9 * 86400 * 365],
+                "ts": [ts_max + pd.Timedelta(days=365)],
                 "user_id": [-1],
                 "event_type": ["sentinel"],
                 "value": [0.0],
                 "props": ["{}"],
             }
         )
+        sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
         sentinel.to_parquet(src / "sentinel.parquet")
         query.processAllAvailable()
     finally:
