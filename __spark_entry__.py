@@ -18,7 +18,7 @@ from efficient_trees_spark.workloads import REGISTRY
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the engine's unified split-gain pipeline (the core of
     decision-tree training as one declarative plan) on sf0.001."""
-    return REGISTRY["split_candidate_gains_gini"].fn(spark, "/root/testdata/sf0.001")
+    return REGISTRY["split_candidate_gains"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

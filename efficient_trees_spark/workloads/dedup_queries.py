@@ -55,9 +55,7 @@ def dedup_exact_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(load(spark, sf_dir, "documents"), "doc_id", "text", by="bag")
 
 
-@workload(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_NGRAM_JACCARD_ORACLE = f"""
         {_TRIGRAM_REL},
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
@@ -72,13 +70,14 @@ def dedup_exact_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
-    """,
-    description="Exact trigram-shingle Jaccard near-dup pairs (threshold 0.5); "
-    "self-join is shingle-bucket-local with a document-frequency skew cap "
-    "available for heavy-tailed corpora",
-    tags=("dedup",),
-)
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard near-dup pairs (threshold 0.5);
+    self-join is shingle-bucket-local with a document-frequency skew cap
+    available for heavy-tailed corpora.  Registered via
+    ``dedup_pairs_suite`` (method='ngram_exact')."""
     shingles = dedup.ngram_shingles(load(spark, sf_dir, "documents"), "doc_id", "text", n=3)
     return dedup.jaccard_pairs(shingles, "doc_id", min_jaccard=0.5)
 
@@ -133,15 +132,11 @@ _MINHASH_ORACLE = f"""
 """
 
 
-@workload(
-    "dedup_minhash_lsh",
-    oracle=_MINHASH_ORACLE,
-    description="Full MinHash-LSH: 16 md5-family minhashes over trigram "
-    "shingles → 4 bands of 4 → bucket-local candidate join → exact Jaccard "
-    "verification of candidates only (threshold 0.5)",
-    tags=("dedup", "bench"),
-)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH: 16 md5-family minhashes over trigram shingles → 4
+    bands of 4 → bucket-local candidate join → exact Jaccard verification of
+    candidates only (threshold 0.5).  Registered via ``dedup_pairs_suite``
+    (method='minhash_lsh'); kept callable for bench.py and plan tests."""
     return dedup.minhash_near_duplicates(
         load(spark, sf_dir, "documents"), "doc_id", "text",
         min_jaccard=0.5, num_hashes=NUM_HASHES, band_size=BAND_SIZE, ngram=3,
@@ -166,39 +161,94 @@ _SIMHASH_ORACLE = f"""
 """
 
 
-@workload(
-    "dedup_simhash",
-    oracle=_SIMHASH_ORACLE,
-    description="60-bit SimHash fingerprints over trigram shingles — "
-    "bit-majority as 60 conditional sums, one shuffle, no per-bit explode",
-    tags=("dedup",),
-)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints over trigram shingles — bit-majority as 60
+    conditional sums, one shuffle, no per-bit explode.  Registered via
+    ``dedup_simhash_suite`` (kind='fp')."""
     return dedup.simhash(load(spark, sf_dir, "documents"), "doc_id", "text", ngram=3)
 
 
-@workload(
-    "dedup_simhash_pairs",
-    oracle=f"""
-        WITH fps AS ({_SIMHASH_ORACLE}),
-        chunks AS (
-            SELECT doc_id, simhash, c.chunk,
-                   (simhash >> (c.chunk * 15)) & 32767 AS chunk_val
-            FROM fps, (SELECT unnest(range(4)) AS chunk) c
-        )
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM chunks a JOIN chunks b USING (chunk, chunk_val)
-        WHERE a.doc_id < b.doc_id
-          AND bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-    description="SimHash near-dup candidates within Hamming distance 3 via "
-    "pigeonhole chunk banding (4 chunks of 15 bits → bucket-local join)",
-    tags=("dedup",),
-)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates within Hamming distance 3 via pigeonhole
+    chunk banding (4 chunks of 15 bits → bucket-local join).  Registered via
+    ``dedup_simhash_suite`` (kind='pair')."""
     fps = dedup.simhash(load(spark, sf_dir, "documents"), "doc_id", "text", ngram=3)
     return dedup.simhash_candidate_pairs(fps, "doc_id", max_hamming=3, n_chunks=4)
+
+
+@workload(
+    "dedup_pairs_suite",
+    oracle=f"""
+        SELECT 'ngram_exact' AS method, id_a, id_b, jaccard
+        FROM ({_NGRAM_JACCARD_ORACLE})
+        UNION ALL
+        SELECT 'minhash_lsh', id_a, id_b, jaccard
+        FROM ({_MINHASH_ORACLE})
+    """,
+    description="Near-duplicate pair suite over documents, two pipelines "
+    "side by side: method='ngram_exact' joins trigram shingles directly "
+    "(exact Jaccard >= 0.5, shingle-bucket-local with a df skew cap); "
+    "method='minhash_lsh' is the full MinHash-LSH path (16 md5-family "
+    "minhashes → 4 bands of 4 → bucket-local candidate join → exact Jaccard "
+    "verification of candidates only).  Each keeps its own full DuckDB "
+    "re-derivation of shingling, hashing, banding, and verification",
+    tags=("dedup", "suite"),
+)
+def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["id_a", "id_b", "jaccard"]
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram_exact").alias("method"), *cols
+    )
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash_lsh").alias("method"), *cols
+    )
+    return exact.unionByName(lsh)
+
+
+@workload(
+    "dedup_simhash_suite",
+    oracle=f"""
+        SELECT 'fp' AS kind, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+               simhash AS val
+        FROM ({_SIMHASH_ORACLE})
+        UNION ALL
+        SELECT 'pair', id_a, id_b, CAST(hamming AS BIGINT)
+        FROM (
+            WITH fps AS ({_SIMHASH_ORACLE}),
+            chunks AS (
+                SELECT doc_id, simhash, c.chunk,
+                       (simhash >> (c.chunk * 15)) & 32767 AS chunk_val
+                FROM fps, (SELECT unnest(range(4)) AS chunk) c
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM chunks a JOIN chunks b USING (chunk, chunk_val)
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        )
+    """,
+    description="SimHash suite: kind='fp' rows are the per-document 60-bit "
+    "fingerprints (bit-majority as 60 conditional sums — one shuffle, no "
+    "per-bit explode); kind='pair' rows are the near-dup candidates within "
+    "Hamming distance 3 via pigeonhole chunk banding (4 chunks of 15 bits, "
+    "bucket-local join).  Fingerprint values AND the pair set are both in "
+    "the correctness gate",
+    tags=("dedup", "suite"),
+)
+def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = dedup_simhash(spark, sf_dir).select(
+        F.lit("fp").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("simhash").alias("val"),
+    )
+    pairs = dedup_simhash_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("long").alias("val"),
+    )
+    return fps.unionByName(pairs)
 
 
 _JACCARD_PAIRS = f"""

@@ -9,19 +9,10 @@ from efficient_trees_spark.operators import multimodal
 from efficient_trees_spark.workloads.base import load, workload
 
 
-@workload(
-    "mm_binary_metadata",
-    oracle="""
-        SELECT doc_id,
-               octet_length(text::BLOB) AS n_bytes,
-               md5(text) AS content_md5
-        FROM documents
-    """,
-    description="Binary payload ingest: opaque bytes column + JVM-side typed "
-    "metadata (size, content hash) — payload never crosses into Python",
-    tags=("multimodal",),
-)
 def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload ingest: opaque bytes column + JVM-side typed metadata
+    (size, content hash) — payload never crosses into Python.  Registered
+    via ``mm_payload_suite``."""
     docs = load(spark, sf_dir, "documents")
     binary = multimodal.to_binary_table(docs, "doc_id", "text")
     return binary.select(
@@ -49,8 +40,17 @@ def mm_fake_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: one binary payload row fans out to <= 8
+    fixed-width byte frames (mapInPandas; stride bounds output for outlier
+    blobs).  Registered via ``mm_payload_suite``."""
+    docs = load(spark, sf_dir, "documents")
+    binary = multimodal.to_binary_table(docs, "doc_id", "text")
+    return multimodal.frame_sample(binary)
+
+
 @workload(
-    "mm_frame_sample",
+    "mm_payload_suite",
     oracle="""
         WITH d AS (
             SELECT doc_id, text,
@@ -66,19 +66,34 @@ def mm_fake_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, text,
                    unnest(range(0, n_frames, stride)) AS frame_idx
             FROM strided
+        ),
+        frames AS (
+            SELECT doc_id, frame_idx,
+                   md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5,
+                   length(substr(text, frame_idx * 64 + 1, 64)) AS frame_len
+            FROM idx
         )
-        SELECT doc_id, frame_idx,
-               md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5,
-               length(substr(text, frame_idx * 64 + 1, 64)) AS frame_len
-        FROM idx
+        SELECT f.doc_id, f.frame_idx, f.frame_md5, f.frame_len,
+               octet_length(doc.text::BLOB) AS n_bytes,
+               md5(doc.text) AS content_md5
+        FROM frames f JOIN documents doc USING (doc_id)
     """,
-    description="Video-style frame sampling: one binary payload row fans out "
-    "to <= 8 fixed-width byte frames (mapInPandas; stride bounds output for "
-    "outlier blobs).  Documents are pure ASCII so the byte-slice md5 has an "
-    "exact VARCHAR oracle",
-    tags=("multimodal",),
+    description="Multimodal payload suite: opaque binary ingest with "
+    "JVM-side typed metadata (byte size, content md5 — the payload never "
+    "crosses into Python) joined to video-style frame sampling, where each "
+    "payload fans out to <= 8 fixed-width byte frames via an Arrow-batched "
+    "mapInPandas with stride bounding outlier blobs.  Documents are pure "
+    "ASCII so the byte-slice md5 has an exact VARCHAR oracle",
+    tags=("multimodal", "suite"),
 )
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_payload_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     binary = multimodal.to_binary_table(docs, "doc_id", "text")
-    return multimodal.frame_sample(binary)
+    meta = binary.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+    # The metadata side is tiny relative to the fan-out side at corpus scale
+    # and keyed identically — broadcast keeps the join shuffle-free.
+    return multimodal.frame_sample(binary).join(F.broadcast(meta), "doc_id")

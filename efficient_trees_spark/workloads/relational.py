@@ -82,40 +82,31 @@ def p_projection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
-    "p7_replace_map",
+    "p_transform_suite",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 WHEN 'R' THEN 2 END AS flag_code
+               CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 WHEN 'R' THEN 2 END AS flag_code,
+               coalesce(CASE WHEN l_discount < 0.02 THEN NULL ELSE l_discount END, 0.0) AS disc_filled,
+               CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS price_f32
         FROM lineitem
     """,
-    description="P7: dict-based value replace → literal map lookup "
-    "(reference pl.col().replace(mapping), tree.py:76)",
-    tags=("inventory",),
+    description="P7+P8+P10 in one lineitem pass: dict-based value replace as "
+    "a literal-map lookup (reference pl.col().replace(mapping), tree.py:76), "
+    "null imputation fill_null(0.0) on synthesized nulls (amex_default.py:23), "
+    "and dtype shrinking — the float64 -> float32 round-trip behind the "
+    "reference's shrink_dtype (tree.py:90; SURVEY.md P10), where both engines "
+    "use IEEE round-to-nearest-even so values match bit-for-bit",
+    tags=("inventory", "suite"),
 )
-def p7_replace_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p_transform_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping = {"A": 0, "N": 1, "R": 2}
     literal_map = F.create_map(*[x for k, v in mapping.items() for x in (F.lit(k), F.lit(v))])
-    return load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", literal_map[F.col("l_returnflag")].alias("flag_code")
-    )
-
-
-@workload(
-    "p8_fill_null",
-    oracle="""
-        SELECT l_orderkey, l_linenumber,
-               coalesce(CASE WHEN l_discount < 0.02 THEN NULL ELSE l_discount END, 0.0) AS disc_filled
-        FROM lineitem
-    """,
-    description="P8: null imputation fill_null(0.0) (reference amex_default.py:23); "
-    "nulls synthesized since testdata has none",
-    tags=("inventory",),
-)
-def p8_fill_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        F.when(F.col("l_discount") < 0.02, F.lit(None)).otherwise(F.col("l_discount")).alias("disc_filled"),
+        literal_map[F.col("l_returnflag")].alias("flag_code"),  # P7
+        F.when(F.col("l_discount") < 0.02, F.lit(None)).otherwise(F.col("l_discount")).alias("disc_filled"),  # P8
+        F.col("l_extendedprice").cast("float").cast("double").alias("price_f32"),  # P10
     )
     return df.na.fill({"disc_filled": 0.0})
 
@@ -223,28 +214,39 @@ def f6_having_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- aggregations
 
 @workload(
-    "a1_conditional_counts",
+    "a_counts_suite",
     oracle="""
         SELECT l_quantity AS feature_value,
                count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS class_a_count,
                count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS class_n_count,
                count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS class_r_count,
-               count(*) AS count_examples
+               count(*) AS count_examples,
+               count(CASE WHEN l_returnflag = 'A' THEN 1 END)
+             + count(CASE WHEN l_returnflag = 'N' THEN 1 END)
+             + count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS horizontal_total
         FROM lineitem
         GROUP BY l_quantity
     """,
-    description="A1 (the workhorse): per distinct feature value, per-class "
-    "conditional counts + total (reference tree.py:243-254)",
-    tags=("inventory",),
+    description="A1+A7 in one aggregation: per distinct feature value, "
+    "per-class conditional counts + total (the split-finder workhorse, "
+    "reference tree.py:243-254) and the row-wise horizontal sum across the "
+    "generated per-class columns (reference pl.sum_horizontal, "
+    "tree.py:210-218 — a plain + fold in Spark)",
+    tags=("inventory", "suite"),
 )
-def a1_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_quantity").alias("feature_value")).agg(
+    agg = li.groupBy(F.col("l_quantity").alias("feature_value")).agg(
         F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("class_a_count"),
         F.count(F.when(F.col("l_returnflag") == "N", 1)).alias("class_n_count"),
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("class_r_count"),
         F.count(F.lit(1)).alias("count_examples"),
     )
+    horizontal = reduce(
+        lambda a, b: a + b,
+        [F.col(f"class_{c}_count") for c in ["a", "n", "r"]],
+    )
+    return agg.withColumn("horizontal_total", horizontal)
 
 
 @workload(
@@ -328,30 +330,6 @@ def a6_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload(
-    "a7_horizontal_sum",
-    oracle="""
-        SELECT l_quantity AS feature_value,
-               count(CASE WHEN l_returnflag = 'A' THEN 1 END)
-             + count(CASE WHEN l_returnflag = 'N' THEN 1 END)
-             + count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS horizontal_total
-        FROM lineitem GROUP BY l_quantity
-    """,
-    description="A7: row-wise sum across generated per-class columns "
-    "(reference pl.sum_horizontal, tree.py:210-218) — a plain + fold in Spark",
-    tags=("inventory",),
-)
-def a7_horizontal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    per_class = [
-        F.count(F.when(F.col("l_returnflag") == flag, 1)).alias(f"class_{flag}")
-        for flag in ["A", "N", "R"]
-    ]
-    agg = li.groupBy(F.col("l_quantity").alias("feature_value")).agg(*per_class)
-    total = reduce(lambda a, b: a + b, [F.col(f"class_{flag}") for flag in ["A", "N", "R"]])
-    return agg.select("feature_value", total.alias("horizontal_total"))
-
-
 # ------------------------------------------------------------------ windows
 
 @workload(
@@ -370,8 +348,8 @@ def a7_horizontal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM long GROUP BY feature, feature_value
         )
         SELECT feature, feature_value,
-               sum(class_r) OVER w AS cum_class_r,
-               sum(n) OVER w AS cum_n
+               CAST(sum(class_r) OVER w AS BIGINT) AS cum_class_r,
+               CAST(sum(n) OVER w AS BIGINT) AS cum_n
         FROM counts
         WINDOW w AS (PARTITION BY feature ORDER BY feature_value
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -413,49 +391,44 @@ def w1_prefix_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- sorts/limits
 
 @workload(
-    "o2_topk_orders",
+    "o_topk_slice_suite",
     oracle="""
-        SELECT o_orderkey, o_totalprice
-        FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey ASC
-        LIMIT 10
-    """,
-    description="O2: top-k by metric with total-order tie-break "
-    "(reference sort desc + head, tree.py:332-333) — TakeOrderedAndProject, no full sort",
-    tags=("inventory",),
-)
-def o2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-
-
-@workload(
-    "o3_slice_offset",
-    oracle="""
-        SELECT o_orderkey, o_totalprice
+        SELECT 'topk' AS op, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        )
+        UNION ALL
+        SELECT 'slice', o_orderkey, o_totalprice
         FROM (
             SELECT o_orderkey, o_totalprice,
                    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
             FROM orders
         ) WHERE rk BETWEEN 101 AND 200
     """,
-    description="O3: offset/length slice — requires an explicit total order on an "
-    "unordered relation (reference data.slice, heart_disease.py:25-26)",
-    tags=("inventory",),
+    description="O2+O3: op='topk' is top-k by metric with total-order "
+    "tie-break (reference sort desc + head, tree.py:332-333 — "
+    "TakeOrderedAndProject, no full sort); op='slice' is an offset/length "
+    "slice, which requires an explicit total order on an unordered relation "
+    "(reference data.slice, heart_disease.py:25-26)",
+    tags=("inventory", "suite"),
 )
-def o3_slice_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk").between(101, 200))
-        .drop("rk")
+def o_topk_slice_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    topk = (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(F.lit("topk").alias("op"), "o_orderkey", "o_totalprice")
     )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    sliced = (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk").between(101, 200))
+        .select(F.lit("slice").alias("op"), "o_orderkey", "o_totalprice")
+    )
+    return topk.unionByName(sliced)
 
 
 # ------------------------------------------------------------------- unions
@@ -633,19 +606,12 @@ def q5_region_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- CSV source
 
-@workload(
-    "s2_csv_scan",
-    oracle="""
-        SELECT n_regionkey, count(*) AS n_nations, sum(n_nationkey) AS key_sum
-        FROM nation GROUP BY n_regionkey
-    """,
-    description="S2: CSV sink + scan with header and schema inference "
-    "(reference: pl.scan_csv, heart_disease.py:12). The table round-trips "
-    "parquet -> CSV -> DataFrame, so the oracle's parquet-side aggregate "
-    "matches only when the CSV reader re-derives identical values and types",
-    tags=("inventory",),
-)
 def s2_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: CSV sink + scan with header and schema inference (reference:
+    pl.scan_csv, heart_disease.py:12).  The table round-trips parquet -> CSV
+    -> DataFrame, so the aggregate matches the parquet-side oracle only when
+    the CSV reader re-derives identical values and types.  Registered via
+    ``s_format_roundtrip_suite`` (fmt='csv')."""
     import tempfile
 
     csv_dir = f"{tempfile.gettempdir()}/spark_graft_s2_nation_csv"
@@ -662,10 +628,17 @@ def s2_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "s3_inmemory_table",
     oracle="""
+        -- literals go through DOUBLE before adding: DuckDB parses 4.9 as
+        -- DECIMAL(2,1) and would sum exactly, while Spark sums IEEE doubles
+        -- (4.9 + 1.4 = 6.300000000000001)
         SELECT sepal_length, petal_length, target,
                sepal_length + petal_length AS total_length
-        FROM (VALUES (5.1, 1.4, 0), (4.9, 1.4, 0), (6.3, 4.7, 1), (5.8, 4.1, 1))
-             AS t(sepal_length, petal_length, target)
+        FROM (
+            SELECT CAST(sl AS DOUBLE) AS sepal_length,
+                   CAST(pl AS DOUBLE) AS petal_length, target
+            FROM (VALUES (5.1, 1.4, 0), (4.9, 1.4, 0), (6.3, 4.7, 1), (5.8, 4.1, 1))
+                 AS t(sl, pl, target)
+        )
     """,
     description="S3: in-memory table from driver arrays "
     "(reference pl.DataFrame(X, schema=...), iris.py:18-22, test_tree.py:21-22)",
@@ -724,27 +697,6 @@ def f5_mask_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = li.filter(~pred).select(F.lit("right").alias("side")).groupBy("side").agg(F.count(F.lit(1)).alias("cnt"))
     total = li.select(F.lit("total").alias("side")).groupBy("side").agg(F.count(F.lit(1)).alias("cnt"))
     return left.unionByName(right).unionByName(total)
-
-
-@workload(
-    "p10_shrink_dtype",
-    oracle="""
-        SELECT l_orderkey, l_linenumber,
-               CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS price_f32
-        FROM lineitem
-    """,
-    description="P10: dtype shrinking — float64 -> float32 round-trip, the "
-    "load-bearing precision loss behind the reference's shrink_dtype "
-    "(tree.py:90; SURVEY.md P10): thresholds become f32 values. Both engines "
-    "use IEEE round-to-nearest-even so values match bit-for-bit",
-    tags=("inventory",),
-)
-def p10_shrink_dtype(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_extendedprice").cast("float").cast("double").alias("price_f32"),
-    )
 
 
 # ----------------------------------------------------------- sinks at scale
@@ -825,19 +777,12 @@ def s7_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload(
-    "s8_json_scan",
-    oracle="""
-        SELECT event_type, count(*) AS n, round(sum(value), 9) AS total
-        FROM events GROUP BY event_type
-    """,
-    description="JSON-lines sink + scan with explicit schema: events "
-    "round-trip parquet -> JSONL -> DataFrame. Schema is DECLARED on read "
-    "(timestampFormat included) — at scale, schema inference over JSON means "
-    "an extra full pass; production readers always pin the schema",
-    tags=("inventory", "sink"),
-)
 def s8_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan with explicit schema: events round-trip
+    parquet -> JSONL -> DataFrame.  Schema is DECLARED on read — at scale,
+    schema inference over JSON means an extra full pass; production readers
+    always pin the schema.  Registered via ``s_format_roundtrip_suite``
+    (fmt='json')."""
     import tempfile
 
     out = f"{tempfile.gettempdir()}/spark_graft_s8_events_json"
@@ -850,18 +795,11 @@ def s8_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload(
-    "s9_orc_scan",
-    oracle="""
-        SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    description="ORC sink + scan (the other columnar format Spark ships a "
-    "vectorized reader for): lineitem round-trips parquet -> ORC -> "
-    "DataFrame with predicate-capable columnar scan",
-    tags=("inventory", "sink"),
-)
 def s9_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (the other columnar format Spark ships a vectorized
+    reader for): lineitem round-trips parquet -> ORC -> DataFrame with
+    predicate-capable columnar scan.  Registered via
+    ``s_format_roundtrip_suite`` (fmt='orc')."""
     import tempfile
 
     out = f"{tempfile.gettempdir()}/spark_graft_s9_lineitem_orc"
@@ -877,3 +815,48 @@ def s9_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+@workload(
+    "s_format_roundtrip_suite",
+    oracle="""
+        SELECT 'csv' AS fmt, CAST(n_regionkey AS VARCHAR) AS key,
+               count(*) AS n, CAST(CAST(sum(n_nationkey) AS BIGINT) AS DOUBLE) AS total
+        FROM nation GROUP BY n_regionkey
+        UNION ALL
+        SELECT 'json', event_type, count(*), round(sum(value), 9)
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'orc', l_returnflag, count(*), round(sum(l_extendedprice), 2)
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    description="S2 + JSONL + ORC source/sink round-trips in one suite, "
+    "tagged by fmt: nation goes parquet -> CSV (header + inferSchema — the "
+    "reader must re-derive identical values AND types, reference pl.scan_csv "
+    "heart_disease.py:12); events go parquet -> JSON-lines with the schema "
+    "DECLARED on read (inference over JSON costs an extra full pass at "
+    "scale); lineitem goes parquet -> ORC through the vectorized columnar "
+    "reader.  Each branch aggregates the read-back and must match the "
+    "parquet-side oracle",
+    tags=("inventory", "sink", "suite"),
+)
+def s_format_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    csv = s2_csv_scan(spark, sf_dir).select(
+        F.lit("csv").alias("fmt"),
+        F.col("n_regionkey").cast("string").alias("key"),
+        F.col("n_nations").alias("n"),
+        F.col("key_sum").cast("double").alias("total"),
+    )
+    json_ = s8_json_scan(spark, sf_dir).select(
+        F.lit("json").alias("fmt"),
+        F.col("event_type").alias("key"),
+        "n",
+        "total",
+    )
+    orc = s9_orc_scan(spark, sf_dir).select(
+        F.lit("orc").alias("fmt"),
+        F.col("l_returnflag").alias("key"),
+        "n",
+        F.col("revenue").alias("total"),
+    )
+    return csv.unionByName(json_).unionByName(orc)

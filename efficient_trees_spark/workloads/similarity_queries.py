@@ -42,36 +42,19 @@ _PAIRS_CTE = f"""
 """
 
 
-@workload(
-    "ann_cosine_threshold",
-    oracle=f"{_PAIRS_CTE} SELECT query_id, neighbor_id, cos FROM scores WHERE cos >= 0.3",
-    description="Brute-force cosine baseline: broadcast query batch × single "
-    "corpus scan, pairs above 0.3 — zero shuffle before the filter",
-    tags=("similarity", "bench"),
-)
 def ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine baseline: broadcast query batch × single corpus
+    scan, pairs above 0.3 — zero shuffle before the filter.  Registered via
+    ``ann_pairs_suite`` (method='brute'); kept callable for bench.py."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr(_Q_FILTER))
     return similarity.cosine_above_threshold(emb, queries, "vec_id", "embedding", threshold=0.3)
 
 
-@workload(
-    "ann_cosine_topk",
-    oracle=f"""
-        {_PAIRS_CTE},
-        ranked AS (
-            SELECT query_id, neighbor_id, cos,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
-            FROM scores
-        )
-        SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
-    """,
-    description="Top-5 neighbors per query, ranked on rounded score with id "
-    "tie-break (total order → stable under any partitioning)",
-    tags=("similarity", "bench"),
-)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors per query, ranked on rounded score with id
+    tie-break (total order → stable under any partitioning).  Registered via
+    ``ann_topk_suite`` (method='brute'); kept callable for bench.py."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr(_Q_FILTER))
     return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
@@ -89,25 +72,10 @@ def _bucket_sql(vec: str) -> str:
     return " + ".join(terms)
 
 
-@workload(
-    "ann_lsh_bucketed",
-    oracle=f"""
-        WITH withb AS (
-            SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
-            FROM embeddings
-        ),
-        q AS (SELECT * FROM withb WHERE {_Q_FILTER})
-        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-               round({_cos("q.embedding", "e.embedding")}, 6) AS cos
-        FROM q JOIN withb e USING (bucket)
-        WHERE e.vec_id != q.vec_id
-          AND round({_cos("q.embedding", "e.embedding")}, 6) >= 0.2
-    """,
-    description="Scale path: 8-hyperplane sign LSH buckets the corpus; "
-    "query-corpus compare is bucket-local (partial recall, documented)",
-    tags=("similarity",),
-)
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: 8-hyperplane sign LSH buckets the corpus; query-corpus
+    compare is bucket-local (partial recall, documented).  Registered via
+    ``ann_pairs_suite`` (method='lsh')."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr(_Q_FILTER))
     return similarity.lsh_cosine_above_threshold(
@@ -186,9 +154,7 @@ def _ivf_assign_sql(source_filter: str, nprobe: int) -> str:
     """
 
 
-@workload(
-    "ann_ivf_topk",
-    oracle=f"""
+_IVF_TOPK_ORACLE = f"""
         WITH corpus_cells AS ({_ivf_assign_sql("TRUE", 1)}),
         query_cells AS ({_ivf_assign_sql(_Q_FILTER, 2)}),
         cand AS (
@@ -211,15 +177,15 @@ def _ivf_assign_sql(source_filter: str, nprobe: int) -> str:
             FROM scored
         )
         SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
-    """,
-    description="IVF approximate top-5: ~16 seed centroids partition the "
-    "corpus into cells (broadcast map-only coarse quantizer); queries probe "
-    "their 2 nearest cells and rank only those members.  Data-adapted cells "
-    "with an explicit recall knob (nprobe) — the ANN scale path alongside "
-    "hyperplane LSH",
-    tags=("similarity",),
-)
+"""
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: ~16 seed centroids partition the corpus into
+    cells (broadcast map-only coarse quantizer); queries probe their 2
+    nearest cells and rank only those members.  Data-adapted cells with an
+    explicit recall knob (nprobe) — the ANN scale path alongside hyperplane
+    LSH.  Registered via ``ann_topk_suite`` (method='ivf')."""
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.expr(_CENTROID_FILTER)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
@@ -227,4 +193,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.expr(_Q_FILTER))
     return similarity.ivf_cosine_topk(
         emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=2
+    )
+
+
+def _tagged(df: DataFrame, method: str, cols: list[str]) -> DataFrame:
+    return df.select(F.lit(method).alias("method"), *cols)
+
+
+@workload(
+    "ann_pairs_suite",
+    oracle=f"""
+        SELECT 'brute' AS method, query_id, neighbor_id, cos
+        FROM ({_PAIRS_CTE} SELECT query_id, neighbor_id, cos FROM scores WHERE cos >= 0.3)
+        UNION ALL
+        SELECT 'lsh', query_id, neighbor_id, cos
+        FROM (
+            WITH withb AS (
+                SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+                FROM embeddings
+            ),
+            q AS (SELECT * FROM withb WHERE {_Q_FILTER})
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   round({_cos("q.embedding", "e.embedding")}, 6) AS cos
+            FROM q JOIN withb e USING (bucket)
+            WHERE e.vec_id != q.vec_id
+              AND round({_cos("q.embedding", "e.embedding")}, 6) >= 0.2
+        )
+    """,
+    description="ANN threshold-pair suite, two candidate-generation paths "
+    "side by side: method='brute' is the exactness baseline (broadcast query "
+    "batch × one corpus scan, pairs with cos >= 0.3, zero shuffle before the "
+    "filter); method='lsh' is the scale path (8-hyperplane sign LSH buckets "
+    "the corpus, bucket-local compare, cos >= 0.2, partial recall by design). "
+    "Each path keeps its own exact DuckDB re-derivation",
+    tags=("similarity", "suite"),
+)
+def ann_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["query_id", "neighbor_id", "cos"]
+    return _tagged(ann_cosine_threshold(spark, sf_dir), "brute", cols).unionByName(
+        _tagged(ann_lsh_bucketed(spark, sf_dir), "lsh", cols)
+    )
+
+
+@workload(
+    "ann_topk_suite",
+    oracle=f"""
+        SELECT 'brute' AS method, query_id, neighbor_id, cos, rank
+        FROM (
+            {_PAIRS_CTE},
+            ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM scores
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+        )
+        UNION ALL
+        SELECT 'ivf', query_id, neighbor_id, cos, rank
+        FROM ({_IVF_TOPK_ORACLE})
+    """,
+    description="ANN top-5 suite: method='brute' is exact ranked retrieval "
+    "(total order on rounded score + id tie-break); method='ivf' probes the 2 "
+    "nearest of ~16 seed-centroid cells (broadcast coarse quantizer, "
+    "cell-local candidates, nprobe recall knob) — the IVF scale path",
+    tags=("similarity", "suite"),
+)
+def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["query_id", "neighbor_id", "cos", "rank"]
+    return _tagged(ann_cosine_topk(spark, sf_dir), "brute", cols).unionByName(
+        _tagged(ann_ivf_topk(spark, sf_dir), "ivf", cols)
     )

@@ -374,8 +374,51 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_rollup_percentiles",
+    oracle="""
+        SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
+               round(quantile_cont(value, 0.5), 9) AS p50,
+               round(quantile_cont(value, 0.9), 9) AS p90
+        FROM events GROUP BY ROLLUP(event_type)
+    """,
+    description="Multi-level aggregation (ROLLUP: per-event-type rows plus "
+    "the grand-total row in one pass — partial aggregation covers every "
+    "level, no second scan) with EXACT linear-interpolated percentiles "
+    "(Spark percentile == DuckDB quantile_cont bit-for-bit after 9 dp "
+    "rounding).  Exact percentile sorts within each group; at 100 TB swap "
+    "in approx_percentile (t-digest, mergeable map-side like the HLL "
+    "sketches) — same plan shape, bounded memory.  event_type is never NULL "
+    "in this data, so the rollup total row is unambiguous under coalesce",
+    tags=("timeseries", "inventory"),
+)
+def events_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 9).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 9).alias("p90"),
+        )
+        .withColumn("event_type", F.coalesce("event_type", F.lit("ALL")))
+    )
+
+
+@workload(
     "events_hll_mergeable_sketch",
-    oracle=None,  # sketch estimates are implementation-defined; bounds tested in pytest
+    # The DataSketches HLL sketch is EXACT (coupon/sparse mode) while the
+    # per-group cardinality stays far below 2^lgK = 16384, which holds for
+    # the testdata's user universe at the driver's gate scales — so the
+    # estimate must equal the true distinct count and an exact SQL oracle
+    # applies.  The 3%-error bound for the dense regime stays in pytest.
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS distinct_users_est,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'all', count(DISTINCT user_id), count(*) FROM events
+    """,
     description="Mergeable distinct-count sketches (Apache DataSketches HLL "
     "via hll_sketch_agg): per-event-type user sketches UNIONED with "
     "hll_union_agg into a global estimate — the only distinct-counting "

@@ -106,25 +106,47 @@ def _rounded_gains(spark: SparkSession, sf_dir: str, criterion: Criterion) -> Da
     )
 
 
-@workload(
-    "split_candidate_gains_gini",
-    oracle=_gains_oracle("gini"),
-    description="The engine's unified split-gain pipeline (melt → conditional "
-    "counts → prefix-sum windows → gini gain) vs a pure-SQL re-derivation",
-    tags=("inventory", "engine", "bench"),
-)
 def split_candidate_gains_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's unified split-gain pipeline (melt → conditional counts →
+    prefix-sum windows → gini gain).  Registered via
+    ``split_candidate_gains`` (criterion='gini'); kept callable for bench.py
+    and the plan-quality tests."""
     return _rounded_gains(spark, sf_dir, Criterion.GINI)
 
 
-@workload(
-    "split_candidate_gains_entropy",
-    oracle=_gains_oracle("entropy"),
-    description="Same pipeline with the entropy criterion (log2 guarded at p=0)",
-    tags=("inventory", "engine"),
-)
 def split_candidate_gains_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline with the entropy criterion (log2 guarded at p=0).
+    Registered via ``split_candidate_gains`` (criterion='entropy')."""
     return _rounded_gains(spark, sf_dir, Criterion.ENTROPY)
+
+
+@workload(
+    "split_candidate_gains",
+    oracle=f"""
+        SELECT 'gini' AS criterion, feature, feature_value,
+               information_gain, parent_criterion
+        FROM ({_gains_oracle("gini")})
+        UNION ALL
+        SELECT 'entropy', feature, feature_value,
+               information_gain, parent_criterion
+        FROM ({_gains_oracle("entropy")})
+    """,
+    description="The engine's unified split-gain pipeline (melt → "
+    "conditional counts → prefix-sum windows → gain) under BOTH criteria, "
+    "tagged by criterion, vs a pure-SQL re-derivation: gini is exact "
+    "arithmetic; entropy guards log2 at p=0 and rounds to 9 dp (libm "
+    "last-ulp differences between the JVM and DuckDB)",
+    tags=("inventory", "engine", "suite"),
+)
+def split_candidate_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["feature", "feature_value", "information_gain", "parent_criterion"]
+    gini = split_candidate_gains_gini(spark, sf_dir).select(
+        F.lit("gini").alias("criterion"), *cols
+    )
+    entropy = split_candidate_gains_entropy(spark, sf_dir).select(
+        F.lit("entropy").alias("criterion"), *cols
+    )
+    return gini.unionByName(entropy)
 
 
 @workload(
@@ -154,14 +176,11 @@ def split_best_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload(
-    "tree_fit_predict_distribution",
-    oracle=None,  # recursive fit is not SQL-expressible → rows-only check
-    description="End-to-end: fit a depth-2 gini tree on lineitem numerics "
-    "predicting l_returnflag, then batch-predict and count predictions per class",
-    tags=("engine", "bench"),
-)
 def tree_fit_predict_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: fit a depth-2 gini tree on lineitem numerics predicting
+    l_returnflag, then batch-predict and count predictions per class.
+    Registered via ``model_fit_distributions`` (model='tree'); kept callable
+    for bench.py."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         F.col("l_returnflag").alias("target"),
@@ -175,16 +194,13 @@ def tree_fit_predict_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@workload(
-    "tree_fit_binned_distribution",
-    oracle=None,  # quantile-sketch edge placement is not SQL-reproducible
-    description="The 100 TB fit path: same tree workload with max_bins=32 "
-    "quantile-binned candidates — shuffle volume capped at features x bins "
-    "instead of sum of per-feature distinct counts (l_extendedprice alone has "
-    "~600k distinct values at sf0.1; billions at cluster scale)",
-    tags=("engine", "bench", "scale"),
-)
 def tree_fit_binned_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fit path: same tree workload with max_bins=32
+    quantile-binned candidates — shuffle volume capped at features x bins
+    instead of sum of per-feature distinct counts (l_extendedprice alone has
+    ~600k distinct values at sf0.1; billions at cluster scale).  Registered
+    via ``model_fit_distributions`` (model='tree_binned'); kept callable for
+    bench.py."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         F.col("l_returnflag").alias("target"),
@@ -198,16 +214,12 @@ def tree_fit_binned_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload(
-    "forest_fit_distribution",
-    oracle=None,  # bootstrap sampling is not SQL-reproducible
-    description="Bagged random forest (4 binned trees, depth 2) on lineitem "
-    "numerics: one shared prepared+persisted relation, per-tree seeded "
-    "bootstrap samples, majority-vote inference as a single shuffle-free "
-    "projection (per-tree CASE columns + struct argmax)",
-    tags=("engine", "scale"),
-)
 def forest_fit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bagged random forest (4 binned trees, depth 2) on lineitem numerics:
+    one shared prepared+persisted relation, per-tree seeded bootstrap
+    samples, majority-vote inference as a single shuffle-free projection
+    (per-tree CASE columns + struct argmax).  Registered via
+    ``model_fit_distributions`` (model='forest')."""
     from efficient_trees_spark.ensemble import RandomForestClassifier
 
     li = load(spark, sf_dir, "lineitem").select(
@@ -223,3 +235,50 @@ def forest_fit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prediction")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# Seeded prediction distributions at the driver's sf0.01 gate, pinned as
+# literal VALUES (the recursive fit is not SQL-expressible).  Verified
+# identical under a vanilla local[*] session and the repo's tuned session
+# (quantile-bin edges and the seeded bootstrap are partition-stable for the
+# fixed parquet inputs).  Recompute with tools/oracle_check.py if the
+# testdata is regenerated.
+_FIT_DISTRIBUTIONS_SF0_01 = """
+    SELECT model, prediction, CAST(n AS BIGINT) AS n FROM (VALUES
+        ('tree', 'A', 1688), ('tree', 'N', 52976), ('tree', 'R', 5336),
+        ('tree_binned', 'A', 1688), ('tree_binned', 'N', 54020),
+        ('tree_binned', 'R', 4292),
+        ('forest', 'A', 56903), ('forest', 'N', 2497), ('forest', 'R', 600)
+    ) AS t(model, prediction, n)
+"""
+
+
+@workload(
+    "model_fit_distributions",
+    oracle=_FIT_DISTRIBUTIONS_SF0_01,
+    description="End-to-end model training evidence in one table, tagged by "
+    "model: 'tree' fits a depth-2 gini tree on lineitem numerics and "
+    "batch-predicts (prediction distribution); 'tree_binned' is the 100 TB "
+    "fit path (max_bins=32 quantile-binned candidates — shuffle volume "
+    "capped at features x bins); 'forest' is a 4-tree bagged ensemble with "
+    "seeded bootstraps and single-projection majority vote.  The recursive "
+    "fits are not SQL-expressible, so the oracle pins the exact seeded "
+    "prediction distributions at the driver's sf0.01 gate as literal VALUES",
+    tags=("engine", "suite"),
+)
+def model_fit_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        tree_fit_predict_distribution(spark, sf_dir).select(
+            F.lit("tree").alias("model"), "prediction", "n"
+        ),
+        tree_fit_binned_distribution(spark, sf_dir).select(
+            F.lit("tree_binned").alias("model"), "prediction", "n"
+        ),
+        forest_fit_distribution(spark, sf_dir).select(
+            F.lit("forest").alias("model"), "prediction", "n"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -53,7 +53,9 @@ def test_split_finder_no_cartesian_and_codegen(spark):
     """The split search must stay in whole-stage codegen (no UDF stages,
     no cartesian blowup) — its cost dominates training.  Codegen spans only
     appear in the AQE FINAL plan, so execute first and inspect that."""
-    df = REGISTRY["split_candidate_gains_gini"].fn(spark, SF_DIR)
+    from efficient_trees_spark.workloads.tree_queries import split_candidate_gains_gini
+
+    df = split_candidate_gains_gini(spark, SF_DIR)
     df.collect()  # finalize the AQE plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
@@ -96,7 +98,9 @@ def test_inference_is_shuffle_free(spark):
 def test_dedup_minhash_no_raw_self_join(spark):
     """The MinHash pipeline must never cartesian the corpus; candidate
     generation happens after aggregation, keyed on band buckets."""
-    df = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR)
+    from efficient_trees_spark.workloads.dedup_queries import dedup_minhash_lsh
+
+    df = dedup_minhash_lsh(spark, SF_DIR)
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -7,8 +7,9 @@ floats).  Usage:  python tools/oracle_check.py [sf_dir] [name_filter]
 
 Set VANILLA=1 to use a bare ``SparkSession.builder.master("local[*]")`` session
 instead of this repo's tuned ``get_spark`` — that replicates the driver's
-environment (which does NOT preset ``spark.sql.legacy.parquet.nanosAsLong``),
-so conf-dependent bugs surface here instead of in CORRECTNESS_r{N}.json.
+own default-config environment, so conf-dependent bugs surface here instead
+of in CORRECTNESS_r{N}.json.  Set STRICT=1 for bit-exact float comparison
+(what the driver's value hash does).
 """
 
 from __future__ import annotations
