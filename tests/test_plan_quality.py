@@ -147,6 +147,18 @@ def test_curation_pipeline_two_shuffles_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_text_doc_profile_single_scan_no_shuffle(spark):
+    """The per-document text profile (token stats, quality, fingerprints,
+    subwords, winnowing) must be ONE projection over ONE scan of documents:
+    zero exchanges, zero Python stages, however many stats it emits.  This
+    is the plan shape that makes per-doc corpus stats O(scan) at 100 TB."""
+    df = REGISTRY["text_doc_profile"].fn(spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1
+
+
 def test_forest_inference_is_shuffle_free(spark):
     """The forest vote — T compiled CASE columns + struct argmax — must stay
     a pure projection: zero exchanges, zero Python stages, however many
