@@ -1,0 +1,101 @@
+"""Corpus sampling operators for training-data pipelines.
+
+Building a training mix from a 100 TB corpus is a sampling problem: "exactly
+k documents per language", "200M tokens per source, best-quality first",
+"20% of each stratum".  Three operators cover it, all pure DataFrame ops:
+
+* ``stratified_fraction_sample`` — Bernoulli per-stratum fractions via
+  ``sampleBy``: map-only (no shuffle), approximate sizes, the right tool
+  when only proportions matter.
+* ``stratified_exact_sample`` — exactly ``k`` rows per stratum: seeded
+  random order within each stratum, ``row_number() <= k``.  One shuffle on
+  the stratum key; per-stratum parallelism.
+* ``token_budget_sample`` — greedy selection per stratum until a token
+  budget: running token sum over an explicit priority order, keep rows
+  while the PREVIOUS cumulative total is under budget (so the first
+  overshooting document is still admitted — budgets are met, never
+  silently undershot by a large tail doc).
+
+Scale notes: all three shuffle at most once, on the stratum key.  A single
+giant stratum serializes its window sort; at that point pre-aggregate to
+(doc, priority) pairs — the window runs over doc-level rows, which these
+operators already assume — or split the stratum by a salt and take the
+per-salt quota ``k/s``.  Determinism: ``F.rand(seed)`` is seeded per
+partition, so results are reproducible for a fixed input partitioning (the
+usual Spark contract; asserted in tests) but not across repartitions — pass
+an explicit ``order_by`` for partition-independent selection (e.g. a hash
+of a stable id, or a quality score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_fraction_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Bernoulli sample with a per-stratum fraction (``df.sampleBy``).
+
+    Map-only: every partition filters its own rows against the stratum's
+    fraction — no shuffle, no state; sizes are binomially distributed
+    around fraction × stratum size."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def _priority(order_by: Column | None, seed: int) -> Column:
+    # Explicit priority wins; otherwise seeded-random order.
+    return order_by if order_by is not None else F.rand(seed)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    seed: int = 42,
+    order_by: Column | None = None,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum.
+
+    :param order_by: priority Column — lowest values selected first (e.g.
+        ``F.desc`` wrap for best-quality-first).  Default: seeded random.
+    """
+    w = Window.partitionBy(strata_col).orderBy(_priority(order_by, seed))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budget: int,
+    seed: int = 42,
+    order_by: Column | None = None,
+) -> DataFrame:
+    """Select rows per stratum, in priority order, until ``budget`` tokens.
+
+    Admission rule: a row enters while the cumulative token count BEFORE it
+    is under budget — so every stratum with ≥ budget tokens reaches the
+    budget (the boundary document overshoots by at most one document), and
+    token-poor strata are taken whole.  This is the standard corpus-mixture
+    construction ("200M tokens of each source, highest quality first")."""
+    pri = _priority(order_by, seed)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(pri)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(token_col).over(w)
+    return (
+        df.withColumn("__cum", running)
+        .filter(F.col("__cum") - F.col(token_col) < budget)
+        .drop("__cum")
+    )

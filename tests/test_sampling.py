@@ -1,0 +1,128 @@
+"""Corpus sampling operators: exact strata sizes, budget admission rule,
+priority ordering, determinism under a fixed partitioning, and plan shape
+(at most one shuffle, no Python stages)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.functions import text
+from efficient_trees_spark.operators import sampling
+from efficient_trees_spark.workloads.base import load
+
+
+def _docs_with_tokens(spark, sf_small):
+    docs = load(spark, sf_small, "documents")
+    return docs.select(
+        "doc_id",
+        text.lang_id("text").alias("lang"),
+        text.token_count("text").alias("n_tokens"),
+        F.round(text.quality_score("text"), 9).alias("quality"),
+    )
+
+
+def test_exact_sample_sizes_and_determinism(spark, sf_small):
+    d = _docs_with_tokens(spark, sf_small).cache()
+    try:
+        strata_sizes = dict(
+            (r["lang"], r["count"]) for r in d.groupBy("lang").count().collect()
+        )
+        k = 7
+        out = sampling.stratified_exact_sample(d, "lang", k=k, seed=1)
+        got = dict((r["lang"], r["count"]) for r in out.groupBy("lang").count().collect())
+        for lang, n in strata_sizes.items():
+            assert got.get(lang, 0) == min(k, n)
+        # sampled rows are real rows
+        assert out.join(d, ["doc_id"], "left_anti").count() == 0
+        # deterministic for a fixed (cached) partitioning
+        again = sampling.stratified_exact_sample(d, "lang", k=k, seed=1)
+        assert sorted(r.doc_id for r in out.select("doc_id").collect()) == sorted(
+            r.doc_id for r in again.select("doc_id").collect()
+        )
+    finally:
+        d.unpersist()
+
+
+def test_exact_sample_priority_order(spark, sf_small):
+    d = _docs_with_tokens(spark, sf_small)
+    out = sampling.stratified_exact_sample(
+        d, "lang", k=5, order_by=F.desc("quality")
+    )
+    # each stratum's sample is exactly its top-5 by quality (desc)
+    for lang_row in d.select("lang").distinct().collect():
+        lang = lang_row["lang"]
+        top = [
+            r["doc_id"]
+            for r in d.filter(F.col("lang") == lang)
+            .orderBy(F.desc("quality"), "doc_id")
+            .limit(5)
+            .collect()
+        ]
+        got = [
+            r["doc_id"]
+            for r in out.filter(F.col("lang") == lang)
+            .orderBy(F.desc("quality"), "doc_id")
+            .collect()
+        ]
+        # quality ties make the exact id set order-dependent; compare scores
+        top_scores = sorted(
+            r["quality"] for r in d.filter(F.col("lang") == lang)
+            .orderBy(F.desc("quality")).limit(5).collect()
+        )
+        got_scores = sorted(
+            r["quality"] for r in out.filter(F.col("lang") == lang).collect()
+        )
+        assert got_scores == top_scores
+        assert len(got) == min(5, len(top) if len(top) < 5 else 5)
+
+
+def test_token_budget_admission(spark, sf_small):
+    d = _docs_with_tokens(spark, sf_small)
+    budget = 300
+    out = sampling.token_budget_sample(
+        d, "lang", "n_tokens", budget=budget, order_by=F.desc("quality")
+    ).cache()
+    try:
+        totals = {
+            r["lang"]: (r["total"], r["max_tokens"])
+            for r in out.groupBy("lang")
+            .agg(F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("max_tokens"))
+            .collect()
+        }
+        stratum_totals = {
+            r["lang"]: r["total"]
+            for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("total")).collect()
+        }
+        for lang, (total, max_tokens) in totals.items():
+            if stratum_totals[lang] <= budget:
+                # token-poor stratum taken whole
+                assert total == stratum_totals[lang]
+            else:
+                # budget reached, overshoot bounded by one document
+                assert total >= budget
+                assert total < budget + max_tokens
+    finally:
+        out.unpersist()
+
+
+def test_fraction_sample_is_map_only(spark, sf_small):
+    d = _docs_with_tokens(spark, sf_small)
+    fracs = {r["lang"]: 0.5 for r in d.select("lang").distinct().collect()}
+    out = sampling.stratified_fraction_sample(d, "lang", fracs, seed=3)
+    # sampleBy compiles to a rand()-filter (not a Sample node): still map-only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # Bernoulli sampling shuffles nothing
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # and it actually thins the data
+    assert 0 < out.count() < d.count()
+
+
+def test_samplers_single_shuffle_no_python(spark, sf_small):
+    d = _docs_with_tokens(spark, sf_small)
+    for out in (
+        sampling.stratified_exact_sample(d, "lang", k=3),
+        sampling.token_budget_sample(d, "lang", "n_tokens", budget=100),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # one shuffle, on the stratum key
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
