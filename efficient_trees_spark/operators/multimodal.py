@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -82,6 +83,55 @@ def fake_image_features(df: DataFrame, id_col: str = "doc_id", payload_col: str 
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "histogram"])
 
     return df.select(id_col, payload_col).mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    target_width: int = 16,
+    target_height: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize step of an image pipeline — payload in, smaller payload out.
+
+    The Spark plumbing is the real thing (Arrow-batched ``mapInPandas``,
+    binary-in/binary-out with an explicit schema — the shape a thumbnailing
+    or model-input-normalization pass has at scale); the pixel resampling is
+    a deterministic byte-level stand-in (nearest-neighbor over the byte
+    stream, like the fake featurizer's fake decode) because no imaging
+    library ships in this container.  A real build replaces ONLY the inner
+    ``_resample`` with e.g. ``PIL.Image.resize``; schema, batching, and
+    partitioning are unchanged.  Output payloads have exactly
+    ``target_width * target_height`` bytes.
+    """
+    n_out = int(target_width) * int(target_height)
+
+    def _resample(data: bytes) -> bytes:
+        if not data:
+            return bytes(n_out)
+        # nearest-neighbor index mapping over the flat byte stream
+        step = len(data) / n_out
+        return bytes(data[min(int(i * step), len(data) - 1)] for i in range(n_out))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), _resample(bytes(payload)), target_width, target_height)
+                for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
+
+    return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_SCHEMA)
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:

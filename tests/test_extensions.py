@@ -183,6 +183,26 @@ def test_multimodal_plumbing(spark):
         multimodal.decode_image(binary)
 
 
+def test_multimodal_resize(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 1000), (2, "short"), (3, "")], ["doc_id", "text"]
+    )
+    binary = multimodal.to_binary_table(df, "doc_id", "text")
+    out = {r["doc_id"]: r for r in multimodal.resize_image(binary, 4, 4).collect()}
+    # every output payload is exactly target_width*target_height bytes
+    for doc_id, r in out.items():
+        assert len(bytes(r["payload"])) == 16
+        assert (r["width"], r["height"]) == (4, 4)
+    # constant input resamples to constant output; empty input to zero bytes
+    assert bytes(out[1]["payload"]) == b"x" * 16
+    assert bytes(out[3]["payload"]) == bytes(16)
+    # nearest-neighbor keeps real bytes from the source
+    assert set(bytes(out[2]["payload"])) <= set(b"short")
+    # deterministic
+    again = {r["doc_id"]: r for r in multimodal.resize_image(binary, 4, 4).collect()}
+    assert bytes(again[2]["payload"]) == bytes(out[2]["payload"])
+
+
 def test_connected_components_chain(spark):
     """A 5-doc chain a-b-c-d-e needs several propagation rounds; the min id
     must reach the far end, and the singleton stays its own cluster."""
