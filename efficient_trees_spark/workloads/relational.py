@@ -705,7 +705,7 @@ def f5_mask_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s6_partitioned_parquet_sink",
     oracle="""
         SELECT o_orderstatus, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM orders WHERE o_orderpriority = '1-URGENT'
         GROUP BY o_orderstatus
     """,
@@ -729,7 +729,7 @@ def s6_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
         )
     )
 
@@ -738,7 +738,7 @@ def s6_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s7_bucketed_colocated_join",
     oracle="""
         SELECT c_mktsegment, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY c_mktsegment
     """,
@@ -772,7 +772,7 @@ def s7_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
         )
     )
 
@@ -789,9 +789,12 @@ def s8_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     ev.write.mode("overwrite").json(out)
     back = spark.read.schema(ev.schema).json(out)
+    # decimal-exact sum: order-independent, so the round-tripped aggregate is
+    # bit-identical to the oracle at any scale (a double sum's association
+    # noise survives round(..., 9) on ~1e6 totals)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 9).alias("total"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
     )
 
 
@@ -812,7 +815,7 @@ def s9_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
         )
     )
 
@@ -824,10 +827,12 @@ def s9_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n, CAST(CAST(sum(n_nationkey) AS BIGINT) AS DOUBLE) AS total
         FROM nation GROUP BY n_regionkey
         UNION ALL
-        SELECT 'json', event_type, count(*), round(sum(value), 9)
+        SELECT 'json', event_type, count(*),
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         FROM events GROUP BY event_type
         UNION ALL
-        SELECT 'orc', l_returnflag, count(*), round(sum(l_extendedprice), 2)
+        SELECT 'orc', l_returnflag, count(*),
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
         FROM lineitem GROUP BY l_returnflag
     """,
     description="S2 + JSONL + ORC source/sink round-trips in one suite, "
