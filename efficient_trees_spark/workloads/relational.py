@@ -481,8 +481,8 @@ def u2_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(24,6)) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(24,6)) AS DOUBLE) AS sum_charge,
                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 9) AS avg_qty,
                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 9) AS avg_price,
                round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 9) AS avg_disc,
@@ -498,11 +498,24 @@ def u2_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    # Two scale tricks keep the money sums bit-identical to DuckDB at ANY sf:
+    # (1) product factors use NARROW decimals — price (14,4), rate (6,4) —
+    # so the multiply chain stays within precision 38 on both engines and is
+    # exact end-to-end ((18,4) factors overflow and each engine rounds at a
+    # different internal scale); (2) sums pass through DECIMAL(24,6) before
+    # the double cast — lossless (the data is 2-dp, so products have exactly
+    # 6 decimals) and it keeps the scaled integer below 2^53, where BOTH
+    # engines' decimal→double conversions are correctly rounded.  Without it
+    # DuckDB converts a >2^53 scale-12 integer and can land one ulp off.
+    price = F.col("l_extendedprice").cast("decimal(14,4)")
+    disc_rate = F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    tax_rate = F.lit(1) + F.col("l_tax").cast("decimal(6,4)")
+    d6 = lambda c: c.cast("decimal(24,6)").cast("double")  # noqa: E731
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("sum_disc_price"),
-        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) * (F.lit(1) + dec("l_tax"))).cast("double").alias("sum_charge"),
+        d6(F.sum(price * disc_rate)).alias("sum_disc_price"),
+        d6(F.sum(price * disc_rate * tax_rate)).alias("sum_charge"),
         F.round(F.sum(dec("l_quantity")).cast("double") / F.count("*"), 9).alias("avg_qty"),
         F.round(F.sum(dec("l_extendedprice")).cast("double") / F.count("*"), 9).alias("avg_price"),
         F.round(F.sum(dec("l_discount")).cast("double") / F.count("*"), 9).alias("avg_disc"),
@@ -514,7 +527,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue_orders",
     oracle="""
         SELECT l_orderkey,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
                strftime(o_orderdate, '%Y-%m-%d') AS orderdate
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
@@ -538,7 +551,6 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
     # customer is the only side safe to broadcast unconditionally; the
     # orders⨝lineitem join is large-large → leave the strategy to Catalyst/AQE
     # (shuffle join on l_orderkey, or runtime broadcast if the filtered side
@@ -547,9 +559,15 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey),
         li.l_orderkey == F.col("o_orderkey"),
     )
+    # same exact-decimal scheme as q1 (narrow factors + lossless (24,6)
+    # pass-through before the double cast) so revenue is bit-stable at any sf
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(14,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+    )
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(24,6)").cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -560,7 +578,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_nation_volume",
     oracle="""
         SELECT n_name,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
         FROM region
           JOIN nation ON n_regionkey = r_regionkey
           JOIN customer ON c_nationkey = n_nationkey
@@ -582,7 +600,6 @@ def q5_region_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     supplier = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
 
     # region/nation are constant-size → always broadcast; customer/orders/
     # supplier grow with SF → plain joins, Catalyst/AQE picks broadcast at
@@ -599,8 +616,12 @@ def q5_region_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supplier, (li.l_suppkey == supplier.s_suppkey)
               & (supplier.s_nationkey == F.col("n_nationkey")))
     )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(14,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+    )
     return fact.groupBy("n_name").agg(
-        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue")
+        F.sum(revenue).cast("decimal(24,6)").cast("double").alias("revenue")
     )
 
 
