@@ -1,0 +1,35 @@
+"""Driver-contract guards.
+
+The correctness gate checks only the FIRST 50 registered workloads in
+registration order — round 2 shipped 17 workloads past that window and got
+zero evidence for them.  The registry size is therefore load-bearing: new
+capabilities must merge into an existing suite or consolidate something
+else, never silently push coverage out of the window.
+"""
+
+from __future__ import annotations
+
+from efficient_trees_spark.workloads import REGISTRY
+
+DRIVER_WINDOW = 50
+
+
+def test_registry_fits_driver_window():
+    assert len(REGISTRY) <= DRIVER_WINDOW, (
+        f"{len(REGISTRY)} workloads registered but the driver checks only the "
+        f"first {DRIVER_WINDOW}: consolidate into a suite (see COVERAGE.md) "
+        "instead of appending"
+    )
+
+
+def test_every_workload_names_an_oracle_or_declares_why():
+    # mm_fake_image_features is the single intentional rows-only check (the
+    # mapInPandas featurizer is not SQL-expressible); anything else without
+    # an oracle is a coverage regression.
+    missing = [n for n, wl in REGISTRY.items() if wl.oracle is None]
+    assert missing == ["mm_fake_image_features"], missing
+
+
+def test_workloads_have_descriptions():
+    empty = [n for n, wl in REGISTRY.items() if not wl.description.strip()]
+    assert not empty, empty
