@@ -158,6 +158,51 @@ def bag_fingerprint(col: Column | str) -> Column:
     return F.md5(F.encode(bag, "utf-8"))
 
 
+# ----------------------------------------------------------- PII handling
+#
+# Standard curation stage before text enters a training corpus: detect and
+# redact personally identifiable information.  Regex-only (the cheap first
+# pass every pipeline runs at full scale; an NER pass is a model-inference
+# stage downstream of this) and pure Catalyst expressions — codegen'd,
+# zero Python.  Patterns deliberately use constructs Java regex and RE2
+# read identically.
+_PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — conservative: no quoted locals / IP domains
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international-ish phone numbers: optional +CC, separators, 7+ digits.
+    # Anchored on a non-digit boundary so it does not eat id/price digits.
+    "phone": r"(?<![0-9A-Za-z])\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{2,4}(?![0-9])",
+    # IPv4 (loose: 1-3 digit octets; scrubbing favors recall over precision)
+    "ipv4": r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])",
+    # US-SSN-shaped 3-2-4 digit groups with dashes
+    "ssn": r"(?<![0-9-])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9-])",
+}
+
+
+def pii_counts(col: Column | str) -> Column:
+    """struct<email,phone,ipv4,ssn: int> of PII match counts per document —
+    the audit/reporting side of scrubbing (e.g. quarantine docs whose count
+    exceeds a policy threshold instead of redacting them)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(p), 0)).alias(kind)
+            for kind, p in _PII_PATTERNS.items()
+        ]
+    )
+
+
+def redact_pii(col: Column | str, token_format: str = "<{kind}>") -> Column:
+    """Replace every PII match with a typed placeholder token (``<email>``,
+    ``<phone>``, ...).  Chained ``regexp_replace`` — one codegen'd projection,
+    order fixed (email before phone so phone-like digit runs inside an email
+    local part are not half-eaten first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pattern in _PII_PATTERNS.items():
+        c = F.regexp_replace(c, pattern, token_format.format(kind=kind))
+    return c
+
+
 # BPE-ish subword pre-tokenization: letter runs capped at 12 chars (long
 # words split into chunks like subword vocabularies do), single digits
 # (GPT-style digit splitting), single punctuation marks.  The pattern uses
