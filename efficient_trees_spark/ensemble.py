@@ -169,6 +169,24 @@ class RandomForestClassifier:
         rows = self.transform(data, null_policy="drop").select("prediction").collect()
         return [row[0] for row in rows]
 
+    def feature_importances(self) -> dict[str, float]:
+        """Forest importances: mean of the per-tree gain-weighted importances
+        (each tree normalized first, the sklearn convention, so a
+        deep-splitting tree doesn't dominate the average), renormalized to
+        sum to 1.  Driver-side only — no Spark job."""
+        if self.trees is None:
+            raise RuntimeError("model not fitted: call fit() or load_model() first")
+        helper = DecisionTreeClassifier()
+        totals: dict[str, float] = {}
+        for tree in self.trees:
+            helper.tree = tree
+            for feat, value in helper.feature_importances().items():
+                totals[feat] = totals.get(feat, 0.0) + value
+        norm = sum(totals.values())
+        if norm <= 0:
+            return {f: 0.0 for f in totals}
+        return {f: v / norm for f, v in totals.items()}
+
     # ------------------------------------------------------------------ io
 
     def save_model(self, path: str) -> None:

@@ -656,6 +656,33 @@ class DecisionTreeClassifier:
 
         return [walk(self.tree, sample) for sample in data]
 
+    def feature_importances(self) -> dict[str, float]:
+        """Gain-based feature importances (the sklearn/MLlib convention):
+        each internal node contributes ``information_gain × node_sample_count``
+        to its split feature; totals are normalized to sum to 1.  Pure
+        driver-side walk of the node dicts — no Spark job.  Extension beyond
+        the reference (which exposes no importances); useful for the feature
+        pruning step a wide-table pipeline runs between fits."""
+        if self.tree is None:
+            raise RuntimeError("model not fitted: call fit() or load_model() first")
+        totals: dict[str, float] = {}
+
+        def walk(node: dict[str, Any]) -> None:
+            if node["type"] != "node":
+                return
+            weight = float(sum(node["target_distribution"]))
+            totals[node["feature"]] = totals.get(node["feature"], 0.0) + (
+                node["information_gain"] * weight
+            )
+            walk(node["left"])
+            walk(node["right"])
+
+        walk(self.tree)
+        norm = sum(totals.values())
+        if norm <= 0:
+            return {f: 0.0 for f in totals}
+        return {f: v / norm for f, v in totals.items()}
+
     def get_majority_class(self, df: DataFrame, target_name: str) -> Any:
         """Majority class of a frame (reference tree.py:166-178), with the
         deterministic (count desc, value asc) tie-break."""
