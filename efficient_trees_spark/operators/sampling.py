@@ -72,6 +72,57 @@ def stratified_exact_sample(
     )
 
 
+def temperature_allocation(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    total_budget: int,
+    temperature: float = 1.0,
+) -> dict:
+    """Per-stratum token budgets proportional to ``size^temperature`` —
+    the standard multilingual-mixture rule (τ=1 reproduces natural
+    proportions; τ→0 approaches uniform; published multilingual-model
+    recipes typically use τ in [0.2, 0.7] to up-weight low-resource
+    strata).  One tiny aggregation job (rows = number of strata) feeds a
+    driver-side normalization; compose with :func:`token_budget_sample`:
+
+        budgets = temperature_allocation(d, "lang", "n_tokens", 10**9, 0.5)
+        parts = [token_budget_sample(d.filter(F.col("lang") == s), "lang",
+                                     "n_tokens", b) for s, b in budgets.items()]
+
+    A stratum is never allocated more than it has (the excess is
+    redistributed over the remaining strata by the same power rule, until
+    fixed point), so the returned budgets are always achievable."""
+    sizes = {
+        row[strata_col]: row["total"]
+        for row in df.groupBy(strata_col)
+        .agg(F.sum(token_col).alias("total"))
+        .collect()
+    }
+    budgets: dict = {}
+    remaining_budget = int(total_budget)
+    open_strata = dict(sizes)
+    # Redistribute capped strata's unused budget until every stratum is
+    # either uncapped or exactly exhausted (≤ len(sizes) rounds).
+    while open_strata and remaining_budget > 0:
+        weights = {s: n ** temperature for s, n in open_strata.items()}
+        total_w = sum(weights.values())
+        capped = {}
+        for s, w in weights.items():
+            share = int(remaining_budget * w / total_w)
+            if share >= open_strata[s]:
+                capped[s] = open_strata[s]
+        if not capped:
+            for s, w in weights.items():
+                budgets[s] = budgets.get(s, 0) + int(remaining_budget * w / total_w)
+            break
+        for s, n in capped.items():
+            budgets[s] = budgets.get(s, 0) + n
+            remaining_budget -= n
+            del open_strata[s]
+    return budgets
+
+
 def token_budget_sample(
     df: DataFrame,
     strata_col: str,

@@ -117,6 +117,39 @@ def test_fraction_sample_is_map_only(spark, sf_small):
     assert 0 < out.count() < d.count()
 
 
+def test_temperature_allocation(spark, sf_small):
+    d = _docs_with_tokens(spark, sf_small).cache()
+    try:
+        sizes = {
+            r["lang"]: r["total"]
+            for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("total")).collect()
+        }
+        corpus_total = sum(sizes.values())
+
+        # budget below every stratum: tau=1 reproduces natural proportions
+        b1 = sampling.temperature_allocation(d, "lang", "n_tokens", 1000, 1.0)
+        assert sum(b1.values()) <= 1000
+        for s, b in b1.items():
+            assert abs(b - 1000 * sizes[s] / corpus_total) <= 1
+        # tau -> 0 approaches uniform
+        b0 = sampling.temperature_allocation(d, "lang", "n_tokens", 1000, 1e-9)
+        vals = sorted(b0.values())
+        assert vals[-1] - vals[0] <= 1
+        # low temperature up-weights the smaller stratum vs natural share
+        small = min(sizes, key=sizes.get)
+        b_cool = sampling.temperature_allocation(d, "lang", "n_tokens", 1000, 0.3)
+        assert b_cool[small] >= b1[small]
+        # budgets never exceed what a stratum has; a huge budget caps at corpus
+        b_all = sampling.temperature_allocation(
+            d, "lang", "n_tokens", corpus_total * 10, 0.5
+        )
+        for s, b in b_all.items():
+            assert b <= sizes[s]
+        assert sum(b_all.values()) == corpus_total
+    finally:
+        d.unpersist()
+
+
 def test_samplers_single_shuffle_no_python(spark, sf_small):
     d = _docs_with_tokens(spark, sf_small)
     for out in (
