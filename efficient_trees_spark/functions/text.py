@@ -223,6 +223,55 @@ def subword_count(col: Column | str) -> Column:
     return F.size(subword_tokens(col))
 
 
+def token_chunks(
+    col: Column | str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    toks: Column | None = None,
+) -> Column:
+    """array<struct<chunk_idx:int, chunk_text:string, n_tokens:int>> —
+    fixed-size token windows with overlap, the standard long-document →
+    training-sequence split (each chunk starts ``chunk_tokens − overlap``
+    tokens after the previous, so consecutive chunks share ``overlap``
+    tokens of context).  Pure collection expressions — ``explode`` the
+    result for one row per chunk; an empty document yields no chunks.
+
+    The chunk text is the space-join of normalized tokens (tokenizer
+    contract at the top of this module), which is what a downstream
+    tokenizer would consume; character offsets are deliberately not
+    tracked — chunking happens after normalization at corpus scale.
+    """
+    toks = _toks(col, toks)
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    # number of windows covering n tokens: 1 + ceil(max(n - chunk, 0)/stride)
+    n = F.size(toks)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    )
+    # let-bind toks via single-element-array transform (same trick as
+    # winnowing_fingerprints) so the token array is evaluated once per row
+    def build(bound: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.array_join(
+                    F.slice(bound, i * stride + 1, chunk_tokens), " "
+                ).alias("chunk_text"),
+                F.size(F.slice(bound, i * stride + 1, chunk_tokens)).alias("n_tokens"),
+            ),
+        )
+
+    return F.when(n_chunks > 0, F.get(F.transform(F.array(toks), build), 0)).otherwise(
+        F.array().cast(
+            "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"
+        )
+    )
+
+
 def winnowing_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     """Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson,
     Aiken — the MOSS algorithm): hash every k-char gram of the normalized

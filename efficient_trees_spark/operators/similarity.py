@@ -41,6 +41,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ------------------------------------------------- int8 scalar quantization
+#
+# The standard memory lever for billion-vector ANN: store int8 codes + one
+# float scale per vector (≈4x smaller than float32, ≈8x than float64), score
+# candidates on dequantized values.  Symmetric per-vector scheme: scale =
+# max|x| / 127, code_i = round(x_i / scale).  Pure collection expressions.
+
+
+def quantize_embedding(vec_col: Column | str) -> Column:
+    """struct<scale: double, codes: array<tinyint>> — symmetric per-vector
+    int8 quantization.  All-zero vectors get scale 0 and zero codes."""
+    vec = as_double_array(vec_col)
+    amax = F.array_max(F.transform(vec, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    codes = F.transform(
+        vec,
+        lambda x: F.when(amax > 0, F.round(x / (amax / 127.0)))
+        .otherwise(F.lit(0))
+        .cast("tinyint"),
+    )
+    return F.struct(scale.alias("scale"), codes.alias("codes"))
+
+
+def dequantize_embedding(q_col: Column | str) -> Column:
+    """array<double> reconstruction: code_i * scale (max abs error
+    scale/2 = max|x|/254 per component)."""
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    return F.transform(q.getField("codes"), lambda c: c.cast("double") * q.getField("scale"))
+
+
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
     vec = as_double_array(vec_col)
     return df.select(
