@@ -443,3 +443,52 @@ def connected_components(
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("keep"),
     )
+
+
+# -------------------------------------------------------- decontamination
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    ngram: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Remove training documents that overlap an evaluation benchmark —
+    the standard pre-training decontamination pass (n-gram collision, the
+    published GPT-3/PaLM recipe: a document is contaminated if it shares
+    any ``ngram``-gram with any benchmark example; 13 is the conventional
+    width — long enough that natural re-use is rare, short enough to catch
+    paraphrase-free inclusion).
+
+    Scale shape: the benchmark side is tiny (thousands of eval examples vs
+    a 100 TB corpus), so its distinct shingle set is BROADCAST and the
+    corpus-side check is a map-side semi-join — the corpus never shuffles.
+    Returns ``docs`` minus contaminated rows; pass ``min_hits > 1`` to
+    require multiple colliding n-grams (looser, for noisy benchmarks).
+
+    Both sides shingle through the same tokenizer contract
+    (:func:`ngram_shingles`), so formatting/punctuation differences never
+    mask a real overlap.
+    """
+    bench_shingles = (
+        ngram_shingles(
+            benchmark.select(F.lit(0).alias("__bid"), F.col(bench_text_col)),
+            "__bid",
+            bench_text_col,
+            n=ngram,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    doc_shingles = ngram_shingles(docs, id_col, text_col, n=ngram)
+    hits = (
+        doc_shingles.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") >= min_hits)
+        .select(id_col)
+    )
+    return docs.join(hits, id_col, "left_anti")

@@ -354,3 +354,35 @@ def test_windowed_agg_join_natural_key_keeps_duplicate_left_rows(spark):
     got = {r["event_id"]: (r["n"], r["s"]) for r in out.collect()}
     assert got == {1: (2, 3.0), 2: (2, 3.0), 3: (0, 0.0)}
     assert set(out.columns) == {"event_id", "user_id", "ts", "n", "s"}
+
+
+# ------------------------------------------------------- decontamination
+
+def test_decontaminate_removes_benchmark_overlap(spark):
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    clean = "completely different words that share no long phrase with anything else here"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                               # verbatim benchmark text
+            (2, "PREFIX added " + base + " SUFFIX"), # benchmark embedded mid-doc
+            (3, clean),
+            (4, "short doc"),                        # shorter than the n-gram width
+        ],
+        ["doc_id", "text"],
+    )
+    benchmark = spark.createDataFrame([(base,)], ["text"])
+    kept = dedup.decontaminate(docs, benchmark, ngram=13)
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [3, 4]
+    # corpus side must not shuffle: the benchmark shingle set broadcasts
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_min_hits(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+    docs = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    benchmark = spark.createDataFrame([(base,)], ["text"])
+    # the 15-token doc shares 3 distinct 13-grams with the benchmark;
+    # requiring more than that keeps it
+    assert dedup.decontaminate(docs, benchmark, ngram=13, min_hits=4).count() == 1
+    assert dedup.decontaminate(docs, benchmark, ngram=13, min_hits=3).count() == 0
