@@ -223,6 +223,68 @@ def subword_count(col: Column | str) -> Column:
     return F.size(subword_tokens(col))
 
 
+# ------------------------------------------------------ repetition signals
+#
+# Gopher/RefinedWeb-style repetitiousness filters: boilerplate and
+# low-quality generated text shows up as duplicated lines and a dominant
+# repeated n-gram.  Pure expressions; the top-bigram count is an
+# O(b log b) sort + O(b) fold, not a pairwise count.
+
+
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines that are duplicates of an earlier line (0 for
+    docs with ≤1 line).  High values indicate templated/boilerplate text."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n = F.size(lines)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction(col: Column | str, toks: Column | None = None) -> Column:
+    """Fraction of tokens covered by the single most frequent word bigram —
+    ``2 × max_bigram_count / n_tokens`` (0 when fewer than 2 tokens).
+    Repetitive generations score near 1.  Mode-of-bigrams without a
+    pairwise count: sort the bigram array, then one fold tracking the
+    longest run of equal adjacent values."""
+    toks = _toks(col, toks)
+    n = F.size(toks)
+    grams = F.array_sort(
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+            x.alias("prev"),
+        )
+
+    best = F.aggregate(grams, acc0, step, lambda acc: acc.getField("best"))
+    return F.when(
+        n >= 2, F.least(F.lit(1.0), F.lit(2.0) * best / n)
+    ).otherwise(F.lit(0.0))
+
+
 def token_chunks(
     col: Column | str,
     chunk_tokens: int = 128,
