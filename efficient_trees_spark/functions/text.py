@@ -164,29 +164,40 @@ def bag_fingerprint(col: Column | str) -> Column:
 # redact personally identifiable information.  Regex-only (the cheap first
 # pass every pipeline runs at full scale; an NER pass is a model-inference
 # stage downstream of this) and pure Catalyst expressions — codegen'd,
-# zero Python.  Patterns deliberately use constructs Java regex and RE2
-# read identically.
+# zero Python.  NOTE: these are Java-regex patterns — the boundary
+# lookarounds ((?<!...)/(?!...)) are NOT RE2-portable (Go, BigQuery,
+# DuckDB); an RE2 port must replace them with captured boundary classes.
+# Dict order is the redaction order: email first (so phone-like digit runs
+# inside an email local part are never half-eaten), then ipv4/ssn (more
+# specific digit shapes), phone last.
 _PII_PATTERNS: dict[str, str] = {
     # local@domain.tld — conservative: no quoted locals / IP domains
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    # international-ish phone numbers: optional +CC, separators, 7+ digits.
-    # Anchored on a non-digit boundary so it does not eat id/price digits.
-    "phone": r"(?<![0-9A-Za-z])\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{2,4}(?![0-9])",
     # IPv4 (loose: 1-3 digit octets; scrubbing favors recall over precision)
     "ipv4": r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])",
     # US-SSN-shaped 3-2-4 digit groups with dashes
     "ssn": r"(?<![0-9-])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9-])",
+    # international-ish phone numbers: optional +CC, separators, 7+ digits.
+    # Anchored on a non-digit boundary so it does not eat id/price digits;
+    # the leading negative lookahead rejects bare dotted-quads (IPv4 shapes
+    # like 192.168.100.200) so those are never mislabeled as phones or
+    # double-counted — dotted phones with a 4-digit tail (555.123.4567)
+    # still match.
+    "phone": r"(?<![0-9A-Za-z])(?!(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.]))\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{2,4}(?![0-9])",
 }
 
 
 def pii_counts(col: Column | str) -> Column:
-    """struct<email,phone,ipv4,ssn: int> of PII match counts per document —
+    """struct<email,ipv4,ssn,phone: int> of PII match counts per document —
     the audit/reporting side of scrubbing (e.g. quarantine docs whose count
-    exceeds a policy threshold instead of redacting them)."""
+    exceeds a policy threshold instead of redacting them).  NULL text counts
+    as zero matches (``size`` of a NULL array is NULL under Spark's default
+    sizeOfNull semantics, which would silently drop null-text docs from both
+    sides of a ``counts.email > threshold`` policy filter — coalesced here)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.struct(
         *[
-            F.size(F.regexp_extract_all(c, F.lit(p), 0)).alias(kind)
+            F.coalesce(F.size(F.regexp_extract_all(c, F.lit(p), 0)), F.lit(0)).alias(kind)
             for kind, p in _PII_PATTERNS.items()
         ]
     )
@@ -195,8 +206,9 @@ def pii_counts(col: Column | str) -> Column:
 def redact_pii(col: Column | str, token_format: str = "<{kind}>") -> Column:
     """Replace every PII match with a typed placeholder token (``<email>``,
     ``<phone>``, ...).  Chained ``regexp_replace`` — one codegen'd projection,
-    order fixed (email before phone so phone-like digit runs inside an email
-    local part are not half-eaten first)."""
+    order fixed by ``_PII_PATTERNS`` (email first so phone-like digit runs
+    inside an email local part are not half-eaten; ipv4/ssn before phone so
+    the looser phone shape never claims their spans)."""
     c = F.col(col) if isinstance(col, str) else col
     for kind, pattern in _PII_PATTERNS.items():
         c = F.regexp_replace(c, pattern, token_format.format(kind=kind))

@@ -67,7 +67,7 @@ def fake_image_features(df: DataFrame, id_col: str = "doc_id", payload_col: str 
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload)
+                data = b"" if payload is None else bytes(payload)
                 if not data:
                     rows.append((int(doc_id), 0, 0, [0.0] * N_HISTOGRAM_BINS))
                     continue
@@ -126,7 +126,12 @@ def resize_image(
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                (int(doc_id), _resample(bytes(payload)), target_width, target_height)
+                (
+                    int(doc_id),
+                    _resample(b"" if payload is None else bytes(payload)),
+                    target_width,
+                    target_height,
+                )
                 for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
@@ -185,7 +190,7 @@ def frame_sample(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload)
+                data = b"" if payload is None else bytes(payload)
                 n_frames = math.ceil(len(data) / frame_bytes)
                 if n_frames == 0:
                     continue

@@ -30,6 +30,28 @@ def workload(name: str, oracle: str | None = None, description: str = "", tags: 
     return deco
 
 
+class PinnedOracleScaleError(ValueError):
+    """A workload whose oracle pins literal values for one specific data
+    scale was invoked against different data — a CONFIG error, distinct
+    from a correctness mismatch (which would silently report hash-fail)."""
+
+
+def require_pinned_scale(actual: int, expected: int, workload_name: str, what: str) -> None:
+    """Fail loudly when a pinned-VALUES oracle's scale assumption breaks.
+
+    Some oracles pin engine outputs as literals valid only at the driver's
+    sf0.01 gate (seeded fits) or while a regime assumption holds (HLL sparse
+    mode).  Running them elsewhere must be a clear config error, not a
+    mysterious value-hash mismatch."""
+    if actual != expected:
+        raise PinnedOracleScaleError(
+            f"{workload_name}: oracle pins literal values that assume {what} "
+            f"= {expected}, but the supplied sf_dir has {actual}. Regenerate "
+            "the pinned VALUES with tools/oracle_check.py for this scale, or "
+            "point the gate back at sf0.01."
+        )
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # events.parquet stores ts as parquet TIMESTAMP(NANOS); Spark 4.1 reads it

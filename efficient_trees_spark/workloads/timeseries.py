@@ -430,6 +430,21 @@ def events_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # The exact-distinct oracle assumes the sketch never leaves its exact
+    # (coupon/sparse) regime — guaranteed while the GLOBAL user universe is
+    # far below 2^lgK = 16384.  Guard programmatically so a driver scale
+    # change fails as a config error, not a value mismatch (ADVICE r3).
+    n_users = ev.select("user_id").distinct().count()
+    if n_users >= 8_192:
+        from efficient_trees_spark.workloads.base import PinnedOracleScaleError
+
+        raise PinnedOracleScaleError(
+            "events_hll_mergeable_sketch: the exact-distinct oracle assumes "
+            f"the HLL sketch stays in its exact sparse regime, but {n_users} "
+            "distinct users approach 2^lgK=16384 — at this scale the sketch "
+            "estimates (±3%) and an exact oracle no longer applies; use the "
+            "error-bound pytest instead."
+        )
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", 14).alias("sketch"),
         F.count(F.lit(1)).alias("n_events"),

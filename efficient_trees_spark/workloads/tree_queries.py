@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from efficient_trees_spark.enums import Criterion
 from efficient_trees_spark.operators import split_finder
 from efficient_trees_spark.tree import DecisionTreeClassifier
-from efficient_trees_spark.workloads.base import load, workload
+from efficient_trees_spark.workloads.base import load, require_pinned_scale, workload
 
 FEATURES = ["l_quantity", "l_discount", "l_tax"]
 CLASSES = ["A", "N", "R"]  # distinct l_returnflag, ascending
@@ -267,6 +267,13 @@ _FIT_DISTRIBUTIONS_SF0_01 = """
     tags=("engine", "suite"),
 )
 def model_fit_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The VALUES oracle is only valid for the sf0.01 parquet inputs (seeded
+    # bootstraps + quantile-bin edges are data-dependent): fail loudly as a
+    # config error at any other scale instead of hash-mismatching (ADVICE r3).
+    require_pinned_scale(
+        load(spark, sf_dir, "lineitem").count(), 60_000,
+        "model_fit_distributions", "lineitem row count (sf0.01)",
+    )
     parts = [
         tree_fit_predict_distribution(spark, sf_dir).select(
             F.lit("tree").alias("model"), "prediction", "n"

@@ -203,6 +203,20 @@ def test_multimodal_resize(spark):
     assert bytes(again[2]["payload"]) == bytes(out[2]["payload"])
 
 
+def test_multimodal_null_payload(spark):
+    """NULL payloads behave like empty payloads in every mapInPandas stage
+    (ADVICE r3: bytes(None) used to kill the resize task)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, b"data")], "doc_id long, payload binary"
+    )
+    resized = {r["doc_id"]: r for r in multimodal.resize_image(df, 4, 4).collect()}
+    assert bytes(resized[1]["payload"]) == bytes(16)
+    feats = {r["doc_id"]: r for r in multimodal.fake_image_features(df).collect()}
+    assert feats[1]["width"] == 0 and sum(feats[1]["histogram"]) == 0.0
+    frames = multimodal.frame_sample(df).collect()
+    assert sorted({r["doc_id"] for r in frames}) == [2]
+
+
 def test_connected_components_chain(spark):
     """A 5-doc chain a-b-c-d-e needs several propagation rounds; the min id
     must reach the far end, and the singleton stays its own cluster."""

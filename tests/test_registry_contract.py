@@ -33,3 +33,15 @@ def test_every_workload_names_an_oracle_or_declares_why():
 def test_workloads_have_descriptions():
     empty = [n for n, wl in REGISTRY.items() if not wl.description.strip()]
     assert not empty, empty
+
+
+def test_pinned_values_oracle_fails_loudly_off_scale(spark):
+    """model_fit_distributions pins seeded VALUES valid only at sf0.01; at
+    any other scale it must raise a config error instead of letting the gate
+    report a mysterious value-hash mismatch (ADVICE r3)."""
+    import pytest
+
+    from efficient_trees_spark.workloads.base import PinnedOracleScaleError
+
+    with pytest.raises(PinnedOracleScaleError, match="sf0.01"):
+        REGISTRY["model_fit_distributions"].fn(spark, "/root/testdata/sf0.001")
