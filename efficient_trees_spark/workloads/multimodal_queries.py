@@ -24,10 +24,36 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "mm_fake_image_features",
-    oracle=None,  # mapInPandas featurizer — not SQL-expressible, rows-only check
+    # The fake decode is deterministic byte arithmetic and the documents are
+    # pure printable ASCII (byte == char code), so the featurizer has an
+    # EXACT SQL twin: width/height from the first two bytes via ascii(),
+    # histogram bin 2 (bytes 0x20-0x2f: space + punctuation — the only
+    # discriminating low bin for printable text) via an RE2 char-class
+    # count.  Valid at any sf while the corpus stays ASCII.
+    oracle=r"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE ascii(substr(text, 1, 1)) % 64 + 1 END AS width,
+                   CASE WHEN length(text) = 0 THEN 0
+                        WHEN length(text) = 1 THEN ascii(substr(text, 1, 1)) % 64 + 1
+                        ELSE ascii(substr(text, 2, 1)) % 64 + 1 END AS height,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE round(CAST(len(regexp_extract_all(text, '[\x20-\x2f]')) AS DOUBLE)
+                                   / length(text), 9) END AS bin2
+            FROM documents
+        )
+        SELECT width, count(*) AS n,
+               round(avg(height), 6) AS avg_height,
+               round(avg(bin2), 6) AS avg_punct_bin
+        FROM d GROUP BY width
+    """,
     description="Arrow-batched featurizer over binary payloads (mapInPandas, "
     "explicit schema; deterministic fake decode — real decoders are stubbed, "
-    "see operators/multimodal.py) aggregated per 'image' width",
+    "see operators/multimodal.py) aggregated per 'image' width: count, mean "
+    "height, mean punctuation-range histogram mass.  The ASCII corpus makes "
+    "the byte-level decode exactly SQL-expressible (byte == char code), so "
+    "the Python featurizer's output values are in the correctness gate",
     tags=("multimodal",),
 )
 def mm_fake_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,7 +62,9 @@ def mm_fake_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.fake_image_features(binary)
     return feats.groupBy("width").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(F.element_at("histogram", 1)), 9).alias("avg_bin0"),
+        F.round(F.avg("height"), 6).alias("avg_height"),
+        # element_at is 1-based: index 3 == histogram bin 2 (bytes 32-47)
+        F.round(F.avg(F.element_at("histogram", 3)), 6).alias("avg_punct_bin"),
     )
 
 

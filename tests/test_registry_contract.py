@@ -23,11 +23,11 @@ def test_registry_fits_driver_window():
 
 
 def test_every_workload_names_an_oracle_or_declares_why():
-    # mm_fake_image_features is the single intentional rows-only check (the
-    # mapInPandas featurizer is not SQL-expressible); anything else without
-    # an oracle is a coverage regression.
+    # Round 4 closed the last rows-only gap (mm_fake_image_features gained
+    # an exact ascii()-twin oracle): every registered workload must now ship
+    # a DuckDB oracle — any regression here loses driver evidence.
     missing = [n for n, wl in REGISTRY.items() if wl.oracle is None]
-    assert missing == ["mm_fake_image_features"], missing
+    assert missing == [], missing
 
 
 def test_workloads_have_descriptions():
