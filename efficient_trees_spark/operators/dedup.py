@@ -390,58 +390,89 @@ def connected_components(
     id_col: str,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    max_iterations: int = 50,
+    max_iterations: int = 30,
 ) -> DataFrame:
     """Cluster near-duplicate pairs: (id, cluster_id) where cluster_id is the
     minimum doc id reachable through the pair graph; singletons cluster with
     themselves.  This is the step that turns pairwise dedup output into a
     keep/drop decision per document.
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels; converges in O(graph diameter)
-    rounds.  Near-dup clusters are small and dense (diameter 1-3 in
-    practice), so the loop is shallow; for adversarial long-chain graphs the
-    large-star/small-star algorithm (Kiveris et al., "Connected Components in
-    MapReduce and Beyond") halves diameter per round and would replace the
-    body without changing the contract.
+    Alternating large-star/small-star (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", public algorithm): each round rewires every
+    node's strictly-larger neighbors (large-star) then its smaller neighbors
+    (small-star) onto the local minimum, which at least halves component
+    "height" per round — O(log n) rounds on adversarial path graphs where
+    plain min-label propagation needs O(diameter) rounds (a scale-killer on
+    long near-dup chains at corpus size).  The fixed point is a star per
+    component rooted at the component minimum.
 
-    Scale notes: each round is one join (labels onto edges, key = node id)
-    plus one groupBy(id).min — both shuffles on the node-id key.  Labels are
-    localCheckpoint-ed per round so the plan does not grow with iterations,
-    and the convergence test rides the same materialization (count of
-    changed labels), costing no extra pass over the edges.
+    Scale notes: each round is two groupBy(node).min aggregations plus two
+    node-keyed joins — all shuffles on the node id, map-side combinable, no
+    data-size-dependent blowup.  The edge relation is localCheckpoint-ed per
+    round so the plan does not grow with iterations; convergence detection
+    (count + order-independent xxhash64 signature of the edge set) rides the
+    same materialization.
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    # undirected edge set as directed pairs, self-loops dropped
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint()
+    prev_sig = None
     for _ in range(max_iterations):
-        neighbor_labels = edges.join(
-            labels, edges.src == labels.id
-        ).select(F.col("dst").alias("id"), "label")
-        proposed = (
-            labels.union(neighbor_labels)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+        # -- large-star: for every node u (seen from both edge directions),
+        #    m = min(neighbors ∪ {u}); connect each neighbor v > u to m.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
         )
-        merged = (
-            proposed.join(
-                labels.withColumnRenamed("label", "old_label"), "id"
-            )
-            .select("id", "label", (F.col("label") != F.col("old_label")).alias("changed"))
+        ls = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(lmin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: orient edges child→smaller, m = min of the smaller
+        #    neighborhood; connect those neighbors AND u itself to m.
+        ss_in = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smin = ss_in.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ss_in.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint()
         )
-        n_changed = merged.filter("changed").count()
-        labels = merged.select("id", "label")
-        if n_changed == 0:
+        # order-independent edge-set signature; bit_xor cannot overflow
+        # under ANSI (unlike a sum of full-range hashes)
+        sig = tuple(
+            ss.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+            ).first()
+        )
+        e = ss
+        if sig == prev_sig:
             break
-    return labels.select(
-        F.col("id").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        (F.col("id") == F.col("label")).alias("keep"),
+        prev_sig = sig
+    # fixed point: every edge is (child, component-min); roots/singletons
+    # appear only as dst (or not at all) and label themselves.
+    roots = e.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(roots.withColumnRenamed("u", "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", F.col("id")).alias("cluster_id"),
+            (F.coalesce("label", F.col("id")) == F.col("id")).alias("keep"),
+        )
     )
 
 

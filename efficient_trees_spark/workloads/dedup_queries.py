@@ -176,6 +176,31 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidate_pairs(fps, "doc_id", max_hamming=3, n_chunks=4)
 
 
+# 13-gram decontamination twin: benchmark = the documents with doc_id < 5
+# (deterministic, needs no side table); a doc is contaminated if it shares
+# any 13-token shingle with a benchmark doc.  Survivors are the anti-join.
+_N_DECON = 13
+_BENCH_IDS = 5
+_GRAM13 = " || ' ' || ".join(
+    f"toks[CAST(i AS INT) + {j}]" if j else "toks[CAST(i AS INT)]"
+    for j in range(_N_DECON)
+)
+_DECON_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g13 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, CAST(greatest(len(toks) - {_N_DECON - 2}, 1) AS BIGINT)),
+                   i -> {_GRAM13}))) AS shingle
+        FROM t
+    ),
+    bench AS (SELECT DISTINCT shingle FROM g13 WHERE doc_id < {_BENCH_IDS}),
+    hits AS (SELECT DISTINCT g13.doc_id FROM g13 JOIN bench USING (shingle))
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
 @workload(
     "dedup_pairs_suite",
     oracle=f"""
@@ -184,14 +209,22 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'minhash_lsh', id_a, id_b, jaccard
         FROM ({_MINHASH_ORACLE})
+        UNION ALL
+        SELECT 'decontaminate', doc_id, CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM ({_DECON_ORACLE})
     """,
-    description="Near-duplicate pair suite over documents, two pipelines "
+    description="Near-duplicate pair suite over documents, three pipelines "
     "side by side: method='ngram_exact' joins trigram shingles directly "
     "(exact Jaccard >= 0.5, shingle-bucket-local with a df skew cap); "
     "method='minhash_lsh' is the full MinHash-LSH path (16 md5-family "
     "minhashes → 4 bands of 4 → bucket-local candidate join → exact Jaccard "
-    "verification of candidates only).  Each keeps its own full DuckDB "
-    "re-derivation of shingling, hashing, banding, and verification",
+    "verification of candidates only); method='decontaminate' rows are the "
+    "documents SURVIVING GPT-3-style benchmark decontamination (13-gram "
+    "collision against the doc_id<5 docs as the 'benchmark', broadcast "
+    "bench shingles + map-side anti-join — the corpus never shuffles).  "
+    "Each keeps its own full DuckDB re-derivation of shingling, hashing, "
+    "banding, and verification",
     tags=("dedup", "suite"),
 )
 def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,7 +235,16 @@ def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup_minhash_lsh(spark, sf_dir).select(
         F.lit("minhash_lsh").alias("method"), *cols
     )
-    return exact.unionByName(lsh)
+    docs = load(spark, sf_dir, "documents")
+    survivors = dedup.decontaminate(
+        docs, docs.filter(F.col("doc_id") < _BENCH_IDS), ngram=_N_DECON
+    ).select(
+        F.lit("decontaminate").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return exact.unionByName(lsh).unionByName(survivors)
 
 
 @workload(

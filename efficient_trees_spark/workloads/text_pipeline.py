@@ -246,17 +246,48 @@ _QUALITY_TOKS = """
 """
 
 
+def _contact_text() -> "F.Column":
+    """Deterministic PII-bearing text derived from doc_id — the corpus
+    itself contains no digits, so PII evidence is synthesized inside the
+    query (both engines derive the identical string, then each runs its own
+    regex engine over it: Java regex here, RE2 in the DuckDB twin — the
+    strict value-hash equality is exactly the cross-engine semantics check).
+    doc_id-mod gates vary which PII kinds each doc carries, so the counts
+    and the redacted md5 are discriminating, not constant."""
+    did = F.col("doc_id")
+    pad4 = F.lpad((did % 10000).cast("string"), 4, "0")
+    email = F.when(
+        did % 2 == 0,
+        F.concat(F.lit("user"), did.cast("string"), F.lit("@example.com ")),
+    ).otherwise(F.lit(""))
+    ipv4 = F.when(
+        did % 3 == 0,
+        F.concat(F.lit("src 10."), (did % 256).cast("string"), F.lit(".0.1 ")),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        did % 5 == 0, F.concat(F.lit("ssn 123-45-"), pad4, F.lit(" "))
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 4 == 0, F.concat(F.lit("tel +1 (555) 123-"), pad4, F.lit(" "))
+    ).otherwise(F.lit(""))
+    return F.concat(email, ipv4, ssn, phone, F.col("text"))
+
+
 @workload(
     "text_doc_profile",
     oracle=None,  # set below (needs the stopword array literal)
     description="Per-document text-analysis profile — token counting + "
     "type-token ratio, heuristic quality score (length band, lexical "
     "diversity, alpha share, stopword presence), content + bag "
-    "fingerprints, BPE-ish subword count with fertility, and winnowing "
-    "(MOSS) rolling-hash fingerprints — in ONE projection that tokenizes/"
-    "normalizes once and reuses the bound columns (measured 2.3x vs naive "
-    "re-tokenization).  Pure Catalyst expressions: no UDF, no shuffle, "
-    "scales linearly with the corpus",
+    "fingerprints, BPE-ish subword count with fertility, winnowing (MOSS) "
+    "rolling-hash fingerprints, PII detection + redaction over synthesized "
+    "doc_id-keyed contact text (per-kind counts and the redacted md5 — "
+    "Java-regex vs RE2 twin), Gopher-style repetition signals (duplicate-"
+    "line fraction, top-bigram coverage), and token-window chunking "
+    "(32-token chunks, 8 overlap: chunk count + first-chunk md5) — in ONE "
+    "projection that tokenizes/normalizes once and reuses the bound "
+    "columns (measured 2.3x vs naive re-tokenization).  Pure Catalyst "
+    "expressions: no UDF, no shuffle, scales linearly with the corpus",
     tags=("text", "dedup", "suite"),
 )
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,10 +297,31 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         text.tokens("text").alias("__toks"),
         text.normalized("text").alias("__norm"),
+        _contact_text().alias("__contact"),
     )
     toks = F.col("__toks")
     n_sub = text.subword_count("text")
     win = text.winnowing_fingerprints("text", k=8, w=4)
+    pii = text.pii_counts(F.col("__contact"))
+    chunks = text.token_chunks("text", chunk_tokens=32, overlap=8, toks=toks)
+    # multi-line view for the duplicate-line signal: the corpus is
+    # single-line, so derive lines as consecutive token PAIRS (discriminating
+    # on this vocabulary — ~36% of docs repeat a pair; splitting on filler
+    # words left every line unique).  Guard the sequence: sequence(1, 0) is
+    # DESCENDING in Spark, not empty.
+    n_pairs = F.floor(F.size(toks) / 2).cast("int")
+    pair_idx = F.when(n_pairs >= 1, F.sequence(F.lit(1), n_pairs)).otherwise(
+        F.array().cast("array<int>")
+    )
+    lines = F.array_join(
+        F.transform(
+            pair_idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i * 2 - 1), F.element_at(toks, i * 2)
+            ),
+        ),
+        "\n",
+    )
     return bound.select(
         "doc_id",
         text.token_count("text", toks=toks).alias("n_tokens"),
@@ -286,12 +338,72 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fertility"),
         F.size(win).alias("n_fp"),
         F.array_join(win, ",").alias("fps_str"),
+        pii.getField("email").alias("pii_email"),
+        pii.getField("ipv4").alias("pii_ipv4"),
+        pii.getField("ssn").alias("pii_ssn"),
+        pii.getField("phone").alias("pii_phone"),
+        F.md5(F.encode(text.redact_pii(F.col("__contact")), "utf-8")).alias(
+            "redacted_md5"
+        ),
+        F.round(text.duplicate_line_fraction(lines), 9).alias("dup_line_frac"),
+        F.round(text.top_bigram_fraction("text", toks=toks), 9).alias(
+            "top_bigram_frac"
+        ),
+        F.size(chunks).alias("n_chunks"),
+        # F.get is 0-based and NULL-safe on empty arrays (ANSI element_at throws)
+        F.coalesce(
+            F.md5(F.encode(F.get(chunks, 0).getField("chunk_text"), "utf-8")),
+            F.lit(""),
+        ).alias("chunk0_md5"),
     )
 
 
+# RE2 twins of the Java-regex PII patterns (functions/text.py): DuckDB's
+# regexp functions are RE2, which has no lookarounds — on the synthesized
+# contact corpus (space-delimited PII islands, digit-free base text) the
+# boundary guards are vacuous, so the plain shapes match the identical
+# spans.  The strict value-hash equality of counts + redacted md5 IS the
+# cross-engine proof of that equivalence.
+_EMAIL_RE2 = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE2 = r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"
+_SSN_RE2 = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PHONE_RE2 = r"\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{2,4}"
+
+# doc_id-keyed contact text — MUST mirror _contact_text() byte for byte
+_CONTACT_SQL = """
+    (CASE WHEN doc_id % 2 = 0
+          THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+          THEN 'src 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+          THEN 'ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+          THEN 'tel +1 (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END)
+    || text
+"""
+
+_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(contact, "
+    f"'{_EMAIL_RE2}', '<email>', 'g'), "
+    f"'{_IPV4_RE2}', '<ipv4>', 'g'), "
+    f"'{_SSN_RE2}', '<ssn>', 'g'), "
+    f"'{_PHONE_RE2}', '<phone>', 'g')"
+)
+
+# multi-line view for the duplicate-line signal: consecutive token pairs
+# (mirrors the Spark side's pair-line construction; pairs are non-empty and
+# pre-trimmed, so the function's trim/drop-empty normalization is identity)
+_LINES_SQL = (
+    "list_transform(range(1, CAST(len({t})//2 AS BIGINT) + 1), "
+    "i -> {t}[CAST(2*i-1 AS INT)] || ' ' || {t}[CAST(2*i AS INT)])"
+).format(t=_TOKS)
+
 REGISTRY["text_doc_profile"].oracle = f"""
     WITH base AS (
-        SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+        SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks,
+               {_CONTACT_SQL} AS contact,
+               {_LINES_SQL} AS lines
+        FROM documents
     ),
     g AS (
         SELECT doc_id,
@@ -318,9 +430,40 @@ REGISTRY["text_doc_profile"].oracle = f"""
                md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_fp,
                len(regexp_extract_all(text, '{_SUBWORD_RE_SQL}')) AS n_subwords,
                round(CAST(len(regexp_extract_all(text, '{_SUBWORD_RE_SQL}')) AS DOUBLE)
-                     / greatest(len(toks), 1), 9) AS fertility
+                     / greatest(len(toks), 1), 9) AS fertility,
+               len(regexp_extract_all(contact, '{_EMAIL_RE2}')) AS pii_email,
+               len(regexp_extract_all(contact, '{_IPV4_RE2}')) AS pii_ipv4,
+               len(regexp_extract_all(contact, '{_SSN_RE2}')) AS pii_ssn,
+               len(regexp_extract_all(contact, '{_PHONE_RE2}')) AS pii_phone,
+               md5({_REDACT_SQL}) AS redacted_md5,
+               round(CASE WHEN len(lines) > 0
+                     THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                     ELSE 0.0 END, 9) AS dup_line_frac,
+               CASE WHEN len(toks) <= 0 THEN 0
+                    ELSE 1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT)
+               END AS n_chunks,
+               CASE WHEN len(toks) > 0
+                    THEN md5(array_to_string(toks[1:32], ' '))
+                    ELSE '' END AS chunk0_md5
         FROM base
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, CAST(len(toks) AS BIGINT)),
+                   i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS g
+        FROM base WHERE len(toks) >= 2
+    ),
+    bgc AS (
+        SELECT doc_id, max(cnt) AS best
+        FROM (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g)
+        GROUP BY doc_id
     )
-    SELECT prof.*, len(s.fps) AS n_fp, array_to_string(s.fps, ',') AS fps_str
-    FROM prof JOIN s USING (doc_id)
+    SELECT prof.*,
+           round(CASE WHEN prof.n_tokens >= 2
+                 THEN least(1.0, 2.0 * coalesce(bgc.best, 0) / prof.n_tokens)
+                 ELSE 0.0 END, 9) AS top_bigram_frac,
+           len(s.fps) AS n_fp, array_to_string(s.fps, ',') AS fps_str
+    FROM prof
+    JOIN s USING (doc_id)
+    LEFT JOIN bgc USING (doc_id)
 """

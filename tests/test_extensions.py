@@ -218,8 +218,8 @@ def test_multimodal_null_payload(spark):
 
 
 def test_connected_components_chain(spark):
-    """A 5-doc chain a-b-c-d-e needs several propagation rounds; the min id
-    must reach the far end, and the singleton stays its own cluster."""
+    """A 5-doc chain a-b-c-d-e: the min id must reach the far end, and the
+    singleton stays its own cluster."""
     from efficient_trees_spark.operators.dedup import connected_components
 
     nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
@@ -234,6 +234,30 @@ def test_connected_components_chain(spark):
         0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False),
         4: (0, False), 5: (5, True),
     }
+
+
+def test_connected_components_long_path_logarithmic_rounds(spark):
+    """Adversarial 10k-node path graph: plain min-label propagation needs
+    O(diameter) ≈ 10k rounds; large-star/small-star must converge within
+    the 20-round budget (O(log n)) and still label every node with the
+    component minimum."""
+    from efficient_trees_spark.operators.dedup import connected_components
+
+    n = 10_000
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = (
+        spark.range(n - 1)
+        .selectExpr("id AS id_a", "id + 1 AS id_b")
+    )
+    out = connected_components(pairs, nodes, "doc_id", max_iterations=20)
+    agg = out.selectExpr(
+        "count(*) AS n",
+        "sum(CASE WHEN cluster_id = 0 THEN 1 ELSE 0 END) AS in_zero",
+        "sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep",
+    ).first()
+    assert agg["n"] == n
+    assert agg["in_zero"] == n  # every node reached the component min
+    assert agg["n_keep"] == 1  # exactly one canonical survivor
 
 
 def test_asof_join_backward_semantics(spark):
