@@ -51,6 +51,7 @@ from efficient_trees_spark.workloads.tree_queries import (  # noqa: E402
     tree_fit_binned_distribution,
     tree_fit_predict_distribution,
 )
+from efficient_trees_spark.workloads.wide_fit import tree_fit_wide  # noqa: E402
 
 BENCH_QUERIES = {
     "ann_cosine_threshold": ann_cosine_threshold,
@@ -66,6 +67,11 @@ BENCH_QUERIES = {
     "text_token_stats": text_token_stats,
     "tree_fit_binned_distribution": tree_fit_binned_distribution,
     "tree_fit_predict_distribution": tree_fit_predict_distribution,
+    # Round-4 addition: the reference's actual benchmark shape (~190 float
+    # features, depth-4 entropy fit — examples/memory_profiling.py) rather
+    # than the ~7-column testdata width.  Input table is materialized by the
+    # prepare hook below, OUTSIDE the timed region.
+    "tree_fit_wide": tree_fit_wide,
 }
 
 
@@ -85,6 +91,17 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    # One-time input materialization (e.g. the wide-fit table) runs before
+    # anything is timed; queries expose it as a `prepare` attribute.
+    for name, fn in BENCH_QUERIES.items():
+        prep = getattr(fn, "prepare", None)
+        if prep is None:
+            continue
+        for d in {warm_dir, sf_dir}:
+            try:
+                prep(spark, d)
+            except Exception as exc:  # prepare must never fail the bench
+                print(f"prepare {name} ({d}) failed: {exc}", file=sys.stderr)
     for name, fn in BENCH_QUERIES.items():
         try:
             fn(spark, warm_dir).write.mode("overwrite").format("noop").save()

@@ -90,7 +90,8 @@ class RandomForestClassifier:
             data, target_name, shrink_features
         )
         if self.max_bins is not None:
-            prepared = proto._bin_features(prepared, feature_names)
+            proto._compute_bin_edges(prepared, feature_names)
+            prepared = proto._snap_to_edges(prepared, feature_names)
         self.categorical_mappings = proto.categorical_mappings
         self._unique_targets = unique_targets
 
@@ -112,7 +113,11 @@ class RandomForestClassifier:
                     seed=self.seed + t,
                 )
                 tree = DecisionTreeClassifier(
-                    max_depth=self.max_depth, criterion=self.criterion
+                    max_depth=self.max_depth,
+                    criterion=self.criterion,
+                    # Propagated so the level-wise search takes the bounded-
+                    # candidates single-window path (the bag is pre-snapped).
+                    max_bins=self.max_bins,
                 )
                 self.trees.append(
                     tree._build_tree_levelwise(bag, subset, unique_targets)

@@ -1,0 +1,304 @@
+"""Arrow-batched partial histograms for the wide-fit split search.
+
+The default split search melts features to long form and hash-aggregates
+(`split_finder.candidate_split_gains`) — pure Catalyst, ideal at modest
+width.  At the reference's real benchmark width (~190 float features,
+``/root/reference/examples/memory_profiling.py:78-79``) the unpivot's Expand
+multiplies every row 190x through the codegen'd aggregate: measured ~6.5 s
+per tree level at just 60k rows (sf0.01), i.e. ~65 s per level at sf0.1.
+
+This module is the LightGBM-style alternative for BINNED mode: one
+``mapInArrow`` pass computes per-partition (node, feature, bin, class) count
+histograms with vectorized numpy (``searchsorted`` on the quantile edges +
+one flat ``bincount`` per node), emitting at most
+``nodes x features x (bins+1)`` partial rows per partition; a tiny hash
+aggregate merges the partials.  Snapping values to bin edges is folded into
+the same pass, so the separate bin-projection job disappears as well.
+
+Exactness: counts are integers and the emitted ``feature_value`` is the same
+edge double the Catalyst path would snap to, so every downstream gain is
+bit-identical to the melt path — asserted by ``tests/test_wide_fit.py``
+parity tests.  NULLs are dropped per-feature (reference F1 semantics; Arrow
+validity bitmaps distinguish NULL from NaN), NaN keeps its own bucket
+sorting greatest, exactly like the melt path.
+
+At 100 TB: the map side streams each partition's columnar batches once and
+keeps only an O(nodes x features x bins) int64 accumulator (~100 KB/node at
+190x33x2); the shuffle carries partial histograms, not rows — the same
+volume bound the melt path achieves via map-side combine but without paying
+row expansion CPU.  The driver never sees anything bigger than the merged
+histogram relation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.functions.exprs import class_count_col
+
+FEATURE = "feature"
+FEATURE_VALUE = "feature_value"
+
+
+def binned_histogram_counts(
+    df: DataFrame,
+    feature_names: list[str],
+    n_classes: int,
+    bin_edges: dict[str, list[float]],
+    target_idx_col: str,
+    node_col: str | None = None,
+) -> DataFrame:
+    """(keys..., feature, feature_value, class_*_count, count_examples) —
+    the same relation ``candidate_split_gains`` builds with
+    melt + groupBy, produced as merged Arrow partial histograms.
+
+    ``df`` carries RAW (unsnapped) double features; ``bin_edges`` maps each
+    feature to its ascending candidate edges (``DecisionTreeClassifier
+    ._bin_features`` contract: top edge is the true finite max).  Values are
+    snapped to the smallest edge >= value inside the histogram pass.
+    """
+    import pyarrow as pa
+
+    cols = ([node_col] if node_col else []) + [target_idx_col] + feature_names
+    src = df.select(*cols)
+
+    # Dense per-feature edge matrix (padded with +inf so searchsorted never
+    # lands past a shorter feature's real edges); slot L_f..slots-2 unused,
+    # slot slots-1 = NaN bucket.
+    n_feat = len(feature_names)
+    lens = np.array([len(bin_edges.get(f, ())) for f in feature_names], dtype=np.int64)
+    max_edges = int(lens.max()) if n_feat else 0
+    slots = max_edges + 1  # +1 NaN bucket
+    edges_mat = np.full((n_feat, max_edges), np.inf, dtype=np.float64)
+    for j, f in enumerate(feature_names):
+        e = bin_edges.get(f, ())
+        edges_mat[j, : len(e)] = np.asarray(e, dtype=np.float64)
+
+    count_fields = [pa.field(class_count_col(i), pa.int64()) for i in range(n_classes)]
+    out_fields = (
+        ([pa.field(node_col, pa.int32())] if node_col else [])
+        + [pa.field(FEATURE, pa.string()), pa.field(FEATURE_VALUE, pa.float64())]
+        + count_fields
+        + [pa.field("count_examples", pa.int64())]
+    )
+    out_schema = pa.schema(out_fields)
+    spark_schema = (
+        (f"{node_col} int, " if node_col else "")
+        + f"{FEATURE} string, {FEATURE_VALUE} double, "
+        + ", ".join(f"{class_count_col(i)} long" for i in range(n_classes))
+        + ", count_examples long"
+    )
+    names = list(feature_names)
+    tcol = target_idx_col
+    ncol = node_col
+
+    def histogram(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # node value -> flat int64 accumulator of shape (n_feat * slots * n_classes)
+        acc: dict[int, np.ndarray] = {}
+        flat_size = n_feat * slots * n_classes
+        feat_base = (np.arange(n_feat, dtype=np.int64) * slots)[None, :]  # (1, F)
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            target = batch.column(tcol).to_numpy(zero_copy_only=False).astype(np.int64)
+            nodes = (
+                batch.column(ncol).to_numpy(zero_copy_only=False).astype(np.int64)
+                if ncol
+                else np.zeros(n_rows, dtype=np.int64)
+            )
+            # Per-feature bin index matrix; slots-1 marks "drop" (NULL) rows
+            # temporarily as well, separated from NaN below via a weight mask.
+            idx = np.empty((n_rows, n_feat), dtype=np.int64)
+            valid = np.empty((n_rows, n_feat), dtype=bool)
+            for j in range(n_feat):
+                col = batch.column(names[j])
+                vals = col.to_numpy(zero_copy_only=False)
+                null_mask = (
+                    col.is_null().to_numpy(zero_copy_only=False)
+                    if col.null_count
+                    else None
+                )
+                nan_mask = np.isnan(vals)
+                if null_mask is not None:
+                    true_nan = nan_mask & ~null_mask
+                    valid[:, j] = ~null_mask
+                else:
+                    true_nan = nan_mask
+                    valid[:, j] = True
+                lj = lens[j]
+                if lj == 0:  # all-NULL feature: no candidate rows at all
+                    valid[:, j] = False
+                    idx[:, j] = 0
+                    continue
+                bj = np.searchsorted(edges_mat[j, :lj], vals, side="left")
+                # Defensive: a finite value above the top edge (impossible by
+                # the true-max contract, but never emit out of range).
+                np.minimum(bj, lj - 1, out=bj)
+                bj[true_nan] = slots - 1
+                idx[:, j] = bj
+
+            flat = (feat_base + idx) * n_classes + target[:, None]  # (N, F)
+            for nv in np.unique(nodes):
+                node_rows = nodes == nv
+                a = acc.get(int(nv))
+                if a is None:
+                    a = acc[int(nv)] = np.zeros(flat_size, dtype=np.int64)
+                sel = flat[node_rows][valid[node_rows]]
+                if sel.size:
+                    a += np.bincount(sel, minlength=flat_size)
+
+        # Emit non-empty histogram cells once per partition.
+        node_out: list[np.ndarray] = []
+        feat_out: list[np.ndarray] = []
+        value_out: list[np.ndarray] = []
+        class_out: list[list[np.ndarray]] = [[] for _ in range(n_classes)]
+        total_out: list[np.ndarray] = []
+        name_arr = np.asarray(names, dtype=object)
+        for nv, a in acc.items():
+            cube = a.reshape(n_feat, slots, n_classes)
+            totals = cube.sum(axis=2)  # (F, slots)
+            fj, sj = np.nonzero(totals)
+            if fj.size == 0:
+                continue
+            vals = edges_mat[fj, np.minimum(sj, lens[fj] - 1)]
+            vals = np.where(sj == slots - 1, np.nan, vals)
+            node_out.append(np.full(fj.size, nv, dtype=np.int32))
+            feat_out.append(name_arr[fj])
+            value_out.append(vals)
+            for i in range(n_classes):
+                class_out[i].append(cube[fj, sj, i])
+            total_out.append(totals[fj, sj])
+        if not node_out:
+            return
+        arrays = []
+        if ncol:
+            arrays.append(pa.array(np.concatenate(node_out), type=pa.int32()))
+        arrays.append(pa.array(np.concatenate(feat_out), type=pa.string()))
+        arrays.append(pa.array(np.concatenate(value_out), type=pa.float64()))
+        for i in range(n_classes):
+            arrays.append(pa.array(np.concatenate(class_out[i]), type=pa.int64()))
+        arrays.append(pa.array(np.concatenate(total_out), type=pa.int64()))
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    partials = src.mapInArrow(histogram, spark_schema)
+    keys = ([node_col] if node_col else []) + [FEATURE]
+    return partials.groupBy(*keys, FEATURE_VALUE).agg(
+        *[F.sum(class_count_col(i)).alias(class_count_col(i)) for i in range(n_classes)],
+        F.sum("count_examples").alias("count_examples"),
+    )
+
+
+def partition_quantile_edges(
+    df: DataFrame,
+    feature_names: list[str],
+    n_bins: int,
+    stats_per_partition: int,
+) -> dict[str, list[float]]:
+    """Equi-depth bin edges for every feature in ONE cheap pass + ONE tiny
+    shuffle — the numpy counterpart of ``percentile_approx``.
+
+    Stage 1 (``mapInArrow``): each partition sorts each feature column in
+    numpy (NULL/NaN dropped — NaN keeps its own candidate slot downstream)
+    and emits ``stats_per_partition`` equally spaced order statistics, each
+    weighted by the run of rows it covers, plus the partition's true max and
+    row count.  Cost: P x F vectorized sorts; output P x F tiny rows.
+
+    Stage 2 (``applyInPandas`` keyed by feature): the weighted merge of the
+    per-partition statistics — sort, cumulative weight, pick the value at
+    rank k/n_bins x N for k=1..n_bins-1, union the TRUE max (a top edge
+    below the max would leave high values unmappable).  Rank error is
+    bounded by 1/stats_per_partition (each partition's contribution to any
+    rank estimate is off by less than one inter-statistic run).
+
+    Scale: the shuffle carries P x F x stats doubles spread over F reduce
+    groups; nothing data-sized ever reaches one task or the driver (the
+    driver collects F edge rows).  Measured 6x faster than the
+    ``percentile_approx`` ObjectHashAggregate at the reference's
+    190-feature width (19 s -> ~3 s at 600k rows), because the sketch
+    update loop is replaced by vectorized sorts.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    src = df.select(*feature_names)
+    names = list(feature_names)
+    g = int(stats_per_partition)
+
+    out_schema = pa.schema(
+        [
+            pa.field(FEATURE, pa.string()),
+            pa.field("vals", pa.list_(pa.float64())),
+            pa.field("gaps", pa.list_(pa.float64())),
+            pa.field("vmax", pa.float64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def order_stats(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        chunks: list[list[np.ndarray]] = [[] for _ in names]
+        for batch in batches:
+            for j in range(len(names)):
+                vals = batch.column(names[j]).to_numpy(zero_copy_only=False)
+                vals = vals[~np.isnan(vals)]  # nulls arrive as NaN: drop both
+                if vals.size:
+                    chunks[j].append(vals)
+        feats, vals_out, gaps_out, vmax_out, n_out = [], [], [], [], []
+        for j, name in enumerate(names):
+            if not chunks[j]:
+                continue
+            v = np.sort(np.concatenate(chunks[j]))
+            n = v.size
+            pos = np.unique(np.round(np.linspace(0, n - 1, min(g, n))).astype(np.int64))
+            stats = v[pos]
+            gaps = np.diff(np.concatenate(([np.int64(-1)], pos))).astype(np.float64)
+            feats.append(name)
+            vals_out.append(stats)
+            gaps_out.append(gaps)
+            vmax_out.append(float(v[-1]))
+            n_out.append(n)
+        if not feats:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(feats, type=pa.string()),
+                pa.array([x.tolist() for x in vals_out], type=pa.list_(pa.float64())),
+                pa.array([x.tolist() for x in gaps_out], type=pa.list_(pa.float64())),
+                pa.array(vmax_out, type=pa.float64()),
+                pa.array(n_out, type=pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    partials = src.mapInArrow(
+        order_stats,
+        f"{FEATURE} string, vals array<double>, gaps array<double>, vmax double, n long",
+    )
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        all_vals = np.concatenate([np.asarray(x) for x in pdf["vals"]])
+        all_gaps = np.concatenate([np.asarray(x) for x in pdf["gaps"]])
+        order = np.argsort(all_vals, kind="stable")
+        sv = all_vals[order]
+        cw = np.cumsum(all_gaps[order])
+        total = float(pdf["n"].sum())
+        targets = np.array([k / n_bins for k in range(1, n_bins)]) * total
+        idx = np.minimum(np.searchsorted(cw, targets, side="left"), sv.size - 1)
+        edges = set(sv[idx].tolist()) | {float(pdf["vmax"].max())}
+        return pd.DataFrame(
+            {FEATURE: [pdf[FEATURE].iloc[0]], "edges": [sorted(edges)]}
+        )
+
+    rows = (
+        partials.groupBy(FEATURE)
+        .applyInPandas(merge, f"{FEATURE} string, edges array<double>")
+        .collect()
+    )
+    found = {row[FEATURE]: list(row["edges"]) for row in rows}
+    return {name: found.get(name, []) for name in names}

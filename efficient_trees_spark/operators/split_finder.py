@@ -77,6 +77,9 @@ def candidate_split_gains(
     node_col: str | None = None,
     num_buckets: int | None = None,
     include_child_counts: bool = False,
+    hist_method: str = "expand",
+    bin_edges: dict[str, list[float]] | None = None,
+    bounded_candidates: bool = False,
 ) -> DataFrame:
     """Information gain of EVERY candidate split of every feature.
 
@@ -114,14 +117,64 @@ def candidate_split_gains(
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    long_df = melt_features(
-        df, feature_names, target_idx_col, extra_id_cols=[node_col] if node_col else None
-    )
 
-    counts = long_df.groupBy(*keys, FEATURE_VALUE).agg(
-        *exprs.conditional_class_counts(target_idx_col, n_classes),
-        F.count(F.lit(1)).alias("count_examples"),
-    )
+    if hist_method == "arrow":
+        # Wide-fit path (binned mode only): Arrow-batched partial histograms
+        # replace the unpivot Expand + hash aggregate — same counts relation,
+        # bit-identical downstream (operators/histogram.py; measured ~10x at
+        # the reference's 190-feature shape).  ``df`` carries RAW features;
+        # snapping to the quantile edges happens inside the histogram pass.
+        from efficient_trees_spark.operators.histogram import binned_histogram_counts
+
+        if bin_edges is None:
+            raise ValueError("hist_method='arrow' requires bin_edges (binned mode)")
+        counts = binned_histogram_counts(
+            df, feature_names, n_classes, bin_edges, target_idx_col, node_col
+        )
+    elif hist_method == "expand":
+        long_df = melt_features(
+            df, feature_names, target_idx_col, extra_id_cols=[node_col] if node_col else None
+        )
+        counts = long_df.groupBy(*keys, FEATURE_VALUE).agg(
+            *exprs.conditional_class_counts(target_idx_col, n_classes),
+            F.count(F.lit(1)).alias("count_examples"),
+        )
+    else:
+        raise ValueError(f"unknown hist_method: {hist_method!r}")
+
+    if bounded_candidates or hist_method == "arrow":
+        # Binned mode: ≤ max_bins+1 candidate rows per (node, feature) BY
+        # CONSTRUCTION, so the two-phase bucketed scan below is pure fixed
+        # overhead (measured ~4 s/level of extra stages at 190 features).
+        # One window pass computes running and total sums together; buffering
+        # a ≤33-row partition is trivial, and parallelism is nodes x features.
+        w_cum = (
+            Window.partitionBy(*keys)
+            .orderBy(FEATURE_VALUE)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = (
+            Window.partitionBy(*keys)
+            .orderBy(FEATURE_VALUE)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        cum = counts.select(
+            *keys,
+            FEATURE_VALUE,
+            *[
+                F.sum(exprs.class_count_col(i)).over(w_cum).alias(f"cum_class_{i}")
+                for i in range(n_classes)
+            ],
+            F.sum("count_examples").over(w_cum).alias("cum_n"),
+            *[
+                F.sum(exprs.class_count_col(i)).over(w_all).alias(f"sum_class_{i}")
+                for i in range(n_classes)
+            ],
+            F.sum("count_examples").over(w_all).alias("sum_n"),
+        )
+        return _gains_from_prefix_sums(
+            cum, keys, n_classes, criterion, include_child_counts
+        )
 
     # Per-(node,feature) totals as a grouped aggregate + broadcast join — NOT
     # an unbounded-frame window: WindowExec buffers the whole partition for
@@ -204,7 +257,20 @@ def candidate_split_gains(
         .join(F.broadcast(offsets), [*keys, "__bucket"])
         .select(*keys, FEATURE_VALUE, *cum_cols, *sum_cols)
     )
+    return _gains_from_prefix_sums(cum, keys, n_classes, criterion, include_child_counts)
 
+
+def _gains_from_prefix_sums(
+    cum: DataFrame,
+    keys: list[str],
+    n_classes: int,
+    criterion: Criterion,
+    include_child_counts: bool,
+) -> DataFrame:
+    """Prefix-sum relation (keys, feature_value, cum_class_*, cum_n,
+    sum_class_*, sum_n) → per-candidate information gains.  Shared by the
+    two-phase bucketed scan (exact mode) and the single-window bounded path
+    (binned mode)."""
     # Drop the maximal value of each feature: a split there leaves the right
     # child empty (reference F3, tree.py:274-277).
     cum = cum.filter(F.col("sum_n") > F.col("cum_n"))
@@ -292,6 +358,9 @@ def find_best_splits_per_node(
     criterion: Criterion,
     node_col: str,
     target_idx_col: str = TARGET_IDX,
+    hist_method: str = "expand",
+    bin_edges: dict[str, list[float]] | None = None,
+    bounded_candidates: bool = False,
 ) -> list[dict[str, Any]]:
     """Best split of EVERY node of a tree level in one job (PLANET-style).
 
@@ -315,6 +384,9 @@ def find_best_splits_per_node(
         target_idx_col,
         node_col=node_col,
         include_child_counts=True,
+        hist_method=hist_method,
+        bin_edges=bin_edges,
+        bounded_candidates=bounded_candidates,
     )
     position = F.create_map(
         *[x for i, name in enumerate(feature_names) for x in (F.lit(name), F.lit(i))]

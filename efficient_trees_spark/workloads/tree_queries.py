@@ -246,9 +246,9 @@ def forest_fit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FIT_DISTRIBUTIONS_SF0_01 = """
     SELECT model, prediction, CAST(n AS BIGINT) AS n FROM (VALUES
         ('tree', 'A', 1688), ('tree', 'N', 52976), ('tree', 'R', 5336),
-        ('tree_binned', 'A', 1688), ('tree_binned', 'N', 54020),
-        ('tree_binned', 'R', 4292),
-        ('forest', 'A', 56903), ('forest', 'N', 2497), ('forest', 'R', 600)
+        ('tree_binned', 'A', 1688), ('tree_binned', 'N', 52304),
+        ('tree_binned', 'R', 6008),
+        ('forest', 'A', 56144), ('forest', 'N', 2701), ('forest', 'R', 1155)
     ) AS t(model, prediction, n)
 """
 
