@@ -270,3 +270,128 @@ def ivf_cosine_topk(
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------- IVF centroid training
+
+def _literal_centroids(centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<cid, cvec, cnorm>> literal for map-only assignment."""
+    import math
+
+    items = []
+    for cid, cvec in centroids:
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        items.append(
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
+                F.lit(cnorm).alias("cnorm"),
+            )
+        )
+    return F.array(*items)
+
+
+def assign_literal_centroid(
+    vec: Column, centroids: list[tuple[int, list[float]]], round_to: int = 6
+) -> Column:
+    """Nearest-centroid cell id as a PURE PROJECTION — no join, no shuffle.
+
+    The centroid set is encoded as a literal array expression (k is small by
+    construction: it lives on the driver between Lloyd iterations), so
+    assignment costs k inline dot products per row inside whole-stage
+    codegen.  Cosine is rounded and ties break on the LOWEST cid — the same
+    total order ``nearest_centroids`` uses, so a trained centroid set plugs
+    into ``ivf_cosine_topk`` with identical cell semantics.
+    """
+    vnorm = norm(vec)
+    # named_struct, not struct(...alias...): aliases are dropped inside
+    # lambda-function bodies (fields would come out col1/col2).
+    scored = F.transform(
+        _literal_centroids(centroids),
+        lambda c: F.named_struct(
+            F.lit("cos"),
+            F.round(dot(vec, c["cvec"]) / (vnorm * c["cnorm"]), round_to),
+            F.lit("neg_cid"),
+            -c["cid"],
+        ),
+    )
+    return (-F.array_max(scored)["neg_cid"]).alias("cell")
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iters: int = 5,
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    The reference ships no trainer (its ANN path is brute-force only); this
+    is the data-adapted upgrade over seed-sampled centroids for
+    ``ivf_cosine_topk``.  Deterministic throughout: init picks the k vectors
+    with the smallest ``xxhash64(id)`` (a seeded uniform sample with a total
+    order), assignment rounds cosine and tie-breaks on cid, and means are
+    exact per-dimension averages.
+
+    Scale shape per iteration (the classic Spark k-means loop):
+
+    * **assign** — centroids ride into the plan as a literal expression
+      (``assign_literal_centroid``): one map-only pass, zero shuffle, k dot
+      products per row in codegen.  No crossJoin row expansion.
+    * **update** — ``posexplode`` to (cell, pos, val) feeds a map-side
+      combined ``groupBy(cell, pos).avg``: shuffle volume is
+      partitions x k x dim partial sums, never corpus-sized.
+    * **driver** — holds exactly k x dim doubles between iterations (the
+      centroids ARE broadcast state by design).
+
+    Empty cells drop out (k can shrink on degenerate data) — documented
+    k-means behavior; callers needing exact k re-seed.  The input relation
+    is persisted for the duration of the loop and unpersisted after.
+
+    Returns ``[(cid, centroid_vector)]`` with cids renumbered 0..k'-1 in
+    cell order; feed to ``centroids_frame`` / ``assign_literal_centroid``.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__vec")
+    ).filter(F.col("__vec").isNotNull())
+    v = v.persist()
+    try:
+        seeds = (
+            v.orderBy(F.xxhash64("__vid"), F.col("__vid"))
+            .limit(k)
+            .select("__vec")
+            .collect()
+        )
+        centroids = [(i, list(row["__vec"])) for i, row in enumerate(seeds)]
+        for _ in range(n_iters):
+            cell = assign_literal_centroid(F.col("__vec"), centroids, round_to)
+            means = (
+                v.select(cell, F.posexplode("__vec").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("val").alias("mean_val"))
+                .groupBy("cell")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "mean_val"))
+                    ).alias("dims")
+                )
+                .collect()
+            )
+            centroids = [
+                (new_cid, [d["mean_val"] for d in row["dims"]])
+                for new_cid, row in enumerate(sorted(means, key=lambda r: r["cell"]))
+            ]
+        return centroids
+    finally:
+        v.unpersist()
+
+
+def centroids_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(cid, cvec) DataFrame from a trained centroid list — the shape
+    ``ivf_cosine_topk`` consumes."""
+    return spark.createDataFrame(
+        [(cid, [float(x) for x in cvec]) for cid, cvec in centroids],
+        "cid long, cvec array<double>",
+    )
