@@ -15,6 +15,13 @@ one flat ``bincount`` per node), emitting at most
 aggregate merges the partials.  Snapping values to bin edges is folded into
 the same pass, so the separate bin-projection job disappears as well.
 
+The production wide-fit flow goes one step further (packed-matrix section
+below): the feature matrix crosses the JVM boundary ONCE as a single array
+column, is persisted as packed uint8 bin codes (1 byte/cell), and every
+level's histogram + tree routing runs on that 2-column relation —
+``binned_histogram_counts`` on raw columns remains the >253-edge fallback
+and the parity oracle.
+
 Exactness: counts are integers and the emitted ``feature_value`` is the same
 edge double the Catalyst path would snap to, so every downstream gain is
 bit-identical to the melt path — asserted by ``tests/test_wide_fit.py``
@@ -281,6 +288,17 @@ def partition_quantile_edges(
         f"{FEATURE} string, vals array<double>, gaps array<double>, vmax double, n long",
     )
 
+    return _merge_edge_stats(partials, names, n_bins)
+
+
+def _merge_edge_stats(
+    partials: DataFrame, feature_names: list[str], n_bins: int
+) -> dict[str, list[float]]:
+    """Stage 2 of the order-statistic edge computation (shared by the
+    column-wise and packed stage-1 variants): weighted merge of the
+    per-partition statistics keyed by feature, union of the TRUE max."""
+    import pandas as pd
+
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
         all_vals = np.concatenate([np.asarray(x) for x in pdf["vals"]])
         all_gaps = np.concatenate([np.asarray(x) for x in pdf["gaps"]])
@@ -301,4 +319,371 @@ def partition_quantile_edges(
         .collect()
     )
     found = {row[FEATURE]: list(row["edges"]) for row in rows}
-    return {name: found.get(name, []) for name in names}
+    return {name: found.get(name, []) for name in feature_names}
+
+
+# ----------------------------------------------------- packed-matrix path
+#
+# Measured floor for the per-level histogram pass at the reference's
+# 190-feature width: the JVM -> Arrow conversion of ~190 separate columns
+# costs ~4 s per pass at 600k rows (115M per-field writes through Spark's
+# row-based ArrowWriter) — with the numpy side under 0.5 s.  Packing the
+# whole feature matrix into ONE binary blob per row drops the same transfer
+# to ~1 s: the writer moves 2 fields per row and the Python side recovers
+# the (rows x features) matrix zero-copy with ``np.frombuffer``.
+#
+# Representation: row-major float32 (or float64 when the fit is unshrunk)
+# for the raw matrix; row-major uint8 bin codes after encoding.  NULL is a
+# reserved quiet-NaN BIT PATTERN (real NaNs are canonicalized first, so the
+# two stay distinguishable — both are NaN to comparisons, which is exactly
+# how the unpacked path treats them for edge placement); in code space NULL
+# and NaN are the reserved top codes.  Tree routing runs vectorized in
+# numpy inside the histogram pass (``route_codes``) instead of as a JVM
+# routing column, preserving the routing semantics bit-for-bit:
+# left = code <= t (NULL=255 and NaN=254 both fail), right = code > t
+# excluding NULL (NaN routes right, matching Spark's NaN-sorts-greatest).
+
+PACKED_COL = "__packed"
+PACKED_NAN_CODE = 254
+PACKED_NULL_CODE = 255
+_MAX_PACKED_EDGES = 253
+
+# Reserved quiet-NaN payloads marking NULL cells in the packed float matrix.
+_F32_CANON_NAN_BITS = np.uint32(0x7FC00000)
+_F32_NULL_BITS = np.uint32(0x7FC00001)
+_F64_CANON_NAN_BITS = np.uint64(0x7FF8000000000000)
+_F64_NULL_BITS = np.uint64(0x7FF8000000000001)
+
+
+def _dtype_info(dtype: str):
+    if dtype == "f4":
+        return np.float32, np.uint32, _F32_CANON_NAN_BITS, _F32_NULL_BITS
+    if dtype == "f8":
+        return np.float64, np.uint64, _F64_CANON_NAN_BITS, _F64_NULL_BITS
+    raise ValueError(f"unknown packed dtype: {dtype!r}")
+
+
+def _pack_binary(mat: "np.ndarray"):
+    """One binary blob per matrix row, zero-copy via manual offsets."""
+    import pyarrow as pa
+
+    n, width = mat.shape
+    row_bytes = width * mat.itemsize
+    offsets = np.arange(0, (n + 1) * row_bytes, row_bytes, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(mat.tobytes())],
+    )
+
+
+def _unpack_binary(col, width: int, dtype) -> "np.ndarray":
+    """(rows x width) matrix view over an Arrow binary column's data buffer."""
+    flat = np.frombuffer(col.buffers()[2], dtype=dtype)
+    start = col.offset  # combine() may hand us a sliced array
+    return flat[start * width : (start + len(col)) * width].reshape(-1, width)
+
+
+def pack_raw_features(
+    df: DataFrame,
+    feature_names: list[str],
+    target_idx_col: str,
+    dtype: str = "f4",
+    packed_col: str = PACKED_COL,
+) -> DataFrame:
+    """(packed binary, target int) — the raw feature matrix as one blob per
+    row.  The ONE wide Arrow conversion of the whole fit; everything
+    downstream (edge placement, encoding, per-level histograms) reads the
+    cheap 2-column packed relation.
+
+    The features cross the JVM boundary as a single ``F.array`` column, not
+    ~190 separate columns: Spark's Arrow writer moves one list field per row
+    instead of one write per (row, column) — measured ~3x faster at width
+    190 — and the Arrow list's flat values buffer IS the row-major matrix,
+    recovered zero-copy on the Python side.  NULL elements survive as list
+    inner nulls and become the reserved NULL bit pattern."""
+    import pyarrow as pa
+
+    names = list(feature_names)
+    tcol = target_idx_col
+    np_dtype, bits_dtype, canon_nan_bits, null_bits = _dtype_info(dtype)
+    n_feat = len(names)
+    elem_type = "float" if dtype == "f4" else "double"
+    src = df.select(
+        F.array(*[F.col(f).cast(elem_type) for f in names]).alias("__arr"),
+        target_idx_col,
+    )
+
+    def pack(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            flat = b.column("__arr").flatten()  # logical values, offset-safe
+            vals = flat.to_numpy(zero_copy_only=False).astype(np_dtype, copy=True)
+            bits = vals.view(bits_dtype)
+            bits[np.isnan(vals)] = canon_nan_bits
+            if flat.null_count:
+                bits[flat.is_null().to_numpy(zero_copy_only=False)] = null_bits
+            mat = np.ascontiguousarray(vals.reshape(n, n_feat))
+            target = (
+                b.column(tcol).to_numpy(zero_copy_only=False).astype(np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [_pack_binary(mat), pa.array(target, type=pa.int32())],
+                names=[packed_col, tcol],
+            )
+
+    return src.mapInArrow(pack, f"{packed_col} binary, {tcol} int")
+
+
+def quantile_edges_packed(
+    packed_df: DataFrame,
+    feature_names: list[str],
+    n_bins: int,
+    stats_per_partition: int,
+    dtype: str = "f4",
+    packed_col: str = PACKED_COL,
+) -> dict[str, list[float]]:
+    """:func:`partition_quantile_edges` stage 1 reading the packed matrix
+    (cheap 2-column transfer) + the shared stage-2 merge.  Emits the same
+    per-partition order statistics, so edges are identical to the
+    column-wise variant over the same values."""
+    import pyarrow as pa
+
+    names = list(feature_names)
+    np_dtype, _, _, _ = _dtype_info(dtype)
+    n_feat = len(names)
+    g = int(stats_per_partition)
+
+    def order_stats(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        mats = [
+            _unpack_binary(b.column(packed_col), n_feat, np_dtype)
+            for b in batches
+            if b.num_rows
+        ]
+        if not mats:
+            return
+        full = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        feats, vals_out, gaps_out, vmax_out, n_out = [], [], [], [], []
+        for j, name in enumerate(names):
+            v = full[:, j]
+            v = v[~np.isnan(v)]  # drops real NaN and the NULL sentinel alike
+            if not v.size:
+                continue
+            v = np.sort(v)
+            n = v.size
+            pos = np.unique(np.round(np.linspace(0, n - 1, min(g, n))).astype(np.int64))
+            stats = v[pos]
+            gaps = np.diff(np.concatenate(([np.int64(-1)], pos))).astype(np.float64)
+            feats.append(name)
+            vals_out.append(stats)
+            gaps_out.append(gaps)
+            vmax_out.append(float(v[-1]))
+            n_out.append(n)
+        if not feats:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(feats, type=pa.string()),
+                pa.array([x.tolist() for x in vals_out], type=pa.list_(pa.float64())),
+                pa.array([x.tolist() for x in gaps_out], type=pa.list_(pa.float64())),
+                pa.array(vmax_out, type=pa.float64()),
+                pa.array(n_out, type=pa.int64()),
+            ],
+            names=[FEATURE, "vals", "gaps", "vmax", "n"],
+        )
+
+    partials = packed_df.select(packed_col).mapInArrow(
+        order_stats,
+        f"{FEATURE} string, vals array<double>, gaps array<double>, vmax double, n long",
+    )
+    return _merge_edge_stats(partials, names, n_bins)
+
+
+def encode_packed(
+    packed_df: DataFrame,
+    feature_names: list[str],
+    bin_edges: dict[str, list[float]],
+    target_idx_col: str,
+    dtype: str = "f4",
+    packed_col: str = PACKED_COL,
+) -> DataFrame:
+    """Packed raw floats -> packed uint8 bin codes (1 byte/cell persisted,
+    no per-level ``searchsorted``).  Codes are ORDER-ISOMORPHIC to values:
+    ``v <= edge_j <=> code(v) <= j`` (the first edge >= v sits at or before
+    j iff v <= edge_j), so routing on codes is bit-equivalent to routing on
+    raw values; NaN -> 254, NULL -> 255 (see module notes)."""
+    import pyarrow as pa
+
+    if any(len(e) > _MAX_PACKED_EDGES for e in bin_edges.values()):
+        raise ValueError(
+            f"encode_packed supports at most {_MAX_PACKED_EDGES} edges per feature"
+        )
+    names = list(feature_names)
+    tcol = target_idx_col
+    np_dtype, bits_dtype, _, null_bits = _dtype_info(dtype)
+    n_feat = len(names)
+    edges_list = [np.asarray(bin_edges.get(f, ()), dtype=np.float64) for f in names]
+
+    def encode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            mat = _unpack_binary(b.column(packed_col), n_feat, np_dtype)
+            codes = np.empty((n, n_feat), dtype=np.uint8)
+            for j in range(n_feat):
+                vals = mat[:, j]
+                nullm = vals.view(bits_dtype) == null_bits
+                nanm = np.isnan(vals) & ~nullm
+                ej = edges_list[j]
+                if ej.size:
+                    cj = np.searchsorted(ej, vals, side="left")
+                    np.minimum(cj, ej.size - 1, out=cj)
+                    col_codes = cj.astype(np.uint8)
+                    col_codes[nanm] = PACKED_NAN_CODE
+                else:  # all-NULL/NaN feature: no candidates at all
+                    col_codes = np.full(n, PACKED_NULL_CODE, dtype=np.uint8)
+                col_codes[nullm] = PACKED_NULL_CODE
+                codes[:, j] = col_codes
+            target = b.column(tcol)
+            yield pa.RecordBatch.from_arrays(
+                [_pack_binary(codes), target.combine_chunks() if hasattr(target, "combine_chunks") else target],
+                names=[packed_col, tcol],
+            )
+
+    return packed_df.select(packed_col, tcol).mapInArrow(
+        encode, f"{packed_col} binary, {tcol} int"
+    )
+
+
+def route_codes(mat: "np.ndarray", splits: list[tuple]) -> "np.ndarray":
+    """Vectorized tree routing over the (rows x features) uint8 code matrix.
+
+    ``splits`` lists internal nodes in parent-before-child order:
+    ``(node_id, feature_pos, code_threshold, left_id, right_id)`` with -1
+    for finalized (leaf) children.  Returns each row's pending-node id, or
+    -1 for rows under finished leaves / NULL in a split feature — the exact
+    semantics of ``DecisionTreeClassifier._routing_expr``."""
+    node = np.zeros(mat.shape[0], dtype=np.int32)
+    for nid, fpos, code_t, left_id, right_id in splits:
+        idx = np.flatnonzero(node == nid)
+        if not idx.size:
+            continue
+        c = mat[idx, fpos]
+        lm = c <= code_t
+        rm = (c > code_t) & (c != PACKED_NULL_CODE)
+        node[idx[lm]] = left_id
+        node[idx[rm]] = right_id
+        node[idx[~lm & ~rm]] = -1
+    return node
+
+
+def packed_histogram_counts(
+    packed_df: DataFrame,
+    feature_names: list[str],
+    n_classes: int,
+    bin_edges: dict[str, list[float]],
+    target_idx_col: str,
+    routing_splits: list[tuple],
+    node_col: str,
+    packed_col: str = PACKED_COL,
+) -> DataFrame:
+    """:func:`binned_histogram_counts` over the packed uint8 code matrix,
+    with tree routing fused into the same numpy pass (``route_codes``) —
+    the per-level cost is one 2-column transfer of the cached code relation
+    plus bincounts; the emitted relation is identical."""
+    import pyarrow as pa
+
+    names = list(feature_names)
+    tcol = target_idx_col
+    ncol = node_col
+    n_feat = len(names)
+    lens = np.array([len(bin_edges.get(f, ())) for f in names], dtype=np.int64)
+    max_edges = int(lens.max()) if n_feat else 0
+    slots = max_edges + 1  # +1 NaN bucket
+    edges_mat = np.full((n_feat, max_edges), np.inf, dtype=np.float64)
+    for j, f in enumerate(names):
+        e = bin_edges.get(f, ())
+        edges_mat[j, : len(e)] = np.asarray(e, dtype=np.float64)
+
+    count_fields = [pa.field(class_count_col(i), pa.int64()) for i in range(n_classes)]
+    out_schema = pa.schema(
+        [pa.field(ncol, pa.int32()), pa.field(FEATURE, pa.string()),
+         pa.field(FEATURE_VALUE, pa.float64())]
+        + count_fields
+        + [pa.field("count_examples", pa.int64())]
+    )
+    spark_schema = (
+        f"{ncol} int, {FEATURE} string, {FEATURE_VALUE} double, "
+        + ", ".join(f"{class_count_col(i)} long" for i in range(n_classes))
+        + ", count_examples long"
+    )
+    cap = np.maximum(lens - 1, 0)[None, :]
+    has_edges = (lens > 0)[None, :]
+
+    def histogram(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        acc: dict[int, np.ndarray] = {}
+        flat_size = n_feat * slots * n_classes
+        feat_base = (np.arange(n_feat, dtype=np.int64) * slots)[None, :]
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            mat = _unpack_binary(batch.column(packed_col), n_feat, np.uint8)
+            target = batch.column(tcol).to_numpy(zero_copy_only=False).astype(np.int64)
+            nodes = route_codes(mat, routing_splits)
+            keep = nodes >= 0
+            if not keep.any():
+                continue
+            if not keep.all():
+                mat, target, nodes = mat[keep], target[keep], nodes[keep]
+            m64 = mat.astype(np.int64)
+            idx = np.where(m64 == PACKED_NAN_CODE, slots - 1, np.minimum(m64, cap))
+            valid = (m64 != PACKED_NULL_CODE) & has_edges
+            flat = (feat_base + idx) * n_classes + target[:, None]
+            for nv in np.unique(nodes):
+                a = acc.get(int(nv))
+                if a is None:
+                    a = acc[int(nv)] = np.zeros(flat_size, dtype=np.int64)
+                node_rows = nodes == nv
+                sel = flat[node_rows][valid[node_rows]]
+                if sel.size:
+                    a += np.bincount(sel, minlength=flat_size)
+
+        node_out, feat_out, value_out, total_out = [], [], [], []
+        class_out: list[list[np.ndarray]] = [[] for _ in range(n_classes)]
+        name_arr = np.asarray(names, dtype=object)
+        for nv, a in acc.items():
+            cube = a.reshape(n_feat, slots, n_classes)
+            totals = cube.sum(axis=2)
+            fj, sj = np.nonzero(totals)
+            if fj.size == 0:
+                continue
+            vals = edges_mat[fj, np.minimum(sj, lens[fj] - 1)]
+            vals = np.where(sj == slots - 1, np.nan, vals)
+            node_out.append(np.full(fj.size, nv, dtype=np.int32))
+            feat_out.append(name_arr[fj])
+            value_out.append(vals)
+            for i in range(n_classes):
+                class_out[i].append(cube[fj, sj, i])
+            total_out.append(totals[fj, sj])
+        if not node_out:
+            return
+        arrays = [
+            pa.array(np.concatenate(node_out), type=pa.int32()),
+            pa.array(np.concatenate(feat_out), type=pa.string()),
+            pa.array(np.concatenate(value_out), type=pa.float64()),
+        ]
+        for i in range(n_classes):
+            arrays.append(pa.array(np.concatenate(class_out[i]), type=pa.int64()))
+        arrays.append(pa.array(np.concatenate(total_out), type=pa.int64()))
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    partials = packed_df.select(packed_col, tcol).mapInArrow(histogram, spark_schema)
+    return partials.groupBy(ncol, FEATURE, FEATURE_VALUE).agg(
+        *[F.sum(class_count_col(i)).alias(class_count_col(i)) for i in range(n_classes)],
+        F.sum("count_examples").alias("count_examples"),
+    )

@@ -80,6 +80,7 @@ def candidate_split_gains(
     hist_method: str = "expand",
     bin_edges: dict[str, list[float]] | None = None,
     bounded_candidates: bool = False,
+    precomputed_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Information gain of EVERY candidate split of every feature.
 
@@ -118,7 +119,12 @@ def candidate_split_gains(
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    if hist_method == "arrow":
+    if precomputed_counts is not None:
+        # Counts relation supplied by the caller (packed wide-fit path:
+        # routing + histograms fused in one Arrow pass); the gains pipeline
+        # below is shared unchanged.
+        counts = precomputed_counts
+    elif hist_method == "arrow":
         # Wide-fit path (binned mode only): Arrow-batched partial histograms
         # replace the unpivot Expand + hash aggregate — same counts relation,
         # bit-identical downstream (operators/histogram.py; measured ~10x at
@@ -388,6 +394,56 @@ def find_best_splits_per_node(
         bin_edges=bin_edges,
         bounded_candidates=bounded_candidates,
     )
+    return _best_split_rows(gains, feature_names, node_col)
+
+
+def find_best_splits_packed(
+    packed_df: DataFrame,
+    feature_names: list[str],
+    n_classes: int,
+    criterion: Criterion,
+    bin_edges: dict[str, list[float]],
+    routing_splits: list[tuple],
+    target_idx_col: str = TARGET_IDX,
+    node_col: str = "__node_id",
+) -> list[dict[str, Any]]:
+    """:func:`find_best_splits_per_node` over the packed uint8 code matrix
+    (``operators/histogram.py`` packed path): tree routing runs vectorized
+    inside the histogram pass instead of as a JVM routing column, so each
+    level costs one 2-column Arrow transfer of the cached code relation.
+    Downstream gains/argmax pipeline and tie-breaks are shared unchanged —
+    trees are bit-identical to the expand and column-arrow paths
+    (``tests/test_wide_fit.py``)."""
+    from efficient_trees_spark.operators.histogram import packed_histogram_counts
+
+    counts = packed_histogram_counts(
+        packed_df,
+        feature_names,
+        n_classes,
+        bin_edges,
+        target_idx_col,
+        routing_splits,
+        node_col,
+    )
+    gains = candidate_split_gains(
+        packed_df,
+        feature_names,
+        n_classes,
+        criterion,
+        target_idx_col,
+        node_col=node_col,
+        include_child_counts=True,
+        bounded_candidates=True,
+        precomputed_counts=counts,
+    )
+    return _best_split_rows(gains, feature_names, node_col)
+
+
+def _best_split_rows(
+    gains: DataFrame, feature_names: list[str], node_col: str
+) -> list[dict[str, Any]]:
+    """max_by argmax + collect shared by the routing-column and packed
+    level-wise split searches (same total-order tie-break)."""
     position = F.create_map(
         *[x for i, name in enumerate(feature_names) for x in (F.lit(name), F.lit(i))]
     )[F.col(FEATURE)]

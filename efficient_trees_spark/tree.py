@@ -288,25 +288,71 @@ class DecisionTreeClassifier:
             )
 
         bin_edges: dict[str, list[float]] | None = None
+        packed_mode = False
+        packed_raw = None
         if self.max_bins is not None:
-            bin_edges = self._compute_bin_edges(prepared, feature_names)
-            if hist_method != "arrow":
+            if hist_method == "arrow":
+                from efficient_trees_spark.operators.histogram import (
+                    _MAX_PACKED_EDGES,
+                    encode_packed,
+                    pack_raw_features,
+                )
+
+                # Pack the feature matrix into one binary blob per row FIRST:
+                # the expensive many-column JVM->Arrow conversion (the
+                # measured floor of every Arrow pass at width ~190) happens
+                # exactly once; edge placement, encoding, and every level's
+                # histogram read cheap 2-column packed relations
+                # (histogram.py packed-path notes).
+                dtype = "f4" if shrink_features else "f8"
+                packed_raw = pack_raw_features(
+                    prepared, feature_names, _TARGET_IDX, dtype=dtype
+                ).persist()
+                bin_edges = self._compute_bin_edges(
+                    packed_raw, feature_names, packed_dtype=dtype
+                )
+                if (
+                    max((len(e) for e in bin_edges.values()), default=0)
+                    <= _MAX_PACKED_EDGES
+                ):
+                    # The persisted training relation becomes uint8 bin codes
+                    # (1 byte/cell); routing and histograms run on codes —
+                    # order-isomorphic to raw values, bit-identical trees.
+                    prepared = encode_packed(
+                        packed_raw, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
+                    )
+                    packed_mode = True
+                else:  # beyond uint8 code space: per-level searchsorted path
+                    packed_raw.unpersist()
+                    packed_raw = None
+            else:
+                bin_edges = self._compute_bin_edges(prepared, feature_names)
                 # Arrow histograms snap inside the count pass; the expand
                 # path materializes the snapped relation up front.
                 prepared = self._snap_to_edges(prepared, feature_names)
 
-        if strategy == "level":
-            self.tree = self._build_tree_levelwise(
-                prepared,
-                feature_names,
-                unique_targets,
-                hist_method=hist_method,
-                bin_edges=bin_edges if hist_method == "arrow" else None,
-            )
-        elif strategy == "node":
-            self.tree = self._build_tree(prepared, feature_names, unique_targets, depth=0)
-        else:
-            raise ValueError(f"unknown strategy: {strategy!r}")
+        try:
+            if strategy == "level":
+                self.tree = self._build_tree_levelwise(
+                    prepared,
+                    feature_names,
+                    unique_targets,
+                    hist_method=hist_method,
+                    bin_edges=bin_edges if hist_method == "arrow" else None,
+                    packed=packed_mode,
+                )
+            elif strategy == "node":
+                self.tree = self._build_tree(
+                    prepared, feature_names, unique_targets, depth=0
+                )
+            else:
+                raise ValueError(f"unknown strategy: {strategy!r}")
+        finally:
+            # The raw packed relation only feeds edge placement and the
+            # one-time encode (materialized by the first level's job); free
+            # it once the tree is built.
+            if packed_raw is not None:
+                packed_raw.unpersist()
 
     def _prepare(
         self, data: DataFrame, target_name: str, shrink_features: bool
@@ -376,7 +422,10 @@ class DecisionTreeClassifier:
     # -------------------------------------------------- quantile binning
 
     def _compute_bin_edges(
-        self, prepared: DataFrame, feature_names: list[str]
+        self,
+        prepared: DataFrame,
+        feature_names: list[str],
+        packed_dtype: str | None = None,
     ) -> dict[str, list[float]]:
         """Place ≤ ``max_bins`` equi-depth candidate edges per feature.
 
@@ -405,15 +454,23 @@ class DecisionTreeClassifier:
         Edges are computed AFTER the f32 shrink cast, so they are themselves
         representable shrunk values and golden-parity semantics compose.
         """
-        from efficient_trees_spark.operators.histogram import partition_quantile_edges
+        from efficient_trees_spark.operators.histogram import (
+            partition_quantile_edges,
+            quantile_edges_packed,
+        )
 
         n_bins = int(self.max_bins)
         if n_bins < 2:
             raise ValueError(f"max_bins must be >= 2, got {self.max_bins}")
         stats = max(2 * n_bins, min(2048, int(round(1.0 / self.bin_rel_error))))
-        edges_by_feature = partition_quantile_edges(
-            prepared, feature_names, n_bins, stats
-        )
+        if packed_dtype is not None:  # `prepared` is the packed raw relation
+            edges_by_feature = quantile_edges_packed(
+                prepared, feature_names, n_bins, stats, dtype=packed_dtype
+            )
+        else:
+            edges_by_feature = partition_quantile_edges(
+                prepared, feature_names, n_bins, stats
+            )
         self.bin_edges_ = edges_by_feature
         return edges_by_feature
 
@@ -480,6 +537,47 @@ class DecisionTreeClassifier:
             .otherwise(F.lit(None).cast("int"))
         )
 
+    @staticmethod
+    def _compile_routing_splits(
+        node: dict[str, Any],
+        feature_names: list[str],
+        bin_edges: dict[str, list[float]],
+        node_id: int = 0,
+        out: list | None = None,
+    ) -> list[tuple]:
+        """Flatten the partial tree into the parent-before-child split list
+        ``histogram.route_codes`` consumes: ``(node_id, feature_pos,
+        code_threshold, left_id, right_id)`` per internal node, -1 for
+        finalized (leaf) children.  Thresholds (always bin edges) translate
+        to their edge index; code comparisons are bit-equivalent to the raw
+        routing expression by the encode_packed order isomorphism."""
+        from bisect import bisect_left
+
+        if out is None:
+            out = []
+        if node["type"] != "node":
+            return out
+        feature = node["feature"]
+        code = bisect_left(bin_edges[feature], node["threshold"])
+        left, right = node["left"], node["right"]
+        lid, rid = 2 * node_id + 1, 2 * node_id + 2
+        out.append(
+            (
+                node_id,
+                feature_names.index(feature),
+                code,
+                lid if left["type"] != "leaf" else -1,
+                rid if right["type"] != "leaf" else -1,
+            )
+        )
+        DecisionTreeClassifier._compile_routing_splits(
+            left, feature_names, bin_edges, lid, out
+        )
+        DecisionTreeClassifier._compile_routing_splits(
+            right, feature_names, bin_edges, rid, out
+        )
+        return out
+
     def _build_tree_levelwise(
         self,
         data: DataFrame,
@@ -487,6 +585,7 @@ class DecisionTreeClassifier:
         unique_targets: list[Any],
         hist_method: str = "expand",
         bin_edges: dict[str, list[float]] | None = None,
+        packed: bool = False,
     ) -> dict[str, Any]:
         """PLANET-style breadth-first growth (the published strategy behind
         MLlib's trees, here with exact distinct-value splits): each level runs
@@ -520,13 +619,47 @@ class DecisionTreeClassifier:
 
                 best_by_node: dict[int, dict[str, Any]] = {}
                 if need_root_dist or not at_max_depth:
-                    with_node = data.withColumn(
-                        node_col, self._routing_expr(root)
-                    ).filter(F.col(node_col).isNotNull())
+                    if packed:
+                        # Routing runs vectorized inside the histogram pass
+                        # (histogram.route_codes); the root distribution is a
+                        # plain target count (depth 0 routes every row to
+                        # node 0).
+                        dist_src = data
+
+                        def find_splits():
+                            return split_finder.find_best_splits_packed(
+                                data,
+                                feature_names,
+                                len(unique_targets),
+                                self.criterion,
+                                bin_edges,
+                                self._compile_routing_splits(
+                                    root, feature_names, bin_edges
+                                ),
+                                node_col=node_col,
+                            )
+
+                    else:
+                        with_node = data.withColumn(
+                            node_col, self._routing_expr(root)
+                        ).filter(F.col(node_col).isNotNull())
+                        dist_src = with_node
+
+                        def find_splits():
+                            return split_finder.find_best_splits_per_node(
+                                with_node,
+                                feature_names,
+                                len(unique_targets),
+                                self.criterion,
+                                node_col,
+                                hist_method=hist_method,
+                                bin_edges=bin_edges,
+                                bounded_candidates=self.max_bins is not None,
+                            )
 
                     def collect_root_distribution():
                         rows = (
-                            with_node.groupBy(_TARGET_IDX)
+                            dist_src.groupBy(_TARGET_IDX)
                             .count()
                             .orderBy(_TARGET_IDX)
                             .collect()
@@ -543,19 +676,7 @@ class DecisionTreeClassifier:
                             else None
                         )
                         if not at_max_depth:
-                            best_by_node = {
-                                b["node_id"]: b
-                                for b in split_finder.find_best_splits_per_node(
-                                    with_node,
-                                    feature_names,
-                                    len(unique_targets),
-                                    self.criterion,
-                                    node_col,
-                                    hist_method=hist_method,
-                                    bin_edges=bin_edges,
-                                    bounded_candidates=self.max_bins is not None,
-                                )
-                            }
+                            best_by_node = {b["node_id"]: b for b in find_splits()}
                         if dist_future is not None:
                             distributions[0] = dist_future.result()
 

@@ -136,3 +136,59 @@ def test_hist_method_validation(spark):
         DecisionTreeClassifier(max_depth=2, hist_method="arrow").fit(data, "target")
     with pytest.raises(ValueError, match="unknown hist_method"):
         DecisionTreeClassifier(hist_method="numpy")
+
+
+def test_packed_edges_match_columnwise(spark, messy_df):
+    """quantile_edges_packed (packed stage 1) places the same edges as the
+    column-wise stage 1 over identical values."""
+    from efficient_trees_spark.operators.histogram import (
+        pack_raw_features,
+        partition_quantile_edges,
+        quantile_edges_packed,
+    )
+
+    packed = pack_raw_features(messy_df, ["a", "b"], "__target_idx", dtype="f8")
+    assert quantile_edges_packed(
+        packed, ["a", "b"], 4, 64, dtype="f8"
+    ) == partition_quantile_edges(messy_df, ["a", "b"], 4, 64)
+
+
+def test_packed_fit_parity_with_nan_and_null(spark):
+    """Tree-level parity on a frame mixing NULL and NaN in split features:
+    the packed path (numpy routing + uint8 codes) must produce the same
+    tree as expand (JVM routing + melt) — NULL drops from both children,
+    NaN routes right."""
+    rows = []
+    for i in range(200):
+        a = None if i % 13 == 0 else (NAN if i % 17 == 0 else float(i % 29))
+        b = NAN if i % 11 == 0 else float((i * 7) % 31)
+        rows.append((a, b, i % 2))
+    data = spark.createDataFrame(rows, "a double, b double, target int")
+    trees = {}
+    for hm in ("arrow", "expand"):
+        m = DecisionTreeClassifier(
+            max_depth=3, criterion=Criterion.ENTROPY, max_bins=8, hist_method=hm
+        )
+        m.fit(data, "target")
+        trees[hm] = json.dumps(m.tree, sort_keys=True)
+    assert trees["arrow"] == trees["expand"]
+
+
+def test_route_codes_semantics():
+    """Vectorized routing: left on code<=t, right on code>t incl. NaN(254),
+    dropped (-1) on NULL(255) in the split feature and under finalized
+    leaves."""
+    import numpy as np
+
+    from efficient_trees_spark.operators.histogram import route_codes
+
+    #                  rows: code_a, code_b
+    mat = np.array(
+        [[0, 5], [2, 5], [3, 5], [254, 5], [255, 5], [1, 254], [1, 255]],
+        dtype=np.uint8,
+    )
+    # root (node 0) splits on feature 0 at code 2 -> left pending 1 / right leaf (-1)
+    # node 1 splits on feature 1 at code 10 -> children pending 3 / 4
+    splits = [(0, 0, 2, 1, -1), (1, 1, 10, 3, 4)]
+    out = route_codes(mat, splits)
+    assert out.tolist() == [3, 3, -1, -1, -1, 4, -1]
