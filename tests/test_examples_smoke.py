@@ -26,6 +26,7 @@ EXAMPLES = [
     "amex_default.py",
     "corpus_pipeline.py",
     "memory_profiling.py",
+    "quality_filter.py",
 ]
 
 
