@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from efficient_trees_spark.enums import Criterion
+from efficient_trees_spark.operators.split_finder import TARGET_IDX as _TARGET_IDX
 from efficient_trees_spark.plans.case_compiler import compile_tree
 from efficient_trees_spark.tree import DecisionTreeClassifier
 
@@ -89,9 +90,41 @@ class RandomForestClassifier:
         prepared, feature_names, unique_targets = proto._prepare(
             data, target_name, shrink_features
         )
+        packed = False
+        bin_edges: dict[str, list[float]] | None = None
+        packed_raw = None
         if self.max_bins is not None:
-            proto._compute_bin_edges(prepared, feature_names)
-            prepared = proto._snap_to_edges(prepared, feature_names)
+            from efficient_trees_spark.operators.histogram import (
+                _MAX_PACKED_EDGES,
+                encode_packed,
+                pack_raw_features,
+            )
+
+            # Same packed flow as the single tree (tree.py fit), amortized
+            # across the forest: ONE wide Arrow conversion + ONE uint8 code
+            # relation shared by every tree's bootstrap sample.  The
+            # mapInArrow passes are 1:1 row maps, so seeded `sample` picks
+            # the same logical rows off the coded relation as it would off
+            # the snapped one.
+            dtype = "f4" if shrink_features else "f8"
+            packed_raw = pack_raw_features(
+                prepared, feature_names, _TARGET_IDX, dtype=dtype
+            ).persist()
+            bin_edges = proto._compute_bin_edges(
+                packed_raw, feature_names, packed_dtype=dtype
+            )
+            if (
+                max((len(e) for e in bin_edges.values()), default=0)
+                <= _MAX_PACKED_EDGES
+            ):
+                prepared = encode_packed(
+                    packed_raw, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
+                )
+                packed = True
+            else:
+                packed_raw.unpersist()
+                packed_raw = None
+                prepared = proto._snap_to_edges(prepared, feature_names)
         self.categorical_mappings = proto.categorical_mappings
         self._unique_targets = unique_targets
 
@@ -116,14 +149,24 @@ class RandomForestClassifier:
                     max_depth=self.max_depth,
                     criterion=self.criterion,
                     # Propagated so the level-wise search takes the bounded-
-                    # candidates single-window path (the bag is pre-snapped).
+                    # candidates single-window path (the bag is pre-snapped
+                    # or pre-encoded).
                     max_bins=self.max_bins,
                 )
                 self.trees.append(
-                    tree._build_tree_levelwise(bag, subset, unique_targets)
+                    tree._build_tree_levelwise(
+                        bag,
+                        subset,
+                        unique_targets,
+                        bin_edges=bin_edges if packed else None,
+                        packed=packed,
+                        packed_all_features=feature_names if packed else None,
+                    )
                 )
         finally:
             prepared.unpersist()
+            if packed_raw is not None:
+                packed_raw.unpersist()
 
     # ------------------------------------------------------------- predict
 

@@ -589,17 +589,31 @@ def packed_histogram_counts(
     routing_splits: list[tuple],
     node_col: str,
     packed_col: str = PACKED_COL,
+    feature_positions: list[int] | None = None,
+    matrix_width: int | None = None,
 ) -> DataFrame:
     """:func:`binned_histogram_counts` over the packed uint8 code matrix,
     with tree routing fused into the same numpy pass (``route_codes``) —
     the per-level cost is one 2-column transfer of the cached code relation
-    plus bincounts; the emitted relation is identical."""
+    plus bincounts; the emitted relation is identical.
+
+    ``feature_names`` may be a SUBSET of the packed matrix (random-forest
+    per-tree feature sampling): ``feature_positions`` gives each name's
+    column index in the full matrix and ``matrix_width`` the full width —
+    only the subset's columns are histogrammed, while ``routing_splits``
+    keeps addressing full-matrix positions."""
     import pyarrow as pa
 
     names = list(feature_names)
     tcol = target_idx_col
     ncol = node_col
     n_feat = len(names)
+    width = matrix_width if matrix_width is not None else n_feat
+    pos = (
+        np.asarray(feature_positions, dtype=np.int64)
+        if feature_positions is not None
+        else np.arange(n_feat, dtype=np.int64)
+    )
     lens = np.array([len(bin_edges.get(f, ())) for f in names], dtype=np.int64)
     max_edges = int(lens.max()) if n_feat else 0
     slots = max_edges + 1  # +1 NaN bucket
@@ -632,7 +646,7 @@ def packed_histogram_counts(
             n_rows = batch.num_rows
             if n_rows == 0:
                 continue
-            mat = _unpack_binary(batch.column(packed_col), n_feat, np.uint8)
+            mat = _unpack_binary(batch.column(packed_col), width, np.uint8)
             target = batch.column(tcol).to_numpy(zero_copy_only=False).astype(np.int64)
             nodes = route_codes(mat, routing_splits)
             keep = nodes >= 0
@@ -640,6 +654,8 @@ def packed_histogram_counts(
                 continue
             if not keep.all():
                 mat, target, nodes = mat[keep], target[keep], nodes[keep]
+            if width != n_feat or feature_positions is not None:
+                mat = mat[:, pos]  # histogram only the subset's columns
             m64 = mat.astype(np.int64)
             idx = np.where(m64 == PACKED_NAN_CODE, slots - 1, np.minimum(m64, cap))
             valid = (m64 != PACKED_NULL_CODE) & has_edges

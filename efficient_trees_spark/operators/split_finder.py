@@ -406,6 +406,7 @@ def find_best_splits_packed(
     routing_splits: list[tuple],
     target_idx_col: str = TARGET_IDX,
     node_col: str = "__node_id",
+    all_feature_names: list[str] | None = None,
 ) -> list[dict[str, Any]]:
     """:func:`find_best_splits_per_node` over the packed uint8 code matrix
     (``operators/histogram.py`` packed path): tree routing runs vectorized
@@ -413,9 +414,17 @@ def find_best_splits_packed(
     level costs one 2-column Arrow transfer of the cached code relation.
     Downstream gains/argmax pipeline and tie-breaks are shared unchanged —
     trees are bit-identical to the expand and column-arrow paths
-    (``tests/test_wide_fit.py``)."""
+    (``tests/test_wide_fit.py``).
+
+    ``all_feature_names`` is the packed matrix's full column order when
+    ``feature_names`` scores only a subset (forest feature bagging)."""
     from efficient_trees_spark.operators.histogram import packed_histogram_counts
 
+    if all_feature_names is not None and all_feature_names != list(feature_names):
+        positions = [all_feature_names.index(f) for f in feature_names]
+        width = len(all_feature_names)
+    else:
+        positions, width = None, None
     counts = packed_histogram_counts(
         packed_df,
         feature_names,
@@ -424,6 +433,8 @@ def find_best_splits_packed(
         target_idx_col,
         routing_splits,
         node_col,
+        feature_positions=positions,
+        matrix_width=width,
     )
     gains = candidate_split_gains(
         packed_df,

@@ -586,6 +586,7 @@ class DecisionTreeClassifier:
         hist_method: str = "expand",
         bin_edges: dict[str, list[float]] | None = None,
         packed: bool = False,
+        packed_all_features: list[str] | None = None,
     ) -> dict[str, Any]:
         """PLANET-style breadth-first growth (the published strategy behind
         MLlib's trees, here with exact distinct-value splits): each level runs
@@ -626,6 +627,8 @@ class DecisionTreeClassifier:
                         # node 0).
                         dist_src = data
 
+                        all_names = packed_all_features or feature_names
+
                         def find_splits():
                             return split_finder.find_best_splits_packed(
                                 data,
@@ -634,9 +637,10 @@ class DecisionTreeClassifier:
                                 self.criterion,
                                 bin_edges,
                                 self._compile_routing_splits(
-                                    root, feature_names, bin_edges
+                                    root, all_names, bin_edges
                                 ),
                                 node_col=node_col,
+                                all_feature_names=all_names,
                             )
 
                     else:

@@ -92,3 +92,25 @@ def test_forest_json_roundtrip_with_categoricals(spark):
     clone = RandomForestClassifier.from_json(rf.to_json())
     assert clone.categorical_mappings == rf.categorical_mappings
     assert clone.predict_many(df) == rf.predict_many(df)
+
+
+def test_binned_forest_packed_matches_snapped_expand(spark, monkeypatch):
+    """A binned forest (the 100 TB path) now trains on the shared packed
+    uint8 code relation; forcing the >253-edge fallback (snap + expand)
+    must yield the IDENTICAL forest — same bootstrap rows (the pack pass is
+    a 1:1 row map, so seeded sampling picks the same logical rows), same
+    candidate edges, same trees."""
+    from efficient_trees_spark.operators import histogram
+
+    train, _, _ = _iris(spark)
+    kwargs = dict(
+        n_trees=5, max_depth=3, feature_fraction=0.75, max_bins=8, seed=11
+    )
+    rf_packed = RandomForestClassifier(**kwargs)
+    rf_packed.fit(train, "target")
+
+    monkeypatch.setattr(histogram, "_MAX_PACKED_EDGES", -1)
+    rf_fallback = RandomForestClassifier(**kwargs)
+    rf_fallback.fit(train, "target")
+
+    assert rf_packed.trees == rf_fallback.trees
