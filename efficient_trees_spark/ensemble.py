@@ -18,7 +18,12 @@ engine's existing dataflow pieces:
 
 At cluster scale the incremental cost of a tree is its level-wise split
 searches on a cached sample — the scan and preparation are amortized across
-the forest, and ``max_bins`` bounds each search's shuffle volume.
+the forest, and ``max_bins`` bounds each search's shuffle volume.  Binned
+forests share ONE packed uint8 code relation (``operators/histogram.py``):
+the wide Arrow conversion and encode run once, each tree's bootstrap samples
+the 2-column coded cache, and per-tree feature bagging histograms only its
+subset's matrix columns — AMEX-width forests pay the same per-level cost as
+the single packed tree, times trees.
 """
 
 from __future__ import annotations
