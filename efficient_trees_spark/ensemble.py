@@ -99,6 +99,13 @@ class RandomForestClassifier:
         bin_edges: dict[str, list[float]] | None = None
         packed_raw = None
         if self.max_bins is not None:
+            from efficient_trees_spark.tree import _fan_out_small_input
+
+            # Same fan-out as the single-tree binned fit (see
+            # tree._fan_out_small_input): every Arrow pass below — and each
+            # tree's per-level histograms — parallelizes over this relation's
+            # partitions.  No-op when the source already has >= cores splits.
+            prepared = _fan_out_small_input(prepared)
             from efficient_trees_spark.operators.histogram import (
                 _MAX_PACKED_EDGES,
                 encode_packed,

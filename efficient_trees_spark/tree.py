@@ -58,6 +58,26 @@ _TARGET_IDX = split_finder.TARGET_IDX
 _LITERAL_MAP_MAX = 256
 
 
+def _fan_out_small_input(prepared: DataFrame) -> DataFrame:
+    """Binned mode's passes (edge stats, pack, encode, one Arrow histogram
+    per tree level) parallelize over THIS relation's partition count.  A
+    local benchmark table is a handful of 128 MB parquet splits — 4
+    partitions would idle 28 of 32 cores in EVERY pass — so fan out to the
+    session's parallelism once, before anything is persisted, paying one
+    bounded shuffle.  On a real cluster the source has far more splits than
+    cores and this is a no-op.  Applied to the shared ``prepared`` relation
+    BEFORE the histogram paths diverge, so the order-statistic edge
+    placement (partitioning-sensitive within the documented rank error) sees
+    identical partitions in both paths — arrow/expand bit-parity holds by
+    construction.  Exact (unbinned) fits keep the source partitioning: their
+    map side is pure codegen and the repartition was A/B-measured slower
+    (see the note in ``_prepare``)."""
+    sc = prepared.sparkSession.sparkContext
+    if prepared.rdd.getNumPartitions() < sc.defaultParallelism:
+        return prepared.repartition(sc.defaultParallelism)
+    return prepared
+
+
 class DecisionTreeClassifier:
     """Decision tree classifier with a Spark DataFrame backend.
 
@@ -275,6 +295,9 @@ class DecisionTreeClassifier:
                 "hist_method='arrow' requires max_bins (quantile edges) and "
                 "strategy='level'"
             )
+
+        if self.max_bins is not None:
+            prepared = _fan_out_small_input(prepared)
 
         if hist_method == "arrow" and shrink_features:
             # Shrunk features are f32-representable by construction, so the

@@ -239,16 +239,19 @@ def forest_fit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Seeded prediction distributions at the driver's sf0.01 gate, pinned as
 # literal VALUES (the recursive fit is not SQL-expressible).  Verified
-# identical under a vanilla local[*] session and the repo's tuned session
-# (quantile-bin edges and the seeded bootstrap are partition-stable for the
-# fixed parquet inputs).  Recompute with tools/oracle_check.py if the
-# testdata is regenerated.
+# identical under a vanilla local[*] session and the repo's tuned session.
+# Pinned-value inputs: the sf0.01 parquet AND the session's
+# defaultParallelism (32 on this host) — binned mode fans the prepared
+# relation out to defaultParallelism (tree._fan_out_small_input), and both
+# the order-statistic bin edges and the seeded bootstrap sample depend on
+# that partitioning.  Recompute with tools/oracle_check.py if the testdata
+# or the host core count changes.
 _FIT_DISTRIBUTIONS_SF0_01 = """
     SELECT model, prediction, CAST(n AS BIGINT) AS n FROM (VALUES
         ('tree', 'A', 1688), ('tree', 'N', 52976), ('tree', 'R', 5336),
-        ('tree_binned', 'A', 1688), ('tree_binned', 'N', 52304),
-        ('tree_binned', 'R', 6008),
-        ('forest', 'A', 56144), ('forest', 'N', 2701), ('forest', 'R', 1155)
+        ('tree_binned', 'A', 1688), ('tree_binned', 'N', 52280),
+        ('tree_binned', 'R', 6032),
+        ('forest', 'A', 36449), ('forest', 'N', 23404), ('forest', 'R', 147)
     ) AS t(model, prediction, n)
 """
 
