@@ -395,3 +395,282 @@ def centroids_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFram
         [(cid, [float(x) for x in cvec]) for cid, cvec in centroids],
         "cid long, cvec array<double>",
     )
+
+
+# ------------------------------------------------------ product quantization
+#
+# PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011 — the FAISS IVF-PQ building block): split each D-dim vector
+# into M subvectors, quantize each against its own K_sub-entry codebook, and
+# score queries against the M×K_sub table of partial distances instead of
+# the raw vectors.  Storage per vector drops from D floats to M small codes
+# (64 f32 → 8 bytes here, 32×), which is what makes billion-vector indexes
+# driver-affordable; scoring is M table lookups per candidate.
+#
+# Everything below is deterministic and engine-portable: vectors are
+# unit-normalized first (so asymmetric L2² = 2 − 2·cos and the emitted score
+# is a PQ-approximated cosine), partial distances are rounded to 6 dp before
+# any sum/argmin, and argmin ties break on the LOWEST code — the same
+# total-order discipline the rest of this module uses, so a DuckDB oracle
+# reproduces codes and rankings exactly.
+#
+# Codebooks: ``pq_codebooks_from_seeds`` derives them from K_sub
+# deterministic data rows (oracle-friendly — the SQL side re-derives the
+# same codebooks from the same rows); ``train_pq_codebooks`` is the
+# production upgrade (per-subspace Lloyd's in numpy over a bounded
+# deterministic sample — the standard practice: codebooks train on ~10⁵
+# vectors regardless of corpus size, then ENCODING streams distributively).
+
+
+def unit_vector(vec: Column) -> Column:
+    """array<double> scaled to unit L2 norm (zero vectors pass through)."""
+    v = as_double_array(vec)
+    n = norm(v)
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance between two array<double>."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks_from_seeds(
+    seeds: DataFrame, id_col: str, vec_col: str, m: int
+) -> list[list[list[float]]]:
+    """``codebooks[j][c]`` = subspace-``j`` slice of the ``c``-th seed row
+    (seeds ordered by id, unit-normalized).  K_sub = row count.  Tiny driver
+    state (M × K_sub × D/M floats), broadcast into plans as literals."""
+    rows = (
+        seeds.select(F.col(id_col).alias("__sid"), unit_vector(F.col(vec_col)).alias("__u"))
+        .orderBy("__sid")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks_from_seeds: empty seed frame")
+    dim = len(rows[0]["__u"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(x) for x in row["__u"][j * sub : (j + 1) * sub]] for row in rows]
+        for j in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int = 16,
+    n_iters: int = 10,
+    sample_n: int = 100_000,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means over a deterministic bounded sample.
+
+    The sample is the ``sample_n`` rows with smallest ``xxhash64(id)`` (a
+    seeded uniform draw with a total order — same idiom as
+    ``train_ivf_centroids`` init), collected once: PQ codebooks are
+    classically trained on a fixed-size sample because M × K_sub × D/M
+    parameters saturate long before corpus size matters; the full corpus is
+    only ever touched by the distributed ``pq_encode`` pass.  Deterministic:
+    init takes the first ``ksub`` sample rows in hash order, assignment
+    breaks ties on the lowest code, empty cells keep their previous
+    centroid."""
+    import numpy as np
+
+    rows = (
+        vectors.select(
+            F.col(id_col).alias("__sid"), unit_vector(F.col(vec_col)).alias("__u")
+        )
+        .orderBy(F.xxhash64("__sid"), F.col("__sid"))
+        .limit(sample_n)
+        .collect()
+    )
+    mat = np.asarray([row["__u"] for row in rows], dtype=np.float64)
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n < ksub:
+        raise ValueError(f"sample ({n}) smaller than ksub ({ksub})")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]  # (n, sub)
+        cb = x[:ksub].copy()  # (ksub, sub) init: first sample rows
+        for _ in range(n_iters):
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)  # (n, ksub)
+            assign = d2.argmin(axis=1)  # ties -> lowest code (argmin contract)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cb[c] = x[mask].mean(axis=0)
+        books.append([[float(v) for v in row] for row in cb])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, codes array<int>) — each vector's nearest codebook entry per
+    subspace, as a PURE PROJECTION: the codebooks ride into the plan as
+    literal arrays, so encoding is M × K_sub small folds per row inside
+    whole-stage codegen — one map-only pass over the corpus, zero shuffle,
+    no Python.  Distances are rounded and ties break on the lowest code
+    (struct ``array_min`` compares (distance, code) lexicographically)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    u = unit_vector(F.col(vec_col))
+
+    def best_code(j: int, uvec: Column) -> Column:
+        s = F.slice(uvec, j * sub + 1, sub)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _l2sq(s, F.array(*[F.lit(x) for x in cb])), round_to
+                    ).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c, cb in enumerate(codebooks[j])
+            ]
+        )
+        return F.array_min(entries)["c"]
+
+    # Bind the normalized vector once per row (single let-binding) rather
+    # than re-deriving it inside each of the M × K_sub folds.
+    withu = df.select(F.col(id_col), u.alias("__u"))
+    return withu.select(
+        F.col(id_col),
+        F.array(*[best_code(j, F.col("__u")) for j in range(m)]).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: rank corpus codes against per-query
+    distance tables; score = 1 − ADC²/2, the PQ approximation of cosine on
+    unit vectors.
+
+    Relational shape (the oracle-checkable form): the corpus is ENCODED once
+    (map-only, see :func:`pq_encode`) and exploded to (id, subspace, code) —
+    M small ints per vector, the PQ compression itself; the Q × M × K_sub
+    partial-distance table is built from the (broadcast) query batch and the
+    literal codebooks, then the bounded table join + per-(query, id) sum
+    reassembles ADC.  Shuffle volume is corpus × M code rows — independent
+    of D (64× smaller than shipping raw vectors here).  At billion-vector
+    scale the same plan holds with the codes relation persisted once and
+    reused across query batches; a `mapInArrow` table-lookup variant can
+    cut the explode but gives up engine-portable scoring."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    # (j, c, sub) literal relation — M × K_sub rows of D/M floats.
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.lit(c).alias("c"),
+                F.array(*[F.lit(x) for x in codebooks[j][c]]).alias("sub"),
+            )
+            for j in range(m)
+            for c in range(ksub)
+        ]
+    )
+    sub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("__qu")
+    )
+    table = q.select(
+        "query_id", F.explode(entries).alias("e"), F.col("__qu")
+    ).select(
+        "query_id",
+        F.col("e.j").alias("j"),
+        F.col("e.c").alias("code"),
+        F.round(
+            _l2sq(F.slice(F.col("__qu"), F.col("e.j") * sub + 1, sub), F.col("e.sub")),
+            round_to,
+        ).alias("partial"),
+    )
+    codes = pq_encode(corpus, id_col, vec_col, codebooks, round_to).select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("j", "code")
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["j", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(1 - F.sum("partial") / 2, round_to).alias("cos"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al., "SemDeDup", 2023): cluster the
+    corpus by nearest centroid, then canonicalize near-duplicates WITHIN
+    each cluster — (id, canonical_id) where canonical is the least id among
+    self and all same-cell neighbors with cosine ≥ ``threshold``.
+
+    This is the embedding-space scale answer to the all-pairs
+    ``brute_force_scores`` canonicalization: the pairwise compare is
+    cell-local (cluster assignment is a broadcast map-only pass, the
+    self-join keys on the cell id), so total work is Σ|cell|² instead of
+    N² — the paper's point is that true semantic duplicates share a cluster
+    at high probability, making in-cell compare a near-lossless pruning.
+    Skew guard at corpus scale: cap or re-split oversized cells (same
+    ``df_capped`` discipline as the shingle dedups) before the self-join."""
+    cells = nearest_centroids(corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to)
+    a = _with_norm(corpus, id_col, vec_col, "a").join(
+        cells.select(F.col(id_col).alias("a_id"), "cell"), "a_id"
+    )
+    b = _with_norm(corpus, id_col, vec_col, "b").join(
+        cells.select(F.col(id_col).alias("b_id"), "cell"), "b_id"
+    )
+    cos = F.round(
+        dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")),
+        round_to,
+    )
+    neighbors = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .groupBy("a_id")
+        .agg(F.min("b_id").alias("min_neighbor"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(neighbors, F.col(id_col) == F.col("a_id"), "left")
+        .select(
+            F.col(id_col),
+            F.least(
+                F.col(id_col), F.coalesce(F.col("min_neighbor"), F.col(id_col))
+            ).alias("canonical_id"),
+        )
+    )

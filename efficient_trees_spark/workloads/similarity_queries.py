@@ -83,58 +83,6 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload(
-    "dedup_embedding_cosine",
-    oracle=f"""
-        WITH v AS (
-            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-            FROM embeddings
-        ),
-        n AS (
-            SELECT vec_id, vec,
-                   sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
-            FROM v
-        ),
-        pairs AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_sum(list_transform(range(1, {DIM + 1}),
-                         i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm), 6) AS cos
-            FROM n a JOIN n b ON a.vec_id != b.vec_id
-        )
-        SELECT v.vec_id,
-               least(v.vec_id, coalesce(min(p.id_b), v.vec_id)) AS canonical_id
-        FROM v
-        LEFT JOIN pairs p ON p.id_a = v.vec_id AND p.cos >= 0.95
-        GROUP BY v.vec_id
-    """,
-    description="Embedding-cosine near-dup: canonical id = least id among "
-    "self and all neighbors with cos >= 0.95. Brute-force all-pairs is the "
-    "exactness baseline (one broadcast, no shuffle before the agg); at "
-    "corpus scale the same canonicalization runs over ann_lsh_bucketed's "
-    "bucket-local pairs instead",
-    tags=("similarity", "dedup"),
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    scores = similarity.brute_force_scores(emb, emb, "vec_id", "embedding")
-    neighbors = (
-        scores.select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
-        .filter(F.col("cos") >= 0.95)
-        .groupBy("query_id")
-        .agg(F.min("neighbor_id").alias("min_neighbor"))
-    )
-    return (
-        emb.select("vec_id")
-        .join(neighbors, emb.vec_id == F.col("query_id"), "left")
-        .select(
-            "vec_id",
-            F.least(
-                F.col("vec_id"), F.coalesce(F.col("min_neighbor"), F.col("vec_id"))
-            ).alias("canonical_id"),
-        )
-    )
-
-
 _CENTROID_FILTER = "vec_id % 31 = 1"  # ~16 deterministic seed centroids
 
 
@@ -200,6 +148,94 @@ def _tagged(df: DataFrame, method: str, cols: list[str]) -> DataFrame:
     return df.select(F.lit(method).alias("method"), *cols)
 
 
+# ------------------------------------------------------ product quantization
+#
+# PQ codebooks are derived from the same deterministic seed rows the IVF
+# cells use (vec_id % 31 = 1, ordered by id, unit-normalized): subspace j of
+# seed c IS codebook entry (j, c).  That makes the entire PQ pipeline —
+# normalize, encode (argmin of rounded subspace L2², lowest-code ties),
+# per-query distance tables, ADC sum, ranking — re-derivable in DuckDB SQL
+# with no literal state.  production k-means codebooks
+# (similarity.train_pq_codebooks) are pytest-covered instead.
+
+_PQ_M = 8  # 64-dim -> 8 subspaces of 8 floats; codes are 8 small ints/vector
+
+_UNIT_CTE = """
+    unit AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS uvec
+        FROM (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings)
+    )
+"""
+
+_PQ_SUB = DIM // _PQ_M
+
+_PQ_L2SQ = (
+    "round(list_sum(list_transform(range(1, {n}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+)
+
+_PQ_TOPK_ORACLE = f"""
+    WITH {_UNIT_CTE},
+    js AS (SELECT CAST(range AS INT) AS j FROM range(0, {_PQ_M})),
+    sseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, uvec
+              FROM unit WHERE {_CENTROID_FILTER}),
+    ssub AS (SELECT j, c, uvec[(j*{_PQ_SUB}+1):(j*{_PQ_SUB}+{_PQ_SUB})] AS sub
+             FROM sseed, js),
+    vsub AS (SELECT vec_id, j, uvec[(j*{_PQ_SUB}+1):(j*{_PQ_SUB}+{_PQ_SUB})] AS sub
+             FROM unit, js),
+    scored_codes AS (
+        SELECT v.vec_id, v.j, s.c,
+               {_PQ_L2SQ.format(n=_PQ_SUB + 1, a="v.sub", b="s.sub")} AS d
+        FROM vsub v JOIN ssub s USING (j)
+    ),
+    codes AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d ASC, c ASC) AS rn
+            FROM scored_codes
+        ) WHERE rn = 1
+    ),
+    qtable AS (
+        SELECT q.vec_id AS query_id, s.j, s.c AS code,
+               {_PQ_L2SQ.format(n=_PQ_SUB + 1, a="q.sub", b="s.sub")} AS partial
+        FROM (SELECT * FROM vsub WHERE {_Q_FILTER}) q
+        JOIN ssub s USING (j)
+    ),
+    adc AS (
+        SELECT t.query_id, c.vec_id AS neighbor_id,
+               round(1 - sum(t.partial) / 2, 6) AS cos
+        FROM codes c JOIN qtable t ON t.j = c.j AND t.code = c.code
+        WHERE c.vec_id != t.query_id
+        GROUP BY 1, 2
+    ),
+    pq_ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM pq_ranked WHERE rank <= 5
+"""
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-5: vectors compress to {_PQ_M} uint codes
+    (32x smaller than f32 here — the lever that fits billion-vector indexes
+    in memory); queries rank candidates via per-subspace distance-table
+    sums.  Seed-derived codebooks keep it oracle-exact; swap in
+    ``train_pq_codebooks`` for production quality.  Registered via
+    ``ann_topk_suite`` (method='pq')."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.expr(_CENTROID_FILTER))
+    books = similarity.pq_codebooks_from_seeds(seeds, "vec_id", "embedding", m=_PQ_M)
+    queries = emb.filter(F.expr(_Q_FILTER))
+    return similarity.pq_adc_topk(emb, queries, books, "vec_id", "embedding", k=5)
+
+
 @workload(
     "ann_pairs_suite",
     oracle=f"""
@@ -252,15 +288,103 @@ def ann_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'ivf', query_id, neighbor_id, cos, rank
         FROM ({_IVF_TOPK_ORACLE})
+        UNION ALL
+        SELECT 'pq', query_id, neighbor_id, cos, rank
+        FROM ({_PQ_TOPK_ORACLE})
     """,
     description="ANN top-5 suite: method='brute' is exact ranked retrieval "
     "(total order on rounded score + id tie-break); method='ivf' probes the 2 "
     "nearest of ~16 seed-centroid cells (broadcast coarse quantizer, "
-    "cell-local candidates, nprobe recall knob) — the IVF scale path",
+    "cell-local candidates, nprobe recall knob) — the IVF scale path; "
+    "method='pq' is product-quantized ADC retrieval (vectors compress to 8 "
+    "subspace codes, queries rank by distance-table sums; cos is the PQ "
+    "approximation 1 - ADC^2/2 on unit vectors) — the memory scale path",
     tags=("similarity", "suite"),
 )
 def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["query_id", "neighbor_id", "cos", "rank"]
-    return _tagged(ann_cosine_topk(spark, sf_dir), "brute", cols).unionByName(
-        _tagged(ann_ivf_topk(spark, sf_dir), "ivf", cols)
+    return (
+        _tagged(ann_cosine_topk(spark, sf_dir), "brute", cols)
+        .unionByName(_tagged(ann_ivf_topk(spark, sf_dir), "ivf", cols))
+        .unionByName(_tagged(ann_pq_topk(spark, sf_dir), "pq", cols))
     )
+
+
+# ------------------------------------------------------- embedding dedup suite
+
+_DEDUP_EMB_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, {DIM + 1}),
+                     i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm), 6) AS cos
+        FROM n a JOIN n b ON a.vec_id != b.vec_id
+    ),
+    cells AS ({_ivf_assign_sql("TRUE", 1)}),
+    cell_pairs AS (
+        SELECT p.id_a, p.id_b, p.cos
+        FROM pairs p
+        JOIN cells ca ON ca.vec_id = p.id_a
+        JOIN cells cb ON cb.vec_id = p.id_b AND cb.cell = ca.cell
+    )
+    SELECT 'brute' AS method, v.vec_id,
+           least(v.vec_id, coalesce(min(p.id_b), v.vec_id)) AS canonical_id
+    FROM v
+    LEFT JOIN pairs p ON p.id_a = v.vec_id AND p.cos >= 0.95
+    GROUP BY v.vec_id
+    UNION ALL
+    SELECT 'semdedup' AS method, v.vec_id,
+           least(v.vec_id, coalesce(min(p.id_b), v.vec_id)) AS canonical_id
+    FROM v
+    LEFT JOIN cell_pairs p ON p.id_a = v.vec_id AND p.cos >= 0.95
+    GROUP BY v.vec_id
+"""
+
+
+@workload(
+    "dedup_embedding_cosine",
+    oracle=_DEDUP_EMB_ORACLE,
+    description="Embedding near-dup suite: canonical id = least id among "
+    "self and all qualifying neighbors with cos >= 0.95.  method='brute' is "
+    "the all-pairs exactness baseline (one broadcast, no shuffle before the "
+    "agg); method='semdedup' is the SemDeDup scale path (Abbas et al. 2023): "
+    "cluster by nearest seed centroid — a broadcast map-only pass — and "
+    "compare only WITHIN cells, so pairwise work is sum(|cell|^2) not N^2. "
+    "Each path keeps its own exact DuckDB re-derivation",
+    tags=("similarity", "dedup", "suite"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    scores = similarity.brute_force_scores(emb, emb, "vec_id", "embedding")
+    neighbors = (
+        scores.select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+        .filter(F.col("cos") >= 0.95)
+        .groupBy("query_id")
+        .agg(F.min("neighbor_id").alias("min_neighbor"))
+    )
+    brute = (
+        emb.select("vec_id")
+        .join(neighbors, emb.vec_id == F.col("query_id"), "left")
+        .select(
+            "vec_id",
+            F.least(
+                F.col("vec_id"), F.coalesce(F.col("min_neighbor"), F.col("vec_id"))
+            ).alias("canonical_id"),
+        )
+    )
+    centroids = emb.filter(F.expr(_CENTROID_FILTER)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    sem = similarity.semantic_dedup(
+        emb, centroids, "vec_id", "embedding", threshold=0.95
+    )
+    cols = ["vec_id", "canonical_id"]
+    return _tagged(brute, "brute", cols).unionByName(_tagged(sem, "semdedup", cols))

@@ -1,0 +1,173 @@
+"""Product quantization + SemDeDup.
+
+* PQ encode must be a map-only projection (no shuffle, no Python) and agree
+  with a straight numpy re-derivation of argmin-of-rounded-L2² per subspace.
+* train_pq_codebooks is deterministic and reduces quantization error vs the
+  seed-sampled codebooks it initializes from.
+* ADC retrieval must give an exact duplicate of a query the best achievable
+  score (ADC to one's own codes is the minimum over all code assignments).
+* semantic_dedup canonicalizes within cells only — a crafted near-dup pair
+  in the same cell collapses; the same pair split across cells survives.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.operators import similarity
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vid long, vec array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).tolist()
+    return _vec_df(spark, list(enumerate(vecs)))
+
+
+@pytest.fixture(scope="module")
+def books(corpus):
+    seeds = corpus.filter("vid % 10 = 1")  # 4 deterministic seeds
+    return similarity.pq_codebooks_from_seeds(seeds, "vid", "vec", m=4)
+
+
+def test_codebook_shapes(books):
+    assert len(books) == 4  # m subspaces
+    assert all(len(b) == 4 for b in books)  # ksub = seed count
+    assert all(len(e) == 2 for b in books for e in b)  # dim/m floats
+
+
+def test_pq_encode_matches_numpy(spark, corpus, books):
+    got = {
+        r["vid"]: list(r["codes"])
+        for r in similarity.pq_encode(corpus, "vid", "vec", books).collect()
+    }
+    rows = corpus.orderBy("vid").collect()
+    cb = np.asarray(books)  # (m, ksub, sub)
+    m, _, sub = cb.shape
+    for r in rows:
+        v = np.asarray(r["vec"], dtype=np.float64)
+        u = v / np.sqrt((v * v).sum())
+        expect = []
+        for j in range(m):
+            d = np.round(
+                ((u[j * sub : (j + 1) * sub] - cb[j]) ** 2).sum(axis=1), 6
+            )
+            expect.append(int(d.argmin()))  # argmin ties -> lowest code
+        assert got[r["vid"]] == expect, r["vid"]
+
+
+def test_pq_encode_is_map_only(corpus, books):
+    plan = plan_of(similarity.pq_encode(corpus, "vid", "vec", books))
+    assert "Exchange" not in plan
+    # pure Catalyst expressions — no Python UDF/Arrow evaluation nodes
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow", "MapInPandas"):
+        assert node not in plan
+
+
+def test_trained_codebooks_reduce_error(spark, corpus, books):
+    trained = similarity.train_pq_codebooks(
+        corpus, "vid", "vec", m=4, ksub=4, n_iters=10, sample_n=1000
+    )
+    # Determinism: same inputs, same books.
+    again = similarity.train_pq_codebooks(
+        corpus, "vid", "vec", m=4, ksub=4, n_iters=10, sample_n=1000
+    )
+    assert trained == again
+
+    def total_err(cbs):
+        cb = np.asarray(cbs)
+        m, _, sub = cb.shape
+        err = 0.0
+        for r in corpus.collect():
+            v = np.asarray(r["vec"], dtype=np.float64)
+            u = v / np.sqrt((v * v).sum())
+            for j in range(m):
+                err += ((u[j * sub : (j + 1) * sub] - cb[j]) ** 2).sum(axis=1).min()
+        return err
+
+    assert total_err(trained) < total_err(books)
+
+
+def test_adc_ranks_exact_duplicate_first(spark, books):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(20, 8))
+    vecs[13] = vecs[0]  # vid 13 duplicates vid 0
+    corpus = _vec_df(spark, list(enumerate(vecs.tolist())))
+    queries = corpus.filter("vid = 0")
+    top = similarity.pq_adc_topk(
+        corpus, queries, books, "vid", "vec", k=20
+    ).orderBy("rank").collect()
+    # An identical vector gets identical codes, and ADC against one's own
+    # codes is the MINIMUM over all code assignments (each subspace argmin
+    # minimizes its term) — so the duplicate must share the best score.
+    # Other vectors may collide into the same codes (quantization); ties
+    # then break on id.
+    dup = next(r for r in top if r["neighbor_id"] == 13)
+    assert dup["cos"] == top[0]["cos"]
+
+
+def test_semantic_dedup_in_cell_vs_cross_cell(spark):
+    # Two well-separated cell anchors; a near-dup pair around anchor A.
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    near_a1 = [0.999, 0.01, 0.0, 0.0]
+    near_a2 = [0.998, 0.012, 0.0, 0.0]
+    corpus = _vec_df(spark, [(0, a), (1, b), (2, near_a1), (3, near_a2)])
+    cents = spark.createDataFrame(
+        [(0, a), (1, b)], "cid long, cvec array<double>"
+    )
+    got = {
+        r["vid"]: r["canonical_id"]
+        for r in similarity.semantic_dedup(
+            corpus, cents, "vid", "vec", threshold=0.99
+        ).collect()
+    }
+    # 0, 2, 3 share cell 0 and are mutually cos>=0.99 -> canonical 0; b alone.
+    assert got == {0: 0, 1: 1, 2: 0, 3: 0}
+
+    # Same pair but with centroids that split them into different cells:
+    # no in-cell neighbor -> nothing collapses.
+    cents2 = spark.createDataFrame(
+        [(0, near_a1), (1, near_a2)], "cid long, cvec array<double>"
+    )
+    pair = _vec_df(spark, [(2, near_a1), (3, near_a2)])
+    got2 = {
+        r["vid"]: r["canonical_id"]
+        for r in similarity.semantic_dedup(
+            pair, cents2, "vid", "vec", threshold=0.99
+        ).collect()
+    }
+    assert got2 == {2: 2, 3: 3}
+
+
+def test_semantic_dedup_joins_on_cell_only(spark, corpus):
+    """The pairwise join must key on the cell id — never a raw cross join of
+    the corpus with itself (the N² trap SemDeDup exists to avoid)."""
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8)], "cid long, cvec array<double>"
+    )
+    df = similarity.semantic_dedup(corpus, cents, "vid", "vec", threshold=0.9)
+    plan = plan_of(df)
+    # the only cartesian/broadcast-nested-loop allowed is vectors x broadcast
+    # centroids inside nearest_centroids; the corpus-corpus pair join must be
+    # an equi-join (hash) on the cell key.
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
