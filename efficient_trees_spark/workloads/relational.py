@@ -268,26 +268,114 @@ def a2_target_encoding_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A4_LEG = """
+        SELECT '{method}' AS method,
+               CAST({key_out} AS VARCHAR) AS group_key,
+               n,
+               round(n / sum(n) OVER (), 9) AS share,
+               min_bal, max_bal, avg_ck
+        FROM (
+            SELECT {key_out},
+                   count(*) AS n,
+                   CAST(min(c_acctbal) AS DOUBLE) AS min_bal,
+                   CAST(max(c_acctbal) AS DOUBLE) AS max_bal,
+                   CAST(sum(c_custkey) AS DOUBLE) / count(*) AS avg_ck
+            FROM {source}
+            GROUP BY {key_out}
+        )
+"""
+
+
 @workload(
     "a4_group_share_of_total",
-    oracle="""
-        SELECT c_nationkey,
-               count(*) AS n,
-               round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM customer), 9) AS share
-        FROM customer
-        GROUP BY c_nationkey
-    """,
-    description="A4: scalar aggregate broadcast alongside row-level columns "
-    "(reference agg-inside-select, tree.py:261-268)",
-    tags=("inventory",),
+    oracle=" UNION ALL ".join(
+        [
+            _A4_LEG.format(method="window_share", key_out="c_nationkey", source="customer"),
+            _A4_LEG.format(method="salted_agg", key_out="c_nationkey", source="customer"),
+            _A4_LEG.format(
+                method="salted_join",
+                key_out="n_name",
+                source="(SELECT * FROM customer JOIN nation ON c_nationkey = n_nationkey)",
+            ),
+        ]
+    ),
+    description="A4 + skew suite: method='window_share' is the scalar-aggregate "
+    "broadcast alongside row-level columns (reference agg-inside-select, "
+    "tree.py:261-268); method='salted_agg' computes the SAME aggregates via the "
+    "two-phase salted rewrite (operators/skew.py salted_aggregate — hot group "
+    "keys fan over n_salts reducers, partials recompose) so the external oracle "
+    "proves salted == plain GROUP BY; method='salted_join' routes the join "
+    "through salted_join (hot keys' probe rows fanned across salts, small side's "
+    "hot rows replicated) and must match the plain SQL join",
+    tags=("inventory", "suite", "skew"),
 )
 def a4_group_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    counts = load(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n"))
+    from efficient_trees_spark.operators.skew import (
+        hot_keys,
+        salted_aggregate,
+        salted_join,
+    )
+
+    customer = load(spark, sf_dir, "customer")
     w_all = Window.partitionBy()
-    return counts.select(
+
+    def finish(grouped: DataFrame, method: str, key_col: str) -> DataFrame:
+        return grouped.select(
+            F.lit(method).alias("method"),
+            F.col(key_col).cast("string").alias("group_key"),
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w_all), 9).alias("share"),
+            "min_bal",
+            "max_bal",
+            "avg_ck",
+        )
+
+    plain = customer.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+        (F.sum("c_custkey").cast("double") / F.count("*")).alias("avg_ck"),
+    )
+
+    # Same result through the two-phase salted rewrite: sums/counts/min/max
+    # recompose from per-salt partials; avg_ck's sum and count partials are
+    # exact integers, so the final division is bit-identical to the plain leg.
+    salted = salted_aggregate(
+        customer,
+        ["c_nationkey"],
+        {
+            "n": ("count", "c_custkey"),
+            "min_bal": ("min", "c_acctbal"),
+            "max_bal": ("max", "c_acctbal"),
+            "__ck_sum": ("sum", "c_custkey"),
+        },
+    ).select(
         "c_nationkey",
         "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(w_all), 9).alias("share"),
+        F.col("min_bal").cast("double").alias("min_bal"),
+        F.col("max_bal").cast("double").alias("max_bal"),
+        (F.col("__ck_sum").cast("double") / F.col("n")).alias("avg_ck"),
+    )
+
+    # Skew-safe join: every nation key clears the hot threshold here, so the
+    # whole probe side takes the fanned-out path — the strongest exercise of
+    # the salt plumbing the small tables allow.
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    hot = hot_keys(customer, ["c_nationkey"], min_count=2)
+    joined = salted_join(customer, nation, ["c_nationkey"], hot, n_salts=8)
+    join_grouped = joined.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+        (F.sum("c_custkey").cast("double") / F.count("*")).alias("avg_ck"),
+    )
+
+    return (
+        finish(plain, "window_share", "c_nationkey")
+        .unionByName(finish(salted, "salted_agg", "c_nationkey"))
+        .unionByName(finish(join_grouped, "salted_join", "n_name"))
     )
 
 
