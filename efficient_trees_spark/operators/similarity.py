@@ -409,10 +409,12 @@ def centroids_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFram
 #
 # Everything below is deterministic and engine-portable: vectors are
 # unit-normalized first (so asymmetric L2² = 2 − 2·cos and the emitted score
-# is a PQ-approximated cosine), partial distances are rounded to 6 dp before
-# any sum/argmin, and argmin ties break on the LOWEST code — the same
-# total-order discipline the rest of this module uses, so a DuckDB oracle
-# reproduces codes and rankings exactly.
+# is a PQ-approximated cosine), encode-side distances are rounded to 6 dp
+# with argmin ties breaking on the LOWEST code, and ADC partials are
+# quantized to integer micro-units so the score sum is exact BIGINT
+# arithmetic with one final division (never a float round of a value that
+# sits exactly on a decimal boundary) — so a DuckDB oracle reproduces codes
+# and rankings bit-exactly.
 #
 # Codebooks: ``pq_codebooks_from_seeds`` derives them from K_sub
 # deterministic data rows (oracle-friendly — the SQL side re-derives the
@@ -595,6 +597,15 @@ def pq_adc_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("__qu")
     )
+    # Partial distances are carried as INTEGER micro-units (x 10^round_to):
+    # the per-(query, neighbor) ADC sum is then an exact BIGINT aggregation —
+    # immune to float-association order across partitionings/engines.  The
+    # score NEVER goes through round(): an odd micro-sum puts 1 - d²/2
+    # exactly ON a round-6 decimal boundary, where engines' round()
+    # implementations legitimately disagree (exact-decimal HALF_UP vs
+    # float-multiply).  Instead the score is assembled in exact integer
+    # half-micro units and divided out once — bit-identical everywhere.
+    scale = float(10**round_to)
     table = q.select(
         "query_id", F.explode(entries).alias("e"), F.col("__qu")
     ).select(
@@ -602,9 +613,11 @@ def pq_adc_topk(
         F.col("e.j").alias("j"),
         F.col("e.c").alias("code"),
         F.round(
-            _l2sq(F.slice(F.col("__qu"), F.col("e.j") * sub + 1, sub), F.col("e.sub")),
-            round_to,
-        ).alias("partial"),
+            _l2sq(F.slice(F.col("__qu"), F.col("e.j") * sub + 1, sub), F.col("e.sub"))
+            * F.lit(scale)
+        )
+        .cast("long")
+        .alias("partial"),
     )
     codes = pq_encode(corpus, id_col, vec_col, codebooks, round_to).select(
         F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("j", "code")
@@ -613,7 +626,12 @@ def pq_adc_topk(
         codes.join(F.broadcast(table), ["j", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.round(1 - F.sum("partial") / 2, round_to).alias("cos"))
+        .agg(
+            (
+                (F.lit(int(10 * scale)) - F.sum("partial") * F.lit(5))
+                / F.lit(10.0 * scale)
+            ).alias("cos")
+        )
     )
     from pyspark.sql import Window
 

@@ -172,10 +172,12 @@ _UNIT_CTE = """
 
 _PQ_SUB = DIM // _PQ_M
 
-_PQ_L2SQ = (
-    "round(list_sum(list_transform(range(1, {n}), "
-    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+_PQ_L2SQ_RAW = (
+    "list_sum(list_transform(range(1, {n}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
 )
+
+_PQ_L2SQ = f"round({_PQ_L2SQ_RAW}, 6)"
 
 _PQ_TOPK_ORACLE = f"""
     WITH {_UNIT_CTE},
@@ -200,14 +202,20 @@ _PQ_TOPK_ORACLE = f"""
         ) WHERE rn = 1
     ),
     qtable AS (
+        -- partials in integer micro-units: the ADC sum is an exact BIGINT,
+        -- so no float-association noise can flip the round-6 boundary the
+        -- 1 - sum/2 values sit exactly on (mirrors pq_adc_topk).
         SELECT q.vec_id AS query_id, s.j, s.c AS code,
-               {_PQ_L2SQ.format(n=_PQ_SUB + 1, a="q.sub", b="s.sub")} AS partial
+               CAST(round(({_PQ_L2SQ_RAW.format(n=_PQ_SUB + 1, a="q.sub", b="s.sub")}) * 1000000.0) AS BIGINT) AS partial
         FROM (SELECT * FROM vsub WHERE {_Q_FILTER}) q
         JOIN ssub s USING (j)
     ),
     adc AS (
+        -- exact integer half-micro units, ONE final division: an odd
+        -- micro-sum puts 1 - d^2/2 exactly on a round-6 boundary where
+        -- engine round() implementations disagree, so no round() here.
         SELECT t.query_id, c.vec_id AS neighbor_id,
-               round(1 - sum(t.partial) / 2, 6) AS cos
+               (10000000 - sum(t.partial) * 5) / 10000000.0 AS cos
         FROM codes c JOIN qtable t ON t.j = c.j AND t.code = c.code
         WHERE c.vec_id != t.query_id
         GROUP BY 1, 2
@@ -271,10 +279,94 @@ def ann_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ BM25 retrieval
+#
+# The lexical leg of the retrieval suite: same (query_id, neighbor_id,
+# score, rank) contract as the embedding paths, over the documents table.
+# Query batch is a pinned literal set of already-normalized terms from the
+# corpus vocabulary, so tokenizing the query strings in Spark yields
+# exactly the VALUES list the oracle uses.
+
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "spark window agg"),
+    (1, "customer query join order"),
+    (2, "fast hash table scan"),
+]
+_BM25_K, _BM25_K1, _BM25_B = 5, 1.2, 0.75
+
+# DuckDB twin of functions/text.py tokenization (same contract as
+# workloads/text_pipeline.py).
+_BM25_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')"
+)
+
+_BM25_QTERM_VALUES = ", ".join(
+    f"({qid}, '{term}')" for qid, q in _BM25_QUERIES for term in q.split()
+)
+
+# Constant text below (2.2 / 1.2 / 0.75) round-trips to the exact doubles
+# the Spark expression builds via F.lit, and every arithmetic op appears in
+# the same order — per-term weights are bit-identical across engines, and
+# the per-doc sum goes through DECIMAL(28,12) (exact, associative) so even
+# the aggregation is bit-reproducible, not just within rounding noise.
+_BM25_TOPK_ORACLE = f"""
+    WITH dl AS (
+        SELECT doc_id, len(toks) AS dl, toks
+        FROM (SELECT doc_id, {_BM25_TOKS} AS toks FROM documents)
+    ),
+    postings AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*) AS dft FROM postings GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM dl),
+    qterms AS (SELECT DISTINCT * FROM (VALUES {_BM25_QTERM_VALUES}) AS t(query_id, term)),
+    qw AS (
+        SELECT query_id, term,
+               ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0) AS idf, avgdl
+        FROM qterms JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    contrib AS (
+        SELECT query_id, p.doc_id AS neighbor_id,
+               idf * tf * {_BM25_K1 + 1.0!r} / (tf + {_BM25_K1!r} * (1.0 - {_BM25_B!r} + {_BM25_B!r} * p.dl / avgdl)) AS w
+        FROM postings p JOIN qw USING (term)
+    ),
+    scored AS (SELECT query_id, neighbor_id,
+                      round(CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+               FROM contrib GROUP BY 1, 2),
+    ranked AS (SELECT query_id, neighbor_id, score,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id ASC) AS rank
+               FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id, score, rank
+    FROM ranked WHERE rank <= {_BM25_K}
+"""
+
+
+def ann_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-5 over documents (operators/retrieval.py): one
+    corpus shuffle for postings, broadcast query-weight table, candidates
+    filtered before the scoring aggregation.  Registered via
+    ``ann_topk_suite`` (method='bm25')."""
+    from efficient_trees_spark.operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    return bm25_topk(
+        docs, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 @workload(
     "ann_topk_suite",
     oracle=f"""
-        SELECT 'brute' AS method, query_id, neighbor_id, cos, rank
+        SELECT 'brute' AS method, query_id, neighbor_id, cos AS score, rank
         FROM (
             {_PAIRS_CTE},
             ranked AS (
@@ -286,27 +378,46 @@ def ann_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
         )
         UNION ALL
-        SELECT 'ivf', query_id, neighbor_id, cos, rank
+        SELECT 'ivf', query_id, neighbor_id, cos AS score, rank
         FROM ({_IVF_TOPK_ORACLE})
         UNION ALL
-        SELECT 'pq', query_id, neighbor_id, cos, rank
+        SELECT 'pq', query_id, neighbor_id, cos AS score, rank
         FROM ({_PQ_TOPK_ORACLE})
+        UNION ALL
+        SELECT 'bm25', query_id, neighbor_id, score, rank
+        FROM ({_BM25_TOPK_ORACLE})
     """,
-    description="ANN top-5 suite: method='brute' is exact ranked retrieval "
-    "(total order on rounded score + id tie-break); method='ivf' probes the 2 "
-    "nearest of ~16 seed-centroid cells (broadcast coarse quantizer, "
-    "cell-local candidates, nprobe recall knob) — the IVF scale path; "
-    "method='pq' is product-quantized ADC retrieval (vectors compress to 8 "
-    "subspace codes, queries rank by distance-table sums; cos is the PQ "
-    "approximation 1 - ADC^2/2 on unit vectors) — the memory scale path",
+    description="Retrieval top-5 suite: method='brute' is exact ranked "
+    "cosine retrieval (total order on rounded score + id tie-break); "
+    "method='ivf' probes the 2 nearest of ~16 seed-centroid cells (broadcast "
+    "coarse quantizer, cell-local candidates, nprobe recall knob) — the IVF "
+    "scale path; method='pq' is product-quantized ADC retrieval (vectors "
+    "compress to 8 subspace codes, queries rank by distance-table sums; "
+    "score is the PQ approximation 1 - ADC^2/2 on unit vectors) — the memory "
+    "scale path; method='bm25' is lexical BM25 over the documents table "
+    "(operators/retrieval.py: postings in one shuffle, broadcast query "
+    "weights, Lucene +1 idf) — the exact-term path for decontamination "
+    "sweeps and quality mining",
     tags=("similarity", "suite"),
 )
 def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cols = ["query_id", "neighbor_id", "cos", "rank"]
+    def as_score(df: DataFrame, method: str) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "neighbor_id",
+            F.col("cos").alias("score"),
+            "rank",
+        )
+
+    bm25 = ann_bm25_topk(spark, sf_dir).select(
+        F.lit("bm25").alias("method"), "query_id", "neighbor_id", "score", "rank"
+    )
     return (
-        _tagged(ann_cosine_topk(spark, sf_dir), "brute", cols)
-        .unionByName(_tagged(ann_ivf_topk(spark, sf_dir), "ivf", cols))
-        .unionByName(_tagged(ann_pq_topk(spark, sf_dir), "pq", cols))
+        as_score(ann_cosine_topk(spark, sf_dir), "brute")
+        .unionByName(as_score(ann_ivf_topk(spark, sf_dir), "ivf"))
+        .unionByName(as_score(ann_pq_topk(spark, sf_dir), "pq"))
+        .unionByName(bm25)
     )
 
 

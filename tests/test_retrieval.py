@@ -1,0 +1,82 @@
+"""BM25 lexical retrieval (operators/retrieval.py).
+
+Semantics checked against a hand-computed corpus; plan shape checked for
+the scale contract (postings never shuffle for the query join)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.operators.retrieval import bm25_topk
+
+DOCS = [
+    (1, "apple banana apple"),
+    (2, "banana cherry"),
+    (3, "apple cherry cherry date"),
+    (4, "date elderberry fig"),
+]
+
+
+def _bm25(tf, dl, df, n, avgdl, k1=1.2, b=0.75):
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _run(spark, queries, **kw):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    return bm25_topk(docs, qdf, **kw)
+
+
+def test_single_term_ranking_matches_hand_computation(spark):
+    rows = _run(spark, [(0, "apple")], k=10).collect()
+    got = {(r.query_id, r.neighbor_id): (r.score, r.rank) for r in rows}
+    # corpus: N=4, avgdl = (3+2+4+3)/4 = 3.0; 'apple' df=2
+    exp1 = round(_bm25(tf=2, dl=3, df=2, n=4, avgdl=3.0), 6)
+    exp3 = round(_bm25(tf=1, dl=4, df=2, n=4, avgdl=3.0), 6)
+    assert set(got) == {(0, 1), (0, 3)}
+    assert got[(0, 1)] == (exp1, 1)  # tf=2 in a shorter doc wins
+    assert got[(0, 3)] == (exp3, 2)
+    assert exp1 > exp3
+
+
+def test_multi_term_scores_sum_and_repeated_query_terms_dedupe(spark):
+    rows = _run(spark, [(0, "apple cherry"), (1, "cherry cherry apple")], k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.neighbor_id] = r.score
+    # Repeating a term in the query must not change any score.
+    assert by_q[0] == by_q[1]
+    # doc 3 matches both terms: score is the sum of the two contributions.
+    exp = round(
+        _bm25(tf=1, dl=4, df=2, n=4, avgdl=3.0)
+        + _bm25(tf=2, dl=4, df=2, n=4, avgdl=3.0),
+        6,
+    )
+    assert by_q[0][3] == exp
+
+
+def test_rank_is_dense_per_query_and_k_caps_results(spark):
+    rows = _run(spark, [(0, "apple banana cherry date")], k=2).collect()
+    assert sorted(r.rank for r in rows) == [1, 2]
+
+
+def test_unknown_terms_match_nothing(spark):
+    assert _run(spark, [(0, "zzzgone")], k=5).count() == 0
+
+
+def test_query_join_broadcasts_postings_side_never_shuffles_for_it(spark):
+    plan = _run(spark, [(0, "apple")], k=5)._jdf.queryExecution().executedPlan().toString()
+    # The postings-x-query-weights join must be broadcast (the corpus-sized
+    # side stays put); no cartesian product anywhere.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_on_real_documents_is_deterministic_across_partitionings(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    qdf = spark.createDataFrame([(0, "spark window agg")], "query_id long, query_text string")
+    a = bm25_topk(docs, qdf, k=5).collect()
+    b = bm25_topk(docs.repartition(13), qdf, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 5
