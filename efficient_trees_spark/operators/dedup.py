@@ -523,3 +523,129 @@ def decontaminate(
         .select(id_col)
     )
     return docs.join(hits, id_col, "left_anti")
+
+
+# ------------------------------------------------- duplicated substring spans
+
+
+def duplicate_window_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection at token granularity (the
+    span-level dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", 2021 — suffix-array duplicated spans,
+    re-expressed as relational dataflow): every length-``n`` token window
+    whose content appears in >= ``min_docs`` DISTINCT documents marks its
+    ``n`` token positions as duplicated; overlapping marked windows merge
+    into maximal spans per document.
+
+    Returns one row per input document:
+    ``(id, n_tokens, dup_windows, n_spans, covered_tokens, dup_token_frac)``
+    — enough to strip or down-weight boilerplate spans downstream without
+    re-deriving anything.
+
+    Scale shape (no suffix array needed — the corpus never materializes a
+    global sort):
+
+    * window hashes are built map-side with let-bound array HOFs (tokenize
+      once, one md5 per window) and exploded to ``(doc, start, hash)`` —
+      linear in corpus tokens, the relational stand-in for suffix-array
+      construction;
+    * the duplicated-window set is ONE map-side-combined aggregation on the
+      window hash (count of distinct docs, two-phase); a boilerplate window
+      shared by millions of docs is still one group;
+    * marking is an equi-join of the window relation with that set —
+      each window row matches at most once, so no fan-out, no self-join;
+    * span merging is per-document: sorted starts fold through a single
+      ``aggregate`` HOF (intervals of equal length sorted by start merge
+      left-to-right), so coverage needs no positional explode.
+    """
+    toks = text.tokens(text_col)
+    base = docs.select(
+        F.col(id_col), toks.alias("__toks")
+    ).select(F.col(id_col), F.col("__toks"), F.size("__toks").alias("n_tokens"))
+
+    wins = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    lambda i: F.struct(
+                        i.cast("long").alias("start"),
+                        F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, n))).alias(
+                            "h"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<start:bigint,h:string>>"))
+        ).alias("w"),
+    ).select(F.col(id_col), F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    dupwins = wins.join(dup, "h").select(F.col(id_col), "start")
+
+    acc0 = F.struct(
+        F.lit(-1).cast("long").alias("end"),
+        F.lit(0).cast("long").alias("cov"),
+        F.lit(0).cast("long").alias("spans"),
+    )
+
+    def _merge(a: Column, s: Column) -> Column:
+        new_span = s > a["end"]
+        return F.struct(
+            (s + F.lit(n - 1)).cast("long").alias("end"),
+            (
+                a["cov"]
+                + F.when(new_span, F.lit(n)).otherwise(s + F.lit(n - 1) - a["end"])
+            ).alias("cov"),
+            (a["spans"] + F.when(new_span, F.lit(1)).otherwise(F.lit(0))).alias(
+                "spans"
+            ),
+        )
+
+    per_doc = (
+        dupwins.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("start")).alias("__starts"))
+        .select(
+            F.col(id_col),
+            F.size("__starts").cast("long").alias("dup_windows"),
+            F.aggregate(F.col("__starts"), acc0, _merge).alias("__m"),
+        )
+        .select(
+            F.col(id_col),
+            "dup_windows",
+            F.col("__m.spans").alias("n_spans"),
+            F.col("__m.cov").alias("covered_tokens"),
+        )
+    )
+
+    return (
+        base.select(F.col(id_col), F.col("n_tokens").cast("long").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 9
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_token_frac"),
+        )
+    )

@@ -342,3 +342,73 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = dedup.ngram_shingles(docs, "doc_id", "text", n=3)
     pairs = dedup.jaccard_pairs(shingles, "doc_id", min_jaccard=0.5)
     return dedup.connected_components(pairs, docs, "doc_id")
+
+
+# ------------------------------------------------- duplicated substring spans
+
+_SPAN_N = 8
+_SPAN_MIN_DOCS = 2
+
+_SUBSTRING_SPAN_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+    w AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS start,
+               md5(array_to_string(
+                   toks[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + {_SPAN_N})],
+                   ' ')) AS h
+        FROM base, UNNEST(range(0, n_tokens - {_SPAN_N} + 1)) AS u(i)
+    ),
+    dup AS (SELECT h FROM w GROUP BY h
+            HAVING count(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}),
+    dw AS (SELECT doc_id, start FROM w JOIN dup USING (h)),
+    cov AS (
+        SELECT doc_id, count(*) AS covered_tokens FROM (
+            SELECT DISTINCT doc_id, start + CAST(u2.j AS BIGINT) AS pos
+            FROM dw, UNNEST(range(0, {_SPAN_N})) AS u2(j)
+        ) GROUP BY doc_id
+    ),
+    spans AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE prev IS NULL OR start - prev >= {_SPAN_N})
+                   AS n_spans,
+               count(*) AS dup_windows
+        FROM (SELECT doc_id, start,
+                     lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+              FROM dw)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(dup_windows, 0) AS dup_windows,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(covered_tokens, 0) AS covered_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN round(coalesce(covered_tokens, 0) / b.n_tokens, 9)
+                ELSE 0.0 END AS dup_token_frac
+    FROM base b
+    LEFT JOIN cov USING (doc_id)
+    LEFT JOIN spans USING (doc_id)
+"""
+
+
+@workload(
+    "dedup_substring_spans",
+    oracle=_SUBSTRING_SPAN_ORACLE.format(toks=_TOKS),
+    description="Span-level exact substring dedup (Lee et al. 2021, "
+    "suffix-array duplicated spans re-expressed relationally): every "
+    f"{_SPAN_N}-token window occurring in >= {_SPAN_MIN_DOCS} distinct docs "
+    "marks its positions duplicated; overlapping windows merge into maximal "
+    "spans via a per-doc sorted fold.  One map-side window-hash explode, one "
+    "distinct-doc count on the hash, one mark join — the corpus is never "
+    "self-joined and no global suffix sort exists.  Per-doc output: window/"
+    "span counts, covered tokens, duplicated-token fraction",
+    tags=("dedup", "suite"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_window_spans(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=_SPAN_N,
+        min_docs=_SPAN_MIN_DOCS,
+    )

@@ -130,12 +130,27 @@ def split_candidate_gains_entropy(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT 'entropy', feature, feature_value,
                information_gain, parent_criterion
         FROM ({_gains_oracle("entropy")})
+        UNION ALL
+        SELECT 'best_gini', feature, feature_value,
+               information_gain, CAST(NULL AS DOUBLE)
+        FROM (
+            WITH gains AS ({_gains_oracle("gini")})
+            SELECT feature, feature_value, information_gain
+            FROM gains
+            ORDER BY information_gain DESC,
+                     CASE feature {' '.join(f"WHEN '{f}' THEN {i}" for i, f in enumerate(FEATURES))} END ASC,
+                     feature_value ASC
+            LIMIT 1
+        )
     """,
     description="The engine's unified split-gain pipeline (melt → "
     "conditional counts → prefix-sum windows → gain) under BOTH criteria, "
     "tagged by criterion, vs a pure-SQL re-derivation: gini is exact "
     "arithmetic; entropy guards log2 at p=0 and rounds to 9 dp (libm "
-    "last-ulp differences between the JVM and DuckDB)",
+    "last-ulp differences between the JVM and DuckDB); criterion='best_gini' "
+    "is the global argmax over candidates with the engine's total-order "
+    "tie-break (reference tree.py:341-348, made deterministic — gain desc, "
+    "feature position, feature value)",
     tags=("inventory", "engine", "suite"),
 )
 def split_candidate_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,25 +161,20 @@ def split_candidate_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy = split_candidate_gains_entropy(spark, sf_dir).select(
         F.lit("entropy").alias("criterion"), *cols
     )
-    return gini.unionByName(entropy)
+    best = split_best_gini(spark, sf_dir).select(
+        F.lit("best_gini").alias("criterion"),
+        "feature",
+        "feature_value",
+        "information_gain",
+        F.lit(None).cast("double").alias("parent_criterion"),
+    )
+    return gini.unionByName(entropy).unionByName(best)
 
 
-@workload(
-    "split_best_gini",
-    oracle=f"""
-        WITH gains AS ({_gains_oracle("gini")})
-        SELECT feature, feature_value, information_gain
-        FROM gains
-        ORDER BY information_gain DESC,
-                 CASE feature {' '.join(f"WHEN '{f}' THEN {i}" for i, f in enumerate(FEATURES))} END ASC,
-                 feature_value ASC
-        LIMIT 1
-    """,
-    description="Global argmax over candidate splits with the engine's "
-    "total-order tie-break (reference tree.py:341-348, made deterministic)",
-    tags=("inventory", "engine"),
-)
 def split_best_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global argmax over candidate splits, engine total-order tie-break
+    (reference tree.py:341-348).  Registered via ``split_candidate_gains``
+    (criterion='best_gini')."""
     gains = _rounded_gains(spark, sf_dir, Criterion.GINI)
     position = F.create_map(
         *[x for i, f in enumerate(FEATURES) for x in (F.lit(f), F.lit(i))]
