@@ -29,6 +29,7 @@ from efficient_trees_spark.session import get_spark  # noqa: E402
 from efficient_trees_spark.workloads.dedup_queries import (  # noqa: E402
     dedup_exact_bag,
     dedup_minhash_lsh,
+    dedup_substring_spans,
 )
 from efficient_trees_spark.workloads.relational import (  # noqa: E402
     q1_pricing_summary,
@@ -36,6 +37,7 @@ from efficient_trees_spark.workloads.relational import (  # noqa: E402
     q5_region_nation_volume,
 )
 from efficient_trees_spark.workloads.similarity_queries import (  # noqa: E402
+    ann_bm25_topk,
     ann_cosine_threshold,
     ann_cosine_topk,
 )
@@ -54,10 +56,14 @@ from efficient_trees_spark.workloads.tree_queries import (  # noqa: E402
 from efficient_trees_spark.workloads.wide_fit import tree_fit_wide  # noqa: E402
 
 BENCH_QUERIES = {
+    # Round-4 additions: BM25 lexical retrieval and span-level substring
+    # dedup — the two new corpus operators, timed alongside the originals.
+    "ann_bm25_topk": ann_bm25_topk,
     "ann_cosine_threshold": ann_cosine_threshold,
     "ann_cosine_topk": ann_cosine_topk,
     "dedup_exact_bag": dedup_exact_bag,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_substring_spans": dedup_substring_spans,
     "docs_curation_pipeline": docs_curation_pipeline,
     "events_tumbling_window": events_tumbling_window,
     "q1_pricing_summary": q1_pricing_summary,

@@ -528,6 +528,38 @@ def decontaminate(
 # ------------------------------------------------- duplicated substring spans
 
 
+def _window_relation(docs: DataFrame, id_col: str, text_col: str, n: int):
+    """(base, wins): per-doc tokens + ``(id, start, window-hash)`` — windows
+    built map-side with let-bound HOFs, one md5 per window, docs shorter
+    than ``n`` contributing no windows."""
+    from efficient_trees_spark.sources.io import fan_out_small_input
+
+    docs = fan_out_small_input(docs)
+    toks = text.tokens(text_col)
+    base = docs.select(
+        F.col(id_col), toks.alias("__toks")
+    ).select(F.col(id_col), F.col("__toks"), F.size("__toks").alias("n_tokens"))
+
+    wins = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    lambda i: F.struct(
+                        i.cast("long").alias("start"),
+                        F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, n))).alias(
+                            "h"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<start:bigint,h:string>>"))
+        ).alias("w"),
+    ).select(F.col(id_col), F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    return base, wins
+
+
 def duplicate_window_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -564,28 +596,7 @@ def duplicate_window_spans(
       ``aggregate`` HOF (intervals of equal length sorted by start merge
       left-to-right), so coverage needs no positional explode.
     """
-    toks = text.tokens(text_col)
-    base = docs.select(
-        F.col(id_col), toks.alias("__toks")
-    ).select(F.col(id_col), F.col("__toks"), F.size("__toks").alias("n_tokens"))
-
-    wins = base.select(
-        F.col(id_col),
-        F.explode(
-            F.when(
-                F.col("n_tokens") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_tokens") - n),
-                    lambda i: F.struct(
-                        i.cast("long").alias("start"),
-                        F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, n))).alias(
-                            "h"
-                        ),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<start:bigint,h:string>>"))
-        ).alias("w"),
-    ).select(F.col(id_col), F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    base, wins = _window_relation(docs, id_col, text_col, n)
 
     dup = (
         wins.groupBy("h")
@@ -648,4 +659,95 @@ def duplicate_window_spans(
             .otherwise(F.lit(0.0))
             .alias("dup_token_frac"),
         )
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove duplicated spans while KEEPING their first occurrence (the
+    actual dedup step of Lee et al. 2021): for each window content shared
+    by >= ``min_docs`` distinct docs, the LOWEST-id document containing it
+    keeps its tokens; every other document drops the covered positions.
+    The corpus keeps exactly one copy of every duplicated span — content is
+    deduplicated, never destroyed.
+
+    Returns ``(id, n_tokens, kept_text, removed_tokens)``.
+
+    Same scale shape as :func:`duplicate_window_spans` — the keeper choice
+    adds only a ``min(id)`` to the existing window-hash aggregation, and
+    span removal is a per-row HOF over merged span arrays (positions are
+    never exploded)."""
+    base, wins = _window_relation(docs, id_col, text_col, n)
+
+    dup = (
+        wins.groupBy("h")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+            F.min(F.col(id_col)).alias("__keeper"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("h", "__keeper")
+    )
+    # Only NON-keeper occurrences are marked for removal.
+    marked = (
+        wins.join(dup, "h")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(F.col(id_col), "start")
+    )
+
+    span_t = "array<struct<s:bigint,e:bigint>>"
+    acc0 = F.struct(
+        F.lit(-1).cast("long").alias("end"),
+        F.array().cast(span_t).alias("spans"),
+    )
+
+    def _merge(a: Column, s: Column) -> Column:
+        e = (s + F.lit(n - 1)).cast("long")
+        grown = F.concat(
+            F.slice(a["spans"], 1, F.size(a["spans"]) - 1),
+            F.array(
+                F.struct(
+                    F.element_at(a["spans"], -1)["s"].alias("s"), e.alias("e")
+                )
+            ),
+        )
+        opened = F.concat(
+            a["spans"], F.array(F.struct(s.cast("long").alias("s"), e.alias("e")))
+        )
+        return F.struct(
+            e.alias("end"),
+            F.when(s > a["end"], opened).otherwise(grown).alias("spans"),
+        )
+
+    per_doc = (
+        marked.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("start")).alias("__starts"))
+        .select(
+            F.col(id_col),
+            F.aggregate(F.col("__starts"), acc0, _merge)["spans"].alias("__spans"),
+        )
+    )
+
+    joined = base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("__spans"), F.array().cast(span_t)).alias("__spans"),
+    )
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            F.col("__spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        "n_tokens",
+        F.concat_ws(" ", kept).alias("kept_text"),
+        (F.col("n_tokens") - F.size(kept)).cast("long").alias("removed_tokens"),
     )

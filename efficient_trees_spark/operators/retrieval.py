@@ -15,8 +15,9 @@ Plan shape at 100 TB (everything here is plain DataFrame ops — no UDFs):
    data-sized shuffle in the flow and it is map-side combined.
 2. ``dfreq``: document frequencies re-aggregate the postings relation on
    ``term`` — output is vocabulary-sized, far smaller than the corpus.
-3. Corpus stats (N, avgdl) are a tiny aggregate joined back by broadcast —
-   never a driver round-trip inside the plan.
+3. Corpus stats (N, avgdl) reduce from the postings relation (distinct doc
+   lengths), so the corpus is scanned once TOTAL; the one-row result joins
+   back by broadcast — never a driver round-trip inside the plan.
 4. The query side (small by construction: a benchmark, a seed set) joins
    ``dfreq`` for per-term IDF and then hits the postings as a BROADCAST
    join, so the scoring shuffle carries only postings whose term appears
@@ -62,6 +63,9 @@ def bm25_topk(
     ``(query_id, neighbor_id, score, rank)`` with rank 1..k per query,
     ties broken by ascending ``neighbor_id`` on the rounded score.
     """
+    from efficient_trees_spark.sources.io import fan_out_small_input
+
+    docs = fan_out_small_input(docs)
     toks = text.tokens(text_col)
 
     # One corpus scan: doc length rides along the explode, so tf and dl
@@ -77,9 +81,17 @@ def bm25_topk(
     )
     dfreq = postings.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
 
-    stats = docs.select(F.size(toks).alias("__dl")).agg(
-        F.count(F.lit(1)).alias("__n"),
-        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+    # Corpus stats derive from the postings relation (distinct doc lengths
+    # are doc-sized, far below token volume) so the corpus is scanned ONCE
+    # total.  N therefore counts docs with >= 1 token — zero-token docs can
+    # match no term anyway.
+    stats = (
+        postings.select("__doc", "__dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+        )
     )
 
     qterms = (

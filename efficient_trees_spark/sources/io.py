@@ -63,3 +63,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for spark.sql(...) access."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def fan_out_small_input(df: DataFrame) -> DataFrame:
+    """Widen a too-narrow source to the session's parallelism — local-mode
+    guard for map-heavy operators (tokenize/regex/hash passes parallelize
+    over the source's partition count, and a small local parquet file is ONE
+    split, idling every other core).  Pays one bounded shuffle only when
+    partitions < defaultParallelism; on a real cluster splits far exceed
+    cores and this is a no-op.  Same discipline as the binned tree fit's
+    ``tree._fan_out_small_input``."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

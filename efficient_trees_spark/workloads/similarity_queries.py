@@ -323,7 +323,7 @@ _BM25_TOPK_ORACLE = f"""
     dfreq AS (SELECT term, count(*) AS dft FROM postings GROUP BY 1),
     stats AS (SELECT count(*) AS n_docs,
                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-              FROM dl),
+              FROM (SELECT DISTINCT doc_id, dl FROM postings)),
     qterms AS (SELECT DISTINCT * FROM (VALUES {_BM25_QTERM_VALUES}) AS t(query_id, term)),
     qw AS (
         SELECT query_id, term,

@@ -77,3 +77,43 @@ def test_no_self_join_of_the_corpus(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------- strip (keep-first)
+
+
+def _strip(spark, n=4, min_docs=2):
+    from efficient_trees_spark.operators.dedup import strip_duplicate_spans
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = strip_duplicate_spans(df, "doc_id", "text", n=n, min_docs=min_docs).collect()
+    return {r.doc_id: r for r in rows}
+
+
+def test_strip_keeps_first_occurrence_and_removes_the_rest(spark):
+    s = _strip(spark)
+    # doc 1 is the lowest id containing every shared window: it keeps all.
+    assert s[1].kept_text == "a b c d e f g h i j"
+    assert s[1].removed_tokens == 0
+    # doc 2 loses the embedded copy of doc 1, keeps its own frame.
+    assert s[2].kept_text == "x x y"
+    assert s[2].removed_tokens == 10
+    # doc 4 loses both shared spans, keeps the middle + tail.
+    assert s[4].kept_text == "z z z k"
+    assert s[4].removed_tokens == 8
+
+
+def test_strip_leaves_clean_and_within_doc_repeats_untouched(spark):
+    s = _strip(spark)
+    assert s[3].kept_text == "p q r s t u v w"
+    assert s[5].kept_text == "m n o p m n o p"
+    assert s[6].kept_text == "q"
+    assert s[3].removed_tokens == s[5].removed_tokens == s[6].removed_tokens == 0
+
+
+def test_corpus_keeps_exactly_one_copy_of_each_duplicated_span(spark):
+    # After stripping, the shared run 'a b c d e f g h i j' must appear in
+    # exactly one surviving document.
+    s = _strip(spark)
+    survivors = " | ".join(r.kept_text for r in s.values())
+    assert survivors.count("a b c d e f g h i j") == 1
