@@ -8,6 +8,8 @@ Spark-native (extension surface beyond the reference — see COVERAGE.md):
 2. PII scrub   — regex redaction to typed placeholders (pure codegen)
 3. quality cut — drop low-quality / too-short docs
 4. exact dedup — canonical doc per content fingerprint (one shuffle)
+4b. span dedup — strip duplicated 8-token spans across docs, keeping the
+                 first occurrence (Lee et al. 2021, relational form)
 5. mixture     — per-language token budgets at temperature tau=0.5
 6. selection   — token-budget sampling per language, best-quality first
 
@@ -22,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 from pyspark.sql import functions as F
 
 from efficient_trees_spark.functions import text
-from efficient_trees_spark.operators import sampling
+from efficient_trees_spark.operators import dedup, sampling
 from efficient_trees_spark.session import get_spark
 
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -59,6 +61,18 @@ canonical = (
     kept.groupBy("fp")
     .agg(F.min("doc_id").alias("doc_id"), F.min_by(payload, "doc_id").alias("p"))
     .select("doc_id", "p.*")
+)
+
+# 4b. span-level dedup (Lee et al. 2021): whole-doc dedup above can't see a
+# boilerplate paragraph shared by otherwise-distinct docs — strip every
+# duplicated 8-token span, keeping its first (lowest doc_id) occurrence.
+stripped = dedup.strip_duplicate_spans(canonical, "doc_id", "clean_text", n=8)
+canonical = (
+    canonical.join(stripped.select("doc_id", "kept_text", "removed_tokens"), "doc_id")
+    .withColumn("n_tokens", F.col("n_tokens") - F.col("removed_tokens"))
+    .filter(F.col("n_tokens") >= 5)
+    .drop("clean_text")
+    .withColumnRenamed("kept_text", "clean_text")
 ).cache()
 
 # 5. mixture budgets: half the surviving tokens, temperature 0.5
@@ -91,7 +105,9 @@ stats = (
     )
     .orderBy("lang")
 )
+span_removed = canonical.agg(F.sum("removed_tokens")).first()[0]
 print(f"input docs: {docs.count()}, after quality+dedup: {canonical.count()}")
+print(f"span dedup removed {span_removed} duplicated-span tokens")
 print(f"token budget: {surviving // 2} of {surviving} surviving tokens (tau=0.5)")
 for r in stats.collect():
     print(
