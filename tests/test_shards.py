@@ -1,0 +1,68 @@
+"""Deterministic training-shard export (sources/shards.py)."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.sources.shards import assign_shards, write_training_shards
+
+N = 4
+
+
+def _docs(spark, sf_small):
+    return (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "text", F.length("text").alias("n_chars"))
+    )
+
+
+def test_export_partitions_complete_and_disjoint(spark, sf_small, tmp_path):
+    docs = _docs(spark, sf_small)
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, "doc_id", N, token_col="n_chars")
+    m = {r.shard: (r.n_rows, r.n_tokens) for r in manifest.collect()}
+
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    counts = {r.shard: r.n for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert counts == {s: m[s][0] for s in m}
+    assert set(counts) <= set(range(N))
+    # manifest token totals match a direct re-aggregation
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    assert sum(v[1] for v in m.values()) == total
+
+
+def test_assignment_and_order_are_deterministic(spark, sf_small, tmp_path):
+    docs = _docs(spark, sf_small)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs.repartition(3), p1, "doc_id", N)
+    write_training_shards(docs.repartition(11), p2, "doc_id", N)
+    for s in range(N):
+        f1 = sorted(glob.glob(os.path.join(p1, f"shard={s}", "*.parquet")))
+        f2 = sorted(glob.glob(os.path.join(p2, f"shard={s}", "*.parquet")))
+        a = spark.read.parquet(*f1).select("doc_id").collect() if f1 else []
+        b = spark.read.parquet(*f2).select("doc_id").collect() if f2 else []
+        # same membership AND same in-shard order, independent of input
+        # partitioning
+        assert [r.doc_id for r in a] == [r.doc_id for r in b]
+
+
+def test_in_shard_order_is_shuffled_not_sorted(spark, sf_small, tmp_path):
+    docs = _docs(spark, sf_small)
+    path = str(tmp_path / "s")
+    write_training_shards(docs, path, "doc_id", 1)
+    ids = [r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()]
+    assert ids != sorted(ids)  # pseudo-random training order, not id order
+
+
+def test_assign_shards_is_a_pure_projection(spark, sf_small):
+    docs = _docs(spark, sf_small)
+    plan = (
+        assign_shards(docs, "doc_id", N)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # assignment itself shuffles nothing
