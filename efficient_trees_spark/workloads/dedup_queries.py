@@ -350,7 +350,7 @@ _SPAN_N = 8
 _SPAN_MIN_DOCS = 2
 
 _SUBSTRING_SPAN_ORACLE = f"""
-    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, coalesce({{toks}}, []) AS toks FROM documents),
     base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
     w AS (
         SELECT doc_id, CAST(u.i AS BIGINT) AS start,

@@ -117,3 +117,15 @@ def test_corpus_keeps_exactly_one_copy_of_each_duplicated_span(spark):
     s = _strip(spark)
     survivors = " | ".join(r.kept_text for r in s.values())
     assert survivors.count("a b c d e f g h i j") == 1
+
+
+def test_null_text_docs_report_zero_not_null(spark):
+    from efficient_trees_spark.operators.dedup import strip_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "a b c d")], "doc_id long, text string"
+    )
+    spans = {r.doc_id: r for r in duplicate_window_spans(df, n=2).collect()}
+    assert (spans[2].n_tokens, spans[2].dup_windows, spans[2].dup_token_frac) == (0, 0, 0.0)
+    stripped = {r.doc_id: r for r in strip_duplicate_spans(df, n=2).collect()}
+    assert (stripped[2].n_tokens, stripped[2].kept_text, stripped[2].removed_tokens) == (0, "", 0)
