@@ -18,11 +18,20 @@ Layout:
     functions/exprs.py    Column-expression library (criterion, gain, proportions)
     functions/text.py     Text analytics expressions (lang-id, quality, tokens)
     operators/split_finder.py  Unified one-job best-split search
-    operators/dedup.py    Exact + MinHash-LSH + SimHash + n-gram Jaccard dedup
-    operators/similarity.py    Embedding cosine top-k / threshold ANN
+    operators/histogram.py     Packed-Arrow histograms (AMEX-width fits)
+    operators/dedup.py    Exact + MinHash-LSH + SimHash + n-gram Jaccard dedup,
+                          benchmark decontamination, substring-span dedup
+    operators/similarity.py    Embedding ANN (brute/LSH/IVF/PQ), SemDeDup,
+                          k-means training, int8 quantization
+    operators/retrieval.py     BM25 lexical top-k retrieval
+    operators/asof.py / rangejoin.py / skew.py / sampling.py / multimodal.py
+                          as-of & range joins, salted agg/join, corpus
+                          sampling & mixture, multimodal plumbing
     plans/case_compiler.py     dict-tree → nested CASE WHEN Column
     sources/io.py         Readers/writers (parquet, csv, in-memory)
-    streaming/windows.py  Structured Streaming windowed aggregation over events
+    sources/shards.py     Deterministic sharded training export
+    streaming/            Structured Streaming windows, sessions, capped
+                          stateful sessions, ingest dedup (batch twins)
 """
 
 from efficient_trees_spark.enums import Criterion
