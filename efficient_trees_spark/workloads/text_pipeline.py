@@ -67,25 +67,81 @@ def _lang_id_oracle_case() -> str:
     return best_expr
 
 
+# Unigram-LM leg: corpus-fit add-alpha(0.5) unigram, per-doc mean token
+# log-prob, averaged per predicted language.  ln() may differ by an ulp
+# between the JVM and libm, so the per-lang average is rounded to 6 dp on
+# both sides.
+_LM_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+    totals AS (SELECT sum(n) AS total, count(*) AS vocab FROM counts),
+    scored AS (
+        SELECT tok.doc_id,
+               ln((c.n + 0.5) / (totals.total + 0.5 * (totals.vocab + 1))) AS lp
+        FROM tok JOIN counts c USING (token) CROSS JOIN totals
+    ),
+    perdoc AS (SELECT doc_id, avg(lp) AS mean_lp FROM scored GROUP BY 1),
+    langs AS (SELECT doc_id, {_lang_id_oracle_case()} AS lang_pred FROM documents)
+    SELECT lang_pred, count(*) AS n, round(avg(mean_lp), 6) AS avg_logprob
+    FROM perdoc JOIN langs USING (doc_id)
+    GROUP BY lang_pred
+"""
+
+
 @workload(
     "text_lang_id",
     oracle=f"""
-        SELECT {_lang_id_oracle_case()} AS lang_pred, count(*) AS n
-        FROM documents
-        GROUP BY 1
+        SELECT 'lang' AS kind, lang_pred, n, CAST(NULL AS DOUBLE) AS avg_logprob
+        FROM (
+            SELECT {_lang_id_oracle_case()} AS lang_pred, count(*) AS n
+            FROM documents
+            GROUP BY 1
+        )
+        UNION ALL
+        SELECT 'lm', lang_pred, n, avg_logprob FROM ({_LM_ORACLE})
     """,
-    description="Stopword-overlap language ID (argmax with lexicographic "
-    "tie-break), aggregated to a distribution",
-    tags=("text",),
+    description="Text-signal suite: kind='lang' is stopword-overlap language "
+    "ID (argmax with lexicographic tie-break) aggregated to a distribution; "
+    "kind='lm' is the statistical-LM quality signal (operators/lm.py, "
+    "CCNet-style bucketing first pass: corpus-fit add-alpha unigram, per-doc "
+    "mean token log-prob) averaged per predicted language — the full fit + "
+    "score re-derived in SQL",
+    tags=("text", "suite"),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from efficient_trees_spark.operators import lm
+
     docs = load(spark, sf_dir, "documents")
-    return (
+    lang = (
         docs.select(text.tokens("text").alias("__toks"))
         .select(text.lang_id(F.lit(""), toks=F.col("__toks")).alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("lang").alias("kind"),
+            "lang_pred",
+            "n",
+            F.lit(None).cast("double").alias("avg_logprob"),
+        )
     )
+    model = lm.fit_unigram(docs)
+    scores = lm.score_unigram_logprob(docs, model)
+    langs = docs.select(
+        "doc_id",
+        text.lang_id(F.lit(""), toks=text.tokens("text")).alias("lang_pred"),
+    )
+    lm_leg = (
+        scores.join(langs, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mean_logprob"), 6).alias("avg_logprob"),
+        )
+        .select(F.lit("lm").alias("kind"), "lang_pred", "n", "avg_logprob")
+    )
+    return lang.unionByName(lm_leg)
 
 
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
