@@ -150,3 +150,33 @@ def token_budget_sample(
         .filter(F.col("__cum") - F.col(token_col) < budget)
         .drop("__cum")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    test_fraction: float,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-free train/test split BY GROUP: every row of a group lands on
+    the same side, so correlated rows (near-duplicate documents sharing a
+    dedup cluster, events of one user, repeat measurements of one entity)
+    can never straddle the boundary and leak test content into training —
+    the failure mode row-wise ``randomSplit`` has on deduplicated corpora
+    (pair with ``dedup.connected_components``: split on ``cluster_id``).
+
+    Assignment is a pure projection — ``pmod(xxhash64(group, seed), 10^6) <
+    test_fraction * 10^6`` — deterministic under retries and re-runs, adds
+    no shuffle, and needs no group enumeration.  The realized fraction
+    converges on ``test_fraction`` by group COUNT (not row count: a giant
+    group drags its whole mass to one side by design).  Returns ``df`` plus
+    a ``split_col`` string column 'test' / 'train'."""
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
+    bucket = F.pmod(F.xxhash64(F.col(group_col), F.lit(seed)), F.lit(1_000_000))
+    return df.withColumn(
+        split_col,
+        F.when(bucket < F.lit(int(round(test_fraction * 1_000_000))), F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

@@ -159,3 +159,53 @@ def test_samplers_single_shuffle_no_python(spark, sf_small):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1  # one shuffle, on the stratum key
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------ group-based split
+
+
+def test_group_split_never_splits_a_group(spark, sf_small):
+    from efficient_trees_spark.operators.sampling import group_split
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    grouped = docs.withColumn("grp", F.col("doc_id") % 37)
+    out = group_split(grouped, "grp", 0.25, seed=7)
+    sides_per_group = (
+        out.groupBy("grp").agg(F.count_distinct("split").alias("k")).collect()
+    )
+    assert all(r.k == 1 for r in sides_per_group)
+
+
+def test_group_split_fraction_and_determinism(spark, sf_small):
+    from efficient_trees_spark.operators.sampling import group_split
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = group_split(docs, "doc_id", 0.3, seed=1)
+    n_test = out.filter(F.col("split") == "test").count()
+    n = docs.count()
+    assert 0.15 * n < n_test < 0.45 * n  # converges by group count
+    again = group_split(docs.repartition(13), "doc_id", 0.3, seed=1)
+    a = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in again.select("doc_id", "split").collect()}
+    assert a == b
+    # a different seed moves the boundary
+    other = group_split(docs, "doc_id", 0.3, seed=2)
+    c = {r.doc_id: r.split for r in other.select("doc_id", "split").collect()}
+    assert a != c
+
+
+def test_group_split_is_a_pure_projection_and_validates(spark, sf_small):
+    import pytest
+
+    from efficient_trees_spark.operators.sampling import group_split
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = (
+        group_split(docs, "doc_id", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        group_split(docs, "doc_id", 1.5)
