@@ -12,6 +12,8 @@ Spark-native (extension surface beyond the reference — see COVERAGE.md):
                  first occurrence (Lee et al. 2021, relational form)
 5. mixture     — per-language token budgets at temperature tau=0.5
 6. selection   — token-budget sampling per language, best-quality first
+7. hold-out    — leakage-free eval split BY fingerprint group (near-dup
+                 content never straddles the train/test boundary)
 
 Run: python examples/corpus_pipeline.py  [SPARK_GRAFT_SF_DIR to scale]
 """
@@ -60,7 +62,7 @@ payload = F.struct("clean_text", "n_tokens", "quality", "lang")
 canonical = (
     kept.groupBy("fp")
     .agg(F.min("doc_id").alias("doc_id"), F.min_by(payload, "doc_id").alias("p"))
-    .select("doc_id", "p.*")
+    .select("doc_id", "fp", "p.*")
 )
 
 # 4b. span-level dedup (Lee et al. 2021): whole-doc dedup above can't see a
@@ -105,6 +107,16 @@ stats = (
     )
     .orderBy("lang")
 )
+# 7. leakage-free eval hold-out: split BY content fingerprint so any docs
+# sharing a fingerprint (and their spans, already canonicalized above) land
+# on one side — row-wise randomSplit would leak near-dup content across the
+# boundary.
+held = sampling.group_split(corpus, "fp", test_fraction=0.1, seed=13)
+split_counts = {
+    r["split"]: r["n"]
+    for r in held.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+}
+
 span_removed = canonical.agg(F.sum("removed_tokens")).first()[0]
 print(f"input docs: {docs.count()}, after quality+dedup: {canonical.count()}")
 print(f"span dedup removed {span_removed} duplicated-span tokens")
@@ -114,5 +126,9 @@ for r in stats.collect():
         f"  {r['lang']}: {r['n_docs']} docs, {r['tokens']} tokens "
         f"(budget {budgets.get(r['lang'])}), avg quality {r['avg_quality']}"
     )
+print(
+    f"eval hold-out by fingerprint group: train={split_counts.get('train', 0)}, "
+    f"test={split_counts.get('test', 0)}"
+)
 canonical.unpersist()
 spark.stop()
