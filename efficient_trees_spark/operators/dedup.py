@@ -676,15 +676,22 @@ def strip_duplicate_spans(
     actual dedup step of Lee et al. 2021): for each window content shared
     by >= ``min_docs`` distinct docs, the LOWEST-id document containing it
     keeps its tokens; every other document drops the covered positions.
-    The corpus keeps exactly one copy of every duplicated span — content is
-    deduplicated, never destroyed.
+
+    Guarantee: every duplicated window survives INTACT in its keeper — a
+    doc's removal spans never touch positions covered by windows that doc
+    itself keeps (kept-window intervals are subtracted before removal), so
+    content is deduplicated, never destroyed.  With chained overlapping
+    windows (doc A keeps window W1 while being a non-keeper of overlapping
+    W2) this protection can leave a non-keeper occurrence partially in
+    place; the corpus therefore keeps AT LEAST one copy of every
+    duplicated window, exactly one in the common non-chained case.
 
     Returns ``(id, n_tokens, kept_text, removed_tokens)``.
 
     Same scale shape as :func:`duplicate_window_spans` — the keeper choice
     adds only a ``min(id)`` to the existing window-hash aggregation, and
-    span removal is a per-row HOF over merged span arrays (positions are
-    never exploded)."""
+    span removal/protection is a per-row HOF over merged span arrays
+    (positions are never exploded)."""
     base, wins = _window_relation(docs, id_col, text_col, n)
 
     dup = (
@@ -696,11 +703,12 @@ def strip_duplicate_spans(
         .filter(F.col("__nd") >= min_docs)
         .select("h", "__keeper")
     )
-    # Only NON-keeper occurrences are marked for removal.
-    marked = (
-        wins.join(dup, "h")
-        .filter(F.col(id_col) != F.col("__keeper"))
-        .select(F.col(id_col), "start")
+    # Every duplicated-window occurrence, tagged: keeper occurrences become
+    # PROTECTED intervals, non-keeper occurrences become removal candidates.
+    marked = wins.join(dup, "h").select(
+        F.col(id_col),
+        "start",
+        (F.col(id_col) == F.col("__keeper")).alias("__is_keeper"),
     )
 
     span_t = "array<struct<s:bigint,e:bigint>>"
@@ -729,10 +737,22 @@ def strip_duplicate_spans(
 
     per_doc = (
         marked.groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("start")).alias("__starts"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(~F.col("__is_keeper"), F.col("start")))
+            ).alias("__rem_starts"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__is_keeper"), F.col("start")))
+            ).alias("__prot_starts"),
+        )
         .select(
             F.col(id_col),
-            F.aggregate(F.col("__starts"), acc0, _merge)["spans"].alias("__spans"),
+            F.aggregate(F.col("__rem_starts"), acc0, _merge)["spans"].alias(
+                "__spans"
+            ),
+            F.aggregate(F.col("__prot_starts"), acc0, _merge)["spans"].alias(
+                "__kept_spans"
+            ),
         )
     )
 
@@ -741,11 +761,17 @@ def strip_duplicate_spans(
         F.col("__toks"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.coalesce(F.col("__spans"), F.array().cast(span_t)).alias("__spans"),
+        F.coalesce(F.col("__kept_spans"), F.array().cast(span_t)).alias(
+            "__kept_spans"
+        ),
     )
     kept = F.filter(
         "__toks",
-        lambda t, i: ~F.exists(
-            F.col("__spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        lambda t, i: ~(
+            F.exists(F.col("__spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"]))
+            & ~F.exists(
+                F.col("__kept_spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+            )
         ),
     )
     return joined.select(

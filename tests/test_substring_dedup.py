@@ -119,6 +119,24 @@ def test_corpus_keeps_exactly_one_copy_of_each_duplicated_span(spark):
     assert survivors.count("a b c d e f g h i j") == 1
 
 
+def test_chained_overlapping_windows_never_destroy_content(spark):
+    # Regression: docs 'a b', 'a b c', 'b c' with n=2.  Window 'a b' keeps in
+    # doc 1, 'b c' keeps in doc 2 — but doc 2's removal span for 'a b'
+    # overlaps its OWN kept window 'b c'.  Kept-window intervals must be
+    # protected from removal so 'b c' survives somewhere in the corpus.
+    from efficient_trees_spark.operators.dedup import strip_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "b c")], "doc_id long, text string"
+    )
+    s = {r.doc_id: r for r in strip_duplicate_spans(df, n=2).collect()}
+    assert s[1].kept_text == "a b"          # keeper of 'a b'
+    assert s[2].kept_text == "b c"          # keeper of 'b c'; loses only 'a'
+    assert s[3].kept_text == ""             # non-keeper of 'b c'
+    survivors = " | ".join(r.kept_text for r in s.values())
+    assert "a b" in survivors and "b c" in survivors
+
+
 def test_null_text_docs_report_zero_not_null(spark):
     from efficient_trees_spark.operators.dedup import strip_duplicate_spans
 
