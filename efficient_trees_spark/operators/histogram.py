@@ -501,6 +501,96 @@ def quantile_edges_packed(
     return _merge_edge_stats(partials, names, n_bins)
 
 
+def distinct_edges_packed(
+    packed_df: DataFrame,
+    feature_names: list[str],
+    max_distinct: int = _MAX_PACKED_EDGES,
+    dtype: str = "f4",
+    packed_col: str = PACKED_COL,
+) -> dict[str, list[float]]:
+    """EXACT-mode candidate edges: every distinct non-NaN/non-NULL value per
+    feature, provided every feature fits uint8 code space (``max_distinct``,
+    253).  With these edges the packed path IS the reference's exact split
+    search — ``encode_packed``'s snap-to-smallest-edge->=v is the identity on
+    values that are themselves edges, so the emitted histogram relation is
+    bit-identical to the exact melt's grouped relation.
+
+    One ``mapInArrow`` pass emits per-partition distinct values (each
+    partition's contribution capped at ``max_distinct + 1`` — enough to
+    prove overflow); a feature-keyed distinct-merge bounds driver traffic at
+    n_features rows.  Features whose TRUE distinct count exceeds the cap
+    raise ``ValueError`` with guidance (set ``max_bins`` or use the melt
+    path) rather than silently degrading."""
+    import pyarrow as pa
+
+    names = list(feature_names)
+    np_dtype, _, _, _ = _dtype_info(dtype)
+    n_feat = len(names)
+    cap = int(max_distinct)
+
+    def partition_distinct(
+        batches: Iterator["pa.RecordBatch"],
+    ) -> Iterator["pa.RecordBatch"]:
+        mats = [
+            _unpack_binary(b.column(packed_col), n_feat, np_dtype)
+            for b in batches
+            if b.num_rows
+        ]
+        if not mats:
+            return
+        full = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        feats, vals_out, over_out = [], [], []
+        for j, name in enumerate(names):
+            v = full[:, j]
+            v = v[~np.isnan(v)]  # drops real NaN and the NULL sentinel alike
+            if not v.size:
+                continue
+            u = np.unique(v).astype(np.float64)
+            feats.append(name)
+            over_out.append(u.size > cap)
+            vals_out.append(u[: cap + 1])
+        if not feats:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(feats, type=pa.string()),
+                pa.array([x.tolist() for x in vals_out], type=pa.list_(pa.float64())),
+                pa.array(over_out, type=pa.bool_()),
+            ],
+            names=[FEATURE, "vals", "overflow"],
+        )
+
+    partials = packed_df.select(packed_col).mapInArrow(
+        partition_distinct, f"{FEATURE} string, vals array<double>, overflow boolean"
+    )
+    merged = (
+        partials.select(
+            FEATURE, "overflow", F.explode_outer("vals").alias("__v")
+        )
+        .groupBy(FEATURE)
+        .agg(
+            F.max("overflow").alias("overflow"),
+            F.count_distinct("__v").alias("__nd"),
+            F.slice(F.sort_array(F.collect_set("__v")), 1, cap + 1).alias("vals"),
+        )
+        .collect()
+    )
+    too_wide = sorted(
+        r[FEATURE] for r in merged if r["overflow"] or r["__nd"] > cap
+    )
+    if too_wide:
+        raise ValueError(
+            f"exact-mode packed fit needs <= {cap} distinct values per feature; "
+            f"exceeded by {too_wide[:5]}{'...' if len(too_wide) > 5 else ''} — "
+            "set max_bins for quantile-binned candidates or "
+            "hist_method='expand' for the melt-based exact search"
+        )
+    edges = {name: [] for name in names}  # all-NULL/NaN features: no candidates
+    for r in merged:
+        edges[r[FEATURE]] = list(r["vals"])
+    return edges
+
+
 def encode_packed(
     packed_df: DataFrame,
     feature_names: list[str],

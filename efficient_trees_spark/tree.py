@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import pickle
+import warnings
 from collections.abc import Iterable
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
@@ -122,13 +123,16 @@ class DecisionTreeClassifier:
         self.checkpoint_interval = checkpoint_interval
         self.max_bins = max_bins
         self.bin_rel_error = bin_rel_error
-        # How binned-mode split statistics are computed: "expand" melts
-        # features long-form through a Catalyst hash aggregate (pure
-        # built-ins); "arrow" computes Arrow-batched partial histograms
+        # How split statistics are computed: "expand" melts features
+        # long-form through a Catalyst hash aggregate (pure built-ins);
+        # "arrow" computes Arrow-batched partial histograms
         # (operators/histogram.py) — bit-identical trees, ~10x faster at the
         # reference's 190-feature benchmark width because it skips the
-        # rows x n_features Expand.  "auto" = arrow for binned level-wise
-        # fits, expand otherwise (exact mode has no precomputed edge set).
+        # rows x n_features Expand.  In EXACT mode (max_bins=None), "arrow"
+        # uses every distinct value as a packed candidate edge when all
+        # features fit uint8 code space (<= 253 distinct), else raises with
+        # guidance.  "auto" = arrow for binned level-wise fits, expand
+        # otherwise (warning loudly on wide exact melts).
         if hist_method not in ("auto", "expand", "arrow"):
             raise ValueError(f"unknown hist_method: {hist_method!r}")
         self.hist_method = hist_method
@@ -290,13 +294,26 @@ class DecisionTreeClassifier:
             hist_method = (
                 "arrow" if self.max_bins is not None and strategy == "level" else "expand"
             )
-        if hist_method == "arrow" and (self.max_bins is None or strategy != "level"):
-            raise ValueError(
-                "hist_method='arrow' requires max_bins (quantile edges) and "
-                "strategy='level'"
+        if hist_method == "arrow" and strategy != "level":
+            raise ValueError("hist_method='arrow' requires strategy='level'")
+        if (
+            hist_method == "expand"
+            and self.max_bins is None
+            and strategy == "level"
+            and len(feature_names) >= 64
+        ):
+            # The melt's Expand multiplies rows by width (75 s at just
+            # 60k x 190 — histogram.py module notes); never let a wide exact
+            # fit take it silently.
+            warnings.warn(
+                f"exact-mode melt split search over {len(feature_names)} "
+                "features Expands every row per feature; prefer "
+                "hist_method='arrow' (packed exact, needs <= 253 distinct "
+                "values per feature) or max_bins for quantile candidates",
+                stacklevel=2,
             )
 
-        if self.max_bins is not None:
+        if self.max_bins is not None or hist_method == "arrow":
             prepared = _fan_out_small_input(prepared)
 
         if hist_method == "arrow" and shrink_features:
@@ -313,24 +330,25 @@ class DecisionTreeClassifier:
         bin_edges: dict[str, list[float]] | None = None
         packed_mode = False
         packed_raw = None
-        if self.max_bins is not None:
-            if hist_method == "arrow":
-                from efficient_trees_spark.operators.histogram import (
-                    _MAX_PACKED_EDGES,
-                    encode_packed,
-                    pack_raw_features,
-                )
+        if hist_method == "arrow":
+            from efficient_trees_spark.operators.histogram import (
+                _MAX_PACKED_EDGES,
+                distinct_edges_packed,
+                encode_packed,
+                pack_raw_features,
+            )
 
-                # Pack the feature matrix into one binary blob per row FIRST:
-                # the expensive many-column JVM->Arrow conversion (the
-                # measured floor of every Arrow pass at width ~190) happens
-                # exactly once; edge placement, encoding, and every level's
-                # histogram read cheap 2-column packed relations
-                # (histogram.py packed-path notes).
-                dtype = "f4" if shrink_features else "f8"
-                packed_raw = pack_raw_features(
-                    prepared, feature_names, _TARGET_IDX, dtype=dtype
-                ).persist()
+            # Pack the feature matrix into one binary blob per row FIRST:
+            # the expensive many-column JVM->Arrow conversion (the
+            # measured floor of every Arrow pass at width ~190) happens
+            # exactly once; edge placement, encoding, and every level's
+            # histogram read cheap 2-column packed relations
+            # (histogram.py packed-path notes).
+            dtype = "f4" if shrink_features else "f8"
+            packed_raw = pack_raw_features(
+                prepared, feature_names, _TARGET_IDX, dtype=dtype
+            ).persist()
+            if self.max_bins is not None:
                 bin_edges = self._compute_bin_edges(
                     packed_raw, feature_names, packed_dtype=dtype
                 )
@@ -349,10 +367,25 @@ class DecisionTreeClassifier:
                     packed_raw.unpersist()
                     packed_raw = None
             else:
-                bin_edges = self._compute_bin_edges(prepared, feature_names)
-                # Arrow histograms snap inside the count pass; the expand
-                # path materializes the snapped relation up front.
-                prepared = self._snap_to_edges(prepared, feature_names)
+                # EXACT mode on the packed path: candidates = every distinct
+                # value (the reference's tree.py:244 semantics).  Snapping to
+                # edges that ARE the distinct values is the identity, so the
+                # histogram relation — and hence the tree — is bit-identical
+                # to the exact melt; raises with guidance when any feature
+                # exceeds uint8 code space.
+                bin_edges = distinct_edges_packed(
+                    packed_raw, feature_names, dtype=dtype
+                )
+                self.bin_edges_ = bin_edges
+                prepared = encode_packed(
+                    packed_raw, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
+                )
+                packed_mode = True
+        elif self.max_bins is not None:
+            bin_edges = self._compute_bin_edges(prepared, feature_names)
+            # Arrow histograms snap inside the count pass; the expand
+            # path materializes the snapped relation up front.
+            prepared = self._snap_to_edges(prepared, feature_names)
 
         try:
             if strategy == "level":

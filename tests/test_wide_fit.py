@@ -132,10 +132,52 @@ def test_wide_fit_arrow_expand_parity(spark):
 
 def test_hist_method_validation(spark):
     data = build_wide_table(spark, SF_DIR, n_features=4)
-    with pytest.raises(ValueError, match="requires max_bins"):
-        DecisionTreeClassifier(max_depth=2, hist_method="arrow").fit(data, "target")
+    with pytest.raises(ValueError, match="strategy='level'"):
+        DecisionTreeClassifier(max_depth=2, max_bins=8, hist_method="arrow").fit(
+            data, "target", strategy="node"
+        )
     with pytest.raises(ValueError, match="unknown hist_method"):
         DecisionTreeClassifier(hist_method="numpy")
+
+
+# ----------------------------------------------------- exact-mode packed path
+
+
+def test_exact_arrow_matches_exact_expand(spark):
+    """max_bins=None + hist_method='arrow': candidates are every distinct
+    value on the packed path — the tree must be bit-identical to the exact
+    melt, including NULL/NaN routing corners."""
+    rows = []
+    for i in range(300):
+        a = None if i % 13 == 0 else (NAN if i % 17 == 0 else float(i % 23))
+        b = NAN if i % 11 == 0 else float((i * 7) % 19)
+        rows.append((a, b, i % 2))
+    data = spark.createDataFrame(rows, "a double, b double, target int")
+    trees = {}
+    for hm in ("arrow", "expand"):
+        m = DecisionTreeClassifier(max_depth=3, criterion=Criterion.GINI, hist_method=hm)
+        m.fit(data, "target")
+        trees[hm] = json.dumps(m.tree, sort_keys=True)
+        assert m.tree["type"] == "node"
+    assert trees["arrow"] == trees["expand"]
+
+
+def test_exact_arrow_overflow_raises_with_guidance(spark):
+    """A feature with more distinct values than uint8 code space must fail
+    loudly in exact arrow mode, pointing at max_bins / expand."""
+    data = spark.createDataFrame(
+        [(float(i), i % 2) for i in range(400)], "a double, target int"
+    )
+    with pytest.raises(ValueError, match="distinct values per feature"):
+        DecisionTreeClassifier(max_depth=2, hist_method="arrow").fit(data, "target")
+
+
+def test_wide_exact_melt_warns(spark):
+    """An exact-mode melt over >= 64 features must not run silently."""
+    data = build_wide_table(spark, SF_DIR, n_features=64)
+    m = DecisionTreeClassifier(max_depth=1, hist_method="expand")
+    with pytest.warns(UserWarning, match="Expands every row per feature"):
+        m.fit(data, "target")
 
 
 def test_packed_edges_match_columnwise(spark, messy_df):
