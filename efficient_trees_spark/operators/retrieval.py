@@ -43,6 +43,11 @@ from pyspark.sql import functions as F
 
 from efficient_trees_spark.functions import text
 
+# Rough serialized row width of the (query_id, term, idf, avgdl) weight
+# table used by the broadcast-size estimate: a short term string + an id +
+# two doubles, with per-row overhead.
+_QTERM_ROW_BYTES = 64
+
 
 def bm25_topk(
     docs: DataFrame,
@@ -54,6 +59,8 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    broadcast_queries: bool | None = None,
+    broadcast_budget_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Top-``k`` docs per query under BM25 (Robertson/Sparck Jones; the
     Lucene ``+1`` idf variant, so idf > 0 even for terms in most docs).
@@ -62,6 +69,14 @@ def bm25_topk(
     repeating a word in a query does not double its weight).  Returns
     ``(query_id, neighbor_id, score, rank)`` with rank 1..k per query,
     ties broken by ascending ``neighbor_id`` on the rounded score.
+
+    :param broadcast_queries: ``True`` forces the broadcast scoring join
+        (the postings side never shuffles), ``False`` forces a shuffled
+        join (for decontamination sweeps against a benchmark collection too
+        large to broadcast).  ``None`` (default) decides from a one-pass
+        token count of the QUERY side against ``broadcast_budget_bytes`` —
+        the count never touches the corpus, and total query tokens upper-
+        bounds the weight-table rows.  Both paths produce identical scores.
     """
     from efficient_trees_spark.sources.io import fan_out_small_input
 
@@ -114,10 +129,26 @@ def bm25_topk(
         )
     )
 
-    # Broadcast the (queries x terms)-sized weight table: the big postings
-    # side never shuffles for this join, and non-matching postings are
-    # dropped before the scoring aggregation.
-    contrib = postings.join(F.broadcast(qterms), "__term").select(
+    if broadcast_queries is None:
+        est_rows = (
+            queries.select(
+                F.sum(F.coalesce(F.size(text.tokens(query_text)), F.lit(0)))
+            ).first()[0]
+            or 0
+        )
+        broadcast_queries = est_rows * _QTERM_ROW_BYTES <= broadcast_budget_bytes
+
+    # Broadcast the (queries x terms)-sized weight table when it fits the
+    # budget: the big postings side never shuffles for this join, and
+    # non-matching postings are dropped before the scoring aggregation.
+    # Beyond the budget (a decontamination sweep against a large benchmark
+    # collection), fall back to a shuffled hash join on the term — one
+    # postings-sized exchange, but no OOM-ing broadcast.
+    if broadcast_queries:
+        weighted = F.broadcast(qterms)
+    else:
+        weighted = qterms.hint("shuffle_hash")
+    contrib = postings.join(weighted, "__term").select(
         "__qid",
         F.col("__doc").alias("neighbor_id"),
         (

@@ -73,6 +73,32 @@ def test_query_join_broadcasts_postings_side_never_shuffles_for_it(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_shuffled_fallback_matches_broadcast_path_exactly(spark):
+    # Force the fallback (budget of 0 bytes can broadcast nothing): scores
+    # and ranks must be bit-identical to the broadcast path — the decimal
+    # fixed-point sum makes both associative.
+    a = _run(spark, [(0, "apple cherry"), (1, "banana date")], k=10).collect()
+    b = _run(
+        spark,
+        [(0, "apple cherry"), (1, "banana date")],
+        k=10,
+        broadcast_budget_bytes=0,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_large_query_side_does_not_broadcast_the_weight_table(spark):
+    df = _run(spark, [(0, "apple")], k=5, broadcast_queries=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Only the one-row stats crossJoin may broadcast; the qterms scoring
+    # join must be a shuffled join in fallback mode.
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    assert got == {(0, 1), (0, 3)}
+
+
 def test_bm25_on_real_documents_is_deterministic_across_partitionings(spark, sf_small):
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     qdf = spark.createDataFrame([(0, "spark window agg")], "query_id long, query_text string")
