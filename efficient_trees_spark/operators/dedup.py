@@ -384,6 +384,9 @@ def simhash_candidate_pairs(
 
 # -------------------------------------------------- cluster / canonicalize
 
+_LAST_CC_STATS: dict[str, int] = {}
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -391,6 +394,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 30,
+    probe_interval: int = 2,
 ) -> DataFrame:
     """Cluster near-duplicate pairs: (id, cluster_id) where cluster_id is the
     minimum doc id reachable through the pair graph; singletons cluster with
@@ -411,7 +415,12 @@ def connected_components(
     data-size-dependent blowup.  The edge relation is localCheckpoint-ed per
     round so the plan does not grow with iterations; convergence detection
     (count + order-independent xxhash64 signature of the edge set) rides the
-    same materialization.
+    same materialization but is only PROBED every ``probe_interval`` rounds
+    — the probe is a synchronous 1-row driver round-trip, and at the fixed
+    point the iteration is idempotent (the potential function of Kiveris et
+    al. is monotone, so no oscillation can fake a repeat), so spacing
+    probes trades ≤ ``probe_interval - 1`` redundant star-shaped rounds for
+    proportionally fewer driver syncs on deep graphs.
     """
     # undirected edge set as directed pairs, self-loops dropped
     e = (
@@ -421,7 +430,8 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sig = None
-    for _ in range(max_iterations):
+    rounds = probes = 0
+    for i in range(max_iterations):
         # -- large-star: for every node u (seen from both edge directions),
         #    m = min(neighbors ∪ {u}); connect each neighbor v > u to m.
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -451,6 +461,10 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
+        e = ss
+        rounds += 1
+        if (i + 1) % probe_interval and i + 1 < max_iterations:
+            continue  # skip the driver sync this round
         # order-independent edge-set signature; bit_xor cannot overflow
         # under ANSI (unlike a sum of full-range hashes)
         sig = tuple(
@@ -458,10 +472,13 @@ def connected_components(
                 F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
             ).first()
         )
-        e = ss
+        probes += 1
         if sig == prev_sig:
             break
         prev_sig = sig
+    # test instrumentation: rounds executed / probes issued by the last call
+    global _LAST_CC_STATS
+    _LAST_CC_STATS = {"rounds": rounds, "probes": probes}
     # fixed point: every edge is (child, component-min); roots/singletons
     # appear only as dst (or not at all) and label themselves.
     roots = e.groupBy("u").agg(F.min("v").alias("label"))

@@ -57,9 +57,12 @@ def get_spark(
         # Split files at 16 MB (default 128 MB): a single-host bench reads
         # few, modest files — at 128 MB a 400 MB table scans with 4 of 32
         # cores.  On a real cluster the input has orders of magnitude more
-        # splits than cores, so the default is fine there and this knob
-        # should be raised back toward 128 MB to amortize per-task overhead.
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # splits than cores, so there this should be raised back toward
+        # 128 MB (per-task overhead) via the env override.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

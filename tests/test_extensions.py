@@ -258,6 +258,15 @@ def test_connected_components_long_path_logarithmic_rounds(spark):
     assert agg["n"] == n
     assert agg["in_zero"] == n  # every node reached the component min
     assert agg["n_keep"] == 1  # exactly one canonical survivor
+    # O(log n) rounds, and driver syncs spaced at the probe interval:
+    # roughly half as many probes as rounds (default probe_interval=2).
+    from efficient_trees_spark.operators import dedup as dedup_mod
+
+    stats = dedup_mod._LAST_CC_STATS
+    # ~log2(10k)=13.3 halving rounds + probe-spacing detection overhead —
+    # far below the O(diameter)=10k a plain propagation would need.
+    assert 0 < stats["rounds"] <= 18
+    assert stats["probes"] <= stats["rounds"] // 2 + 1
 
 
 def test_asof_join_backward_semantics(spark):
