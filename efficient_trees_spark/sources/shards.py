@@ -66,7 +66,11 @@ def write_training_shards(
         .partitionBy(SHARD_COL)
         .parquet(path)
     )
+    # Manifest from the WRITTEN files, not the unpersisted input relation —
+    # re-aggregating `sharded` would execute the whole upstream pipeline a
+    # second time; the read-back also audits what actually landed on disk.
+    written = df.sparkSession.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if token_col is not None:
         aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
-    return sharded.groupBy(SHARD_COL).agg(*aggs)
+    return written.groupBy(F.col(SHARD_COL).cast("int").alias(SHARD_COL)).agg(*aggs)

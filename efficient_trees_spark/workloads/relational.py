@@ -929,6 +929,96 @@ def s9_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s10_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental partition backfill: events written date-partitioned, then
+    ONE day reprocessed (halved to even event_ids) and dynamically
+    overwritten in place — the daily-rerun pattern for a 100 TB
+    date-partitioned table (static overwrite would truncate the whole
+    table; append would duplicate the day).  The read-back per-day
+    aggregate must equal the oracle's 'as-if-reprocessed' relation, which
+    proves BOTH that the target day was replaced and that every other
+    partition is untouched.  Registered via ``s_format_roundtrip_suite``
+    (fmt='backfill')."""
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/spark_graft_s10_events_by_day"
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    target_day = ev.agg(F.min("day")).first()[0]
+    corrected = ev.filter(
+        (F.col("day") == target_day) & (F.col("event_id") % 2 == 0)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total"),
+        )
+    )
+
+
+def s11_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export (sources/shards.py): documents
+    hash-assigned to 4 shards, written hive-partitioned with seeded
+    in-shard order, manifest read back FROM THE WRITTEN FILES.  Shard
+    membership is xxhash64 (not SQL-portable), so the oracle pins the
+    sf0.01 manifest as literal VALUES behind the loud scale guard.
+    Registered via ``s_format_roundtrip_suite`` (fmt='shards')."""
+    import tempfile
+
+    from efficient_trees_spark.functions import text
+    from efficient_trees_spark.sources.shards import write_training_shards
+    from efficient_trees_spark.workloads.base import require_pinned_scale
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.coalesce(F.size(text.tokens("text")), F.lit(0)).alias("n_tok"),
+    )
+    # Guard on a CONTENT-sensitive scalar: sf0.001 and sf0.01 documents have
+    # identical ids but different texts, so a row-count guard alone would
+    # let a wrong-scale run reach the value hash as a mystery mismatch.
+    require_pinned_scale(
+        toks.agg(F.sum("n_tok")).first()[0],
+        27165,
+        "s_format_roundtrip_suite",
+        "documents total token count (sf0.01)",
+    )
+    out = f"{tempfile.gettempdir()}/spark_graft_s11_shards"
+    return write_training_shards(toks, out, "doc_id", n_shards=4, token_col="n_tok")
+
+
+def s12_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free group split (operators/sampling.py:group_split):
+    documents grouped by ``doc_id % 50``, split 30% test by GROUP — rows of
+    a group can never straddle the boundary.  Output: per-side row count
+    and distinct-group count.  Seeded-hash assignment is xxhash64, so the
+    sf0.01 outcome is pinned VALUES behind the loud scale guard.
+    Registered via ``s_format_roundtrip_suite`` (fmt='split')."""
+    from efficient_trees_spark.operators.sampling import group_split
+    from efficient_trees_spark.workloads.base import require_pinned_scale
+
+    docs = load(spark, sf_dir, "documents")
+    require_pinned_scale(
+        docs.count(), 500, "s_format_roundtrip_suite", "documents row count (sf0.01)"
+    )
+    split = group_split(
+        docs.withColumn("grp", F.col("doc_id") % 50), "grp", 0.3, seed=7
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("grp").alias("n_groups"),
+    )
+
+
 @workload(
     "s_format_roundtrip_suite",
     oracle="""
@@ -943,15 +1033,35 @@ def s9_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'orc', l_returnflag, count(*),
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
         FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        -- backfill: min day reprocessed to even event_ids, other days intact
+        SELECT 'backfill', strftime(ts, '%Y-%m-%d'), count(*),
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d')
+                > (SELECT min(strftime(ts, '%Y-%m-%d')) FROM events)
+           OR event_id % 2 = 0
+        GROUP BY strftime(ts, '%Y-%m-%d')
+        UNION ALL
+        -- shards + split: xxhash64 memberships pinned at sf0.01 (loud scale
+        -- guard on the Spark side; documents there = 500 rows)
+        SELECT * FROM (VALUES
+            ('shards', '0', 130, 6819.0), ('shards', '1', 124, 6884.0),
+            ('shards', '2', 134, 7217.0), ('shards', '3', 112, 6245.0),
+            ('split', 'test', 150, 15.0), ('split', 'train', 350, 35.0)
+        ) AS pinned(fmt, key, n, total)
     """,
-    description="S2 + JSONL + ORC source/sink round-trips in one suite, "
-    "tagged by fmt: nation goes parquet -> CSV (header + inferSchema — the "
-    "reader must re-derive identical values AND types, reference pl.scan_csv "
-    "heart_disease.py:12); events go parquet -> JSON-lines with the schema "
-    "DECLARED on read (inference over JSON costs an extra full pass at "
-    "scale); lineitem goes parquet -> ORC through the vectorized columnar "
-    "reader.  Each branch aggregates the read-back and must match the "
-    "parquet-side oracle",
+    description="Source/sink suite, tagged by fmt: nation goes parquet -> "
+    "CSV (header + inferSchema — the reader must re-derive identical values "
+    "AND types, reference pl.scan_csv heart_disease.py:12); events go "
+    "parquet -> JSON-lines with the schema DECLARED on read; lineitem goes "
+    "parquet -> ORC through the vectorized columnar reader; events are "
+    "date-partitioned and one day dynamically overwritten in place "
+    "(fmt='backfill' — the daily reprocess pattern); documents export as 4 "
+    "deterministic xxhash64 training shards with read-back manifest "
+    "(fmt='shards') and split leakage-free by group (fmt='split') — both "
+    "pinned VALUES at sf0.01 behind the loud scale guard.  Each branch "
+    "aggregates what was actually read back and must match the oracle",
     tags=("inventory", "sink", "suite"),
 )
 def s_format_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,4 +1083,28 @@ def s_format_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("revenue").alias("total"),
     )
-    return csv.unionByName(json_).unionByName(orc)
+    backfill = s10_backfill_overwrite(spark, sf_dir).select(
+        F.lit("backfill").alias("fmt"),
+        F.col("day").alias("key"),
+        "n",
+        "total",
+    )
+    shards = s11_training_shards(spark, sf_dir).select(
+        F.lit("shards").alias("fmt"),
+        F.col("shard").cast("string").alias("key"),
+        F.col("n_rows").alias("n"),
+        F.col("n_tokens").cast("double").alias("total"),
+    )
+    split = s12_group_split(spark, sf_dir).select(
+        F.lit("split").alias("fmt"),
+        F.col("split").alias("key"),
+        "n",
+        F.col("n_groups").cast("double").alias("total"),
+    )
+    return (
+        csv.unionByName(json_)
+        .unionByName(orc)
+        .unionByName(backfill)
+        .unionByName(shards)
+        .unionByName(split)
+    )

@@ -38,13 +38,21 @@ _REPO_ROOT = os.path.dirname(
 )
 
 
-def wide_table_path(sf_dir: str, n_features: int = N_FEATURES) -> str:
+def wide_table_path(
+    sf_dir: str, n_features: int = N_FEATURES, row_mult: int = 1
+) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(_REPO_ROOT, ".bench_cache", f"wide{n_features}_{tag}.parquet")
+    mult = f"_x{row_mult}" if row_mult > 1 else ""
+    return os.path.join(
+        _REPO_ROOT, ".bench_cache", f"wide{n_features}_{tag}{mult}.parquet"
+    )
 
 
 def build_wide_table(
-    spark: SparkSession, sf_dir: str, n_features: int = N_FEATURES
+    spark: SparkSession,
+    sf_dir: str,
+    n_features: int = N_FEATURES,
+    row_mult: int = 1,
 ) -> DataFrame:
     """190 f32 feature columns + a binary int target, one row per lineitem row.
 
@@ -54,8 +62,22 @@ def build_wide_table(
     every feature interchangeable and understate the argmax work).  ~1% of
     cells are NULL — the reference's AMEX run fills them with 0.0 before
     fitting and so does :func:`tree_fit_wide`.
+
+    ``row_mult`` row-scales the table independently of the sf ladder (the
+    reference's benchmark is 5.5M rows — ~10x the sf0.1 lineitem): each
+    replica perturbs the hashed key so its uniform draws are fresh while the
+    real-signal columns keep their marginal distributions.  ``row_mult=1``
+    is byte-identical to the unscaled table.
     """
     li = load(spark, sf_dir, "lineitem")
+    if row_mult > 1:
+        li = li.select(
+            F.explode(F.sequence(F.lit(0), F.lit(int(row_mult) - 1))).alias("__rep"),
+            "*",
+        ).withColumn(
+            "l_orderkey",
+            F.col("l_orderkey") + F.col("__rep") * F.lit(10_000_000_000),
+        )
     # Binary target from real data (roughly balanced on the TPC-H-ish
     # distribution: quantity is uniform 1..50).
     target = (F.col("l_quantity") > 25).cast("int").alias("target")
@@ -86,17 +108,23 @@ def build_wide_table(
 
 
 def ensure_wide_table(
-    spark: SparkSession, sf_dir: str, n_features: int = N_FEATURES
+    spark: SparkSession,
+    sf_dir: str,
+    n_features: int = N_FEATURES,
+    row_mult: int = 1,
 ) -> str:
-    """Materialize the wide table once per (sf, width); return its path.
+    """Materialize the wide table once per (sf, width, row_mult); return its
+    path.
 
     Kept OUT of the timed region (bench.py calls this in its prepare hook):
     the benchmark measures the fit over a real wide parquet — the reference's
     exact setup (scan_parquet -> fill_null -> fit) — not feature synthesis.
     """
-    path = wide_table_path(sf_dir, n_features)
+    path = wide_table_path(sf_dir, n_features, row_mult)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_wide_table(spark, sf_dir, n_features).write.mode("overwrite").parquet(path)
+        build_wide_table(spark, sf_dir, n_features, row_mult).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
