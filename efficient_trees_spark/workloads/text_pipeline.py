@@ -82,7 +82,16 @@ _LM_ORACLE = f"""
                ln((c.n + 0.5) / (totals.total + 0.5 * (totals.vocab + 1))) AS lp
         FROM tok JOIN counts c USING (token) CROSS JOIN totals
     ),
-    perdoc AS (SELECT doc_id, avg(lp) AS mean_lp FROM scored GROUP BY 1),
+    -- LEFT JOIN from documents: zero-token docs must stay in the per-lang
+    -- counts with a NULL mean (matching the Spark side, which left-joins
+    -- scores back to all docs); avg() ignores the NULLs on both engines.
+    perdoc AS (
+        SELECT d.doc_id, s.mean_lp
+        FROM documents d
+        LEFT JOIN (
+            SELECT doc_id, avg(lp) AS mean_lp FROM scored GROUP BY 1
+        ) s USING (doc_id)
+    ),
     langs AS (SELECT doc_id, {_lang_id_oracle_case()} AS lang_pred FROM documents)
     SELECT lang_pred, count(*) AS n, round(avg(mean_lp), 6) AS avg_logprob
     FROM perdoc JOIN langs USING (doc_id)

@@ -287,6 +287,14 @@ def model_fit_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem").count(), 60_000,
         "model_fit_distributions", "lineitem row count (sf0.01)",
     )
+    # The binned fits fan the prepared relation out to defaultParallelism
+    # (tree._fan_out_small_input) and both the order-statistic bin edges and
+    # the seeded bootstrap are partitioning-dependent — a host with a
+    # different core count must fail as a config error, not a hash mismatch.
+    require_pinned_scale(
+        spark.sparkContext.defaultParallelism, 32,
+        "model_fit_distributions", "session defaultParallelism",
+    )
     parts = [
         tree_fit_predict_distribution(spark, sf_dir).select(
             F.lit("tree").alias("model"), "prediction", "n"

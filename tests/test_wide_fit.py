@@ -216,6 +216,41 @@ def test_packed_fit_parity_with_nan_and_null(spark):
     assert trees["arrow"] == trees["expand"]
 
 
+def test_packed_relation_caches_at_one_byte_per_cell(spark):
+    """Regression gate on the wide fit's memory contract: the persisted
+    training relation stores uint8 bin codes — its cached size must stay
+    ~1 byte/cell (vs 8 for a double column matrix).  This is the bound that
+    keeps the 5.5M x 190 reference shape inside a modest heap."""
+    from efficient_trees_spark.operators.histogram import (
+        encode_packed,
+        pack_raw_features,
+        quantile_edges_packed,
+    )
+
+    width = 190
+    data = build_wide_table(spark, SF_DIR, n_features=width).na.fill(0.0)
+    feats = [c for c in data.columns if c != "target"]
+    prepared = data.select(
+        *[F.col(f).cast("double").alias(f) for f in feats],
+        F.col("target").cast("int").alias("__target_idx"),
+    )
+    packed = pack_raw_features(prepared, feats, "__target_idx", dtype="f4")
+    edges = quantile_edges_packed(packed, feats, 16, 64, dtype="f4")
+    codes = encode_packed(packed, feats, edges, "__target_idx", dtype="f4").persist()
+    try:
+        rows = codes.count()
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert infos, "encoded relation was not cached"
+        mem = max(i.memSize() + i.diskSize() for i in infos)
+        cells = rows * width
+        assert cells > 1_000_000
+        # measured 1.03 B/cell (uint8 blob + int target + batch overhead);
+        # 1.2 leaves headroom without letting a dtype regression (2x+) pass
+        assert mem <= cells * 1.2, f"{mem / cells:.2f} bytes/cell"
+    finally:
+        codes.unpersist()
+
+
 def test_route_codes_semantics():
     """Vectorized routing: left on code<=t, right on code>t incl. NaN(254),
     dropped (-1) on NULL(255) in the split feature and under finalized
