@@ -139,17 +139,67 @@ def resize_image(
     return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_SCHEMA)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode — requires an imaging library, absent from this
-    container.  The stub keeps the API surface and fails loudly."""
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("histogram", ArrayType(DoubleType())),
+    ]
+)
+
+
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real image decode via Pillow, when importable: payload bytes ->
+    (width, height, mode, normalized 16-bin grayscale histogram), the same
+    Arrow-batched ``mapInPandas`` shape as :func:`fake_image_features` —
+    only the inner decode differs.  Undecodable/empty payloads degrade to a
+    (0, 0, NULL, zeros) row instead of failing the batch — at corpus scale
+    a poison blob must never kill the stage.  Raises ``NotImplementedError``
+    when no decoder library ships in the environment (this container), in
+    which case ``fake_image_features`` keeps the plumbing testable."""
     try:
-        import PIL  # noqa: F401
+        from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - exercised via tests
         raise NotImplementedError(
             "image decoding requires Pillow (not available in this environment); "
             "use fake_image_features() for pipeline plumbing, or install a decoder"
         ) from exc
-    raise NotImplementedError("real decoder wiring lands when a decoder lib is present")
+
+    import io
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from PIL import Image  # import on the worker, not just the driver
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = b"" if payload is None else bytes(payload)
+                try:
+                    img = Image.open(io.BytesIO(data))
+                    img.load()
+                    gray = img.convert("L")
+                    h256 = gray.histogram()
+                    total = float(sum(h256)) or 1.0
+                    hist = [
+                        round(sum(h256[i * 16 : (i + 1) * 16]) / total, 9)
+                        for i in range(N_HISTOGRAM_BINS)
+                    ]
+                    rows.append(
+                        (int(doc_id), img.width, img.height, img.mode, hist)
+                    )
+                except Exception:
+                    rows.append(
+                        (int(doc_id), 0, 0, None, [0.0] * N_HISTOGRAM_BINS)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mode", "histogram"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, DECODE_SCHEMA)
 
 
 FRAME_BYTES = 64

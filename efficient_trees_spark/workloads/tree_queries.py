@@ -224,6 +224,30 @@ def tree_fit_binned_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tree_fit_exact_arrow_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode PACKED fit (hist_method='arrow', max_bins=None): the
+    candidate set is every distinct feature value — the reference's exact
+    semantics (tree.py:244) — computed on the uint8 packed-histogram path
+    instead of the rows x features Expand melt.  Features are the
+    low-cardinality lineitem numerics (50/11/9 distinct values, within
+    uint8 code space); the fitted tree is bit-identical to the exact melt
+    on the same features (tests/test_wide_fit.py parity gate, re-verified
+    when pinning these VALUES).  Registered via ``model_fit_distributions``
+    (model='tree_exact_arrow')."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", F.col("l_returnflag").alias("target")
+    )
+    model = DecisionTreeClassifier(
+        max_depth=2, criterion=Criterion.GINI, hist_method="arrow"
+    )
+    model.fit(li, "target")
+    return (
+        model.transform(li, null_policy="keep")
+        .groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def forest_fit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bagged random forest (4 binned trees, depth 2) on lineitem numerics:
     one shared prepared+persisted relation, per-tree seeded bootstrap
@@ -261,6 +285,8 @@ _FIT_DISTRIBUTIONS_SF0_01 = """
         ('tree', 'A', 1688), ('tree', 'N', 52976), ('tree', 'R', 5336),
         ('tree_binned', 'A', 1688), ('tree_binned', 'N', 52280),
         ('tree_binned', 'R', 6032),
+        ('tree_exact_arrow', 'A', 35537), ('tree_exact_arrow', 'N', 23814),
+        ('tree_exact_arrow', 'R', 649),
         ('forest', 'A', 36449), ('forest', 'N', 23404), ('forest', 'R', 147)
     ) AS t(model, prediction, n)
 """
@@ -273,7 +299,10 @@ _FIT_DISTRIBUTIONS_SF0_01 = """
     "model: 'tree' fits a depth-2 gini tree on lineitem numerics and "
     "batch-predicts (prediction distribution); 'tree_binned' is the 100 TB "
     "fit path (max_bins=32 quantile-binned candidates — shuffle volume "
-    "capped at features x bins); 'forest' is a 4-tree bagged ensemble with "
+    "capped at features x bins); 'tree_exact_arrow' is the exact candidate "
+    "set (every distinct value) computed on the packed uint8 histogram path "
+    "— bit-identical to the exact melt without the rows x features Expand; "
+    "'forest' is a 4-tree bagged ensemble with "
     "seeded bootstraps and single-projection majority vote.  The recursive "
     "fits are not SQL-expressible, so the oracle pins the exact seeded "
     "prediction distributions at the driver's sf0.01 gate as literal VALUES",
@@ -301,6 +330,9 @@ def model_fit_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tree_fit_binned_distribution(spark, sf_dir).select(
             F.lit("tree_binned").alias("model"), "prediction", "n"
+        ),
+        tree_fit_exact_arrow_distribution(spark, sf_dir).select(
+            F.lit("tree_exact_arrow").alias("model"), "prediction", "n"
         ),
         forest_fit_distribution(spark, sf_dir).select(
             F.lit("forest").alias("model"), "prediction", "n"

@@ -157,6 +157,14 @@ def _train_wide(hist_method: str, queue):
     queue.put(True)
 
 
+def scan_wide_baseline(queue):
+    """No training at all — session + one full scan of the wide table.
+    Sizes the fixed floor (JVM + 32 Python-less scan tasks) so the fit
+    candidates' incremental memory is attributable."""
+    _wide_frame().write.mode("overwrite").format("noop").save()
+    queue.put(True)
+
+
 def train_wide_packed(queue):
     _train_wide("arrow", queue)
 
@@ -222,14 +230,16 @@ if __name__ == "__main__":
         if not prep["ok"]:
             sys.exit(1)
         wanted = os.environ.get("SPARK_GRAFT_WIDE_CANDIDATES", "packed,melt").split(",")
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        labels = {"scan": "scan-baseline", "packed": "packed-arrow", "melt": "expand-melt"}
         candidates = [
-            (f"efficient-trees-spark wide {tag} (driver-mem "
-             f"{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')})", fn)
+            (f"efficient-trees-spark wide {labels[tag]} (driver-mem {mem})", fn)
             for tag, fn in (
-                ("packed-arrow", train_wide_packed),
-                ("expand-melt", train_wide_melt),
+                ("scan", scan_wide_baseline),
+                ("packed", train_wide_packed),
+                ("melt", train_wide_melt),
             )
-            if tag.split("-")[0] in wanted or tag in wanted
+            if tag in wanted
         ]
     else:
         candidates = [("efficient-trees-spark level-wise", train_level),

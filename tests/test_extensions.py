@@ -179,8 +179,35 @@ def test_multimodal_plumbing(spark):
     again = {r["doc_id"]: r for r in multimodal.fake_image_features(binary).collect()}
     assert again[1]["histogram"] == feats[1]["histogram"]
 
-    with pytest.raises(NotImplementedError, match="decoder"):
-        multimodal.decode_image(binary)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="decoder"):
+            multimodal.decode_image(binary)
+
+
+def test_decode_image_with_pillow(spark):
+    """Real decode path — runs only where Pillow is importable (skipped in
+    this container); proves the plumbing against an actual codec."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_image(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["mode"]) == (5, 3, "RGB")
+    assert math.isclose(sum(out[1]["histogram"]), 1.0, abs_tol=1e-6)
+    # poison blobs degrade to the zero row instead of failing the stage
+    for bad in (2, 3):
+        assert (out[bad]["width"], out[bad]["height"]) == (0, 0)
+        assert out[bad]["mode"] is None
 
 
 def test_multimodal_resize(spark):
