@@ -71,9 +71,10 @@ def ensure_scaled_dir(spark, base_sf_dir: str, mult: int) -> str:
     if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         docs = spark.read.parquet(f"{base_sf_dir}/documents.parquet")
         scaled = docs.select(rep, "*").select(
-            (F.col("doc_id") + F.col("__rep") * F.lit(1_000_000_000)).alias(
-                "doc_id"
-            ),
+            (
+                F.col("doc_id")
+                + F.col("__rep").cast("long") * F.lit(1_000_000_000)
+            ).alias("doc_id"),
             # replica 0 keeps the original text; other replicas prefix every
             # token with a replica tag — distinct token universes, so
             # cross-replica shingles/minhashes never collide and the dedup
