@@ -387,6 +387,20 @@ class DecisionTreeClassifier:
             # path materializes the snapped relation up front.
             prepared = self._snap_to_edges(prepared, feature_names)
 
+        # The raw float packed relation (4/8 bytes per cell) is needed only
+        # until the uint8 codes materialize — which the FIRST level's
+        # histogram job does (it populates the persisted code cache).  Hand
+        # the level-wise builder a release hook so the raw cache is freed
+        # right after level 0 instead of at fit end: at the reference's
+        # 5.5M x 190 f32 benchmark shape this returns ~4.2 GB of cache for
+        # the remaining levels, at zero extra passes.
+        release_raw = None
+        if packed_mode and packed_raw is not None:
+            raw_ref = packed_raw
+
+            def release_raw():
+                raw_ref.unpersist()
+
         try:
             if strategy == "level":
                 self.tree = self._build_tree_levelwise(
@@ -396,6 +410,7 @@ class DecisionTreeClassifier:
                     hist_method=hist_method,
                     bin_edges=bin_edges if hist_method == "arrow" else None,
                     packed=packed_mode,
+                    release_raw=release_raw,
                 )
             elif strategy == "node":
                 self.tree = self._build_tree(
@@ -643,6 +658,7 @@ class DecisionTreeClassifier:
         bin_edges: dict[str, list[float]] | None = None,
         packed: bool = False,
         packed_all_features: list[str] | None = None,
+        release_raw=None,
     ) -> dict[str, Any]:
         """PLANET-style breadth-first growth (the published strategy behind
         MLlib's trees, here with exact distinct-value splits): each level runs
@@ -739,6 +755,11 @@ class DecisionTreeClassifier:
                             best_by_node = {b["node_id"]: b for b in find_splits()}
                         if dist_future is not None:
                             distributions[0] = dist_future.result()
+                    if release_raw is not None:
+                        # level 0's job materialized the persisted code
+                        # relation — upstream raw caches can go now.
+                        release_raw()
+                        release_raw = None
 
                 next_frontier: dict[int, dict[str, Any]] = {}
                 for node_id, placeholder in frontier.items():

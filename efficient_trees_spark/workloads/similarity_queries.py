@@ -358,8 +358,11 @@ def ann_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(
         _BM25_QUERIES, "query_id long, query_text string"
     )
+    # The query set is a literal handful — assert the broadcast path
+    # explicitly rather than paying the auto-guard's query-side size
+    # estimate (a driver round-trip) on every bench run.
     return bm25_topk(
-        docs, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+        docs, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B, broadcast_queries=True
     )
 
 
