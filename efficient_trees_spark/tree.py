@@ -131,8 +131,10 @@ class DecisionTreeClassifier:
         # rows x n_features Expand.  In EXACT mode (max_bins=None), "arrow"
         # uses every distinct value as a packed candidate edge when all
         # features fit uint8 code space (<= 253 distinct), else raises with
-        # guidance.  "auto" = arrow for binned level-wise fits, expand
-        # otherwise (warning loudly on wide exact melts).
+        # guidance.  "auto" = arrow for binned level-wise fits; for WIDE
+        # (>= 64 feature) exact level-wise fits it tries the packed exact
+        # path and falls back to the melt with a warning on overflow;
+        # expand otherwise.
         if hist_method not in ("auto", "expand", "arrow"):
             raise ValueError(f"unknown hist_method: {hist_method!r}")
         self.hist_method = hist_method
@@ -290,10 +292,22 @@ class DecisionTreeClassifier:
         )
 
         hist_method = self.hist_method
+        exact_auto_fallback = False
         if hist_method == "auto":
-            hist_method = (
-                "arrow" if self.max_bins is not None and strategy == "level" else "expand"
-            )
+            if strategy == "level" and self.max_bins is not None:
+                hist_method = "arrow"
+            elif (
+                strategy == "level"
+                and self.max_bins is None
+                and len(feature_names) >= 64
+            ):
+                # Wide exact fit: attempt the packed exact path (candidates
+                # = every distinct value, uint8 codes); fall back to the
+                # melt with a warning if any feature exceeds code space.
+                hist_method = "arrow"
+                exact_auto_fallback = True
+            else:
+                hist_method = "expand"
         if hist_method == "arrow" and strategy != "level":
             raise ValueError("hist_method='arrow' requires strategy='level'")
         if (
@@ -315,6 +329,9 @@ class DecisionTreeClassifier:
 
         if self.max_bins is not None or hist_method == "arrow":
             prepared = _fan_out_small_input(prepared)
+        # Kept for the auto-exact fallback: the melt path must see the
+        # double-typed relation, not the arrow path's f32-narrowed one.
+        prepared_base = prepared
 
         if hist_method == "arrow" and shrink_features:
             # Shrunk features are f32-representable by construction, so the
@@ -372,15 +389,34 @@ class DecisionTreeClassifier:
                 # edges that ARE the distinct values is the identity, so the
                 # histogram relation — and hence the tree — is bit-identical
                 # to the exact melt; raises with guidance when any feature
-                # exceeds uint8 code space.
-                bin_edges = distinct_edges_packed(
-                    packed_raw, feature_names, dtype=dtype
-                )
-                self.bin_edges_ = bin_edges
-                prepared = encode_packed(
-                    packed_raw, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
-                )
-                packed_mode = True
+                # exceeds uint8 code space (or, under auto selection, falls
+                # back to the melt with a warning — the cardinality probe is
+                # two cheap passes vs. the melt's rows x width Expand).
+                try:
+                    bin_edges = distinct_edges_packed(
+                        packed_raw, feature_names, dtype=dtype
+                    )
+                except ValueError:
+                    if not exact_auto_fallback:
+                        raise
+                    warnings.warn(
+                        "auto exact fit: a feature exceeds uint8 code space "
+                        "(> 253 distinct values) — falling back to the melt "
+                        "split search; consider max_bins for the bounded "
+                        "scale path",
+                        stacklevel=2,
+                    )
+                    packed_raw.unpersist()
+                    packed_raw = None
+                    hist_method = "expand"
+                    bin_edges = None
+                    prepared = prepared_base
+                else:
+                    self.bin_edges_ = bin_edges
+                    prepared = encode_packed(
+                        packed_raw, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
+                    )
+                    packed_mode = True
         elif self.max_bins is not None:
             bin_edges = self._compute_bin_edges(prepared, feature_names)
             # Arrow histograms snap inside the count pass; the expand

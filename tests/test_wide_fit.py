@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import math
+import warnings
 
 import numpy as np
 import pytest
@@ -173,11 +174,44 @@ def test_exact_arrow_overflow_raises_with_guidance(spark):
 
 
 def test_wide_exact_melt_warns(spark):
-    """An exact-mode melt over >= 64 features must not run silently."""
+    """An EXPLICIT exact-mode melt over >= 64 features must not run silently."""
     data = build_wide_table(spark, SF_DIR, n_features=64)
     m = DecisionTreeClassifier(max_depth=1, hist_method="expand")
     with pytest.warns(UserWarning, match="Expands every row per feature"):
         m.fit(data, "target")
+
+
+def test_auto_wide_exact_uses_packed_when_cardinality_fits(spark):
+    """hist_method='auto' + exact mode + >= 64 features + low per-feature
+    cardinality: the packed exact path engages (bin_edges_ = the distinct
+    values); no fallback warning."""
+    cols = [
+        ((F.col("id") * (j + 3)) % (7 + j % 5)).cast("double").alias(f"f{j}")
+        for j in range(64)
+    ]
+    data = spark.range(2000).select(*cols, (F.col("id") % 2).cast("int").alias("target"))
+    m = DecisionTreeClassifier(max_depth=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m.fit(data, "target")
+    assert m.bin_edges_ is not None
+    assert all(len(e) <= 253 for e in m.bin_edges_.values())
+
+
+def test_auto_wide_exact_falls_back_to_melt_on_overflow(spark):
+    """auto + exact + wide, but one feature has > 253 distinct values: the
+    packed probe falls back to the melt with a warning and the fit still
+    completes."""
+    cols = [
+        ((F.col("id") * (j + 3)) % 11).cast("double").alias(f"f{j}")
+        for j in range(63)
+    ] + [F.col("id").cast("double").alias("f_hi")]  # 2000 distinct values
+    data = spark.range(2000).select(*cols, (F.col("id") % 2).cast("int").alias("target"))
+    m = DecisionTreeClassifier(max_depth=1)
+    with pytest.warns(UserWarning, match="falling back to the melt"):
+        m.fit(data, "target")
+    assert m.bin_edges_ is None
+    assert m.tree is not None
 
 
 def test_packed_edges_match_columnwise(spark, messy_df):
