@@ -542,6 +542,116 @@ def decontaminate(
     return docs.join(hits, id_col, "left_anti")
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    ngram: int = 13,
+    min_hits: int = 1,
+    fpp: float = 1e-6,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """:func:`decontaminate` for benchmark collections too large to
+    broadcast as exact shingle strings: the benchmark's distinct n-gram
+    set folds into a BLOOM FILTER bitmap, so the broadcast is ``m/8``
+    bytes (~3 MB for a million shingles at fpp 1e-6) instead of tens of
+    MB of strings — the same lever as the BM25 query-side guard, for the
+    decontamination sweep direction.
+
+    Error semantics are one-sided and SAFE for this use: a false positive
+    only OVER-removes a clean training document (probability ~``fpp`` per
+    shingle test); a contaminated document is NEVER missed (no false
+    negatives).  Returns ``docs`` minus contaminated rows, like the exact
+    operator.
+
+    Scale shape:
+
+    * benchmark side: one distinct-shingle count (benchmark-sized) to size
+      the filter, then k bit positions per shingle -> distinct -> per-word
+      ``bit_or`` masks — driver traffic is bounded by the BITMAP (m/64
+      longs), never by benchmark size;
+    * corpus side: pure map-side — shingles test k bits against the
+      broadcast bitmap row with JVM expressions (no UDF); only hit doc ids
+      (a benchmark-overlap-sized relation) ever shuffle, and the final
+      anti-join is broadcast-sized;
+    * pass ``num_bits``/``num_hashes`` to skip the sizing count when the
+      benchmark cardinality is known.
+    """
+    import math
+    from functools import reduce as _reduce
+
+    bench_shingles = (
+        ngram_shingles(
+            benchmark.select(F.lit(0).alias("__bid"), F.col(bench_text_col)),
+            "__bid",
+            bench_text_col,
+            n=ngram,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    if num_bits is None or num_hashes is None:
+        n_distinct = max(bench_shingles.count(), 1)
+    m = (
+        int(num_bits)
+        if num_bits is not None
+        else max(64, int(-n_distinct * math.log(fpp) / (math.log(2) ** 2)) + 1)
+    )
+    k = (
+        int(num_hashes)
+        if num_hashes is not None
+        else max(1, round(m / n_distinct * math.log(2)))
+    )
+
+    # Identical position expressions on both sides (seed folded in as a
+    # LONG literal — the hash of INT 0 and LONG 0 differ).
+    def _pos(i: int) -> str:
+        return f"pmod(xxhash64(shingle, CAST({i} AS BIGINT)), CAST({m} AS BIGINT))"
+
+    word_masks = (
+        bench_shingles.select(
+            F.explode(
+                F.array(*[F.expr(_pos(i)) for i in range(k)])
+            ).alias("p")
+        )
+        .distinct()
+        .selectExpr(
+            "CAST(p / 64 AS INT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS mask",
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+        .collect()
+    )
+    bitmap = [0] * (m // 64 + 1)
+    for row in word_masks:
+        bitmap[row["w"]] = row["mask"]
+    spark = docs.sparkSession
+    bitmap_df = spark.createDataFrame([(bitmap,)], "__bloom array<long>")
+
+    def _bit_set(i: int):
+        p = _pos(i)
+        return F.expr(
+            f"(element_at(__bloom, CAST({p} / 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0"
+        )
+
+    doc_shingles = ngram_shingles(docs, id_col, text_col, n=ngram)
+    might_contain = _reduce(lambda a, b: a & b, [_bit_set(i) for i in range(k)])
+    hits = (
+        doc_shingles.crossJoin(F.broadcast(bitmap_df))
+        .filter(might_contain)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") >= min_hits)
+        .select(id_col)
+    )
+    return docs.join(hits, id_col, "left_anti")
+
+
 # ------------------------------------------------- duplicated substring spans
 
 

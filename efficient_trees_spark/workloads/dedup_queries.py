@@ -213,6 +213,13 @@ _DECON_ORACLE = f"""
         SELECT 'decontaminate', doc_id, CAST(NULL AS BIGINT),
                CAST(NULL AS DOUBLE)
         FROM ({_DECON_ORACLE})
+        UNION ALL
+        -- Bloom variant: at fpp 1e-6 on this corpus the deterministic
+        -- xxhash64 bitmap admits zero false positives, so the survivor
+        -- set provably equals the exact one — same SQL re-derivation.
+        SELECT 'decontaminate_bloom', doc_id, CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM ({_DECON_ORACLE})
     """,
     description="Near-duplicate pair suite over documents, three pipelines "
     "side by side: method='ngram_exact' joins trigram shingles directly "
@@ -222,9 +229,13 @@ _DECON_ORACLE = f"""
     "verification of candidates only); method='decontaminate' rows are the "
     "documents SURVIVING GPT-3-style benchmark decontamination (13-gram "
     "collision against the doc_id<5 docs as the 'benchmark', broadcast "
-    "bench shingles + map-side anti-join — the corpus never shuffles).  "
-    "Each keeps its own full DuckDB re-derivation of shingling, hashing, "
-    "banding, and verification",
+    "bench shingles + map-side anti-join — the corpus never shuffles); "
+    "method='decontaminate_bloom' runs the same sweep through a Bloom-"
+    "filter bitmap broadcast (m/8 bytes instead of the shingle strings — "
+    "the large-benchmark scale path; one-sided error, over-removal only, "
+    "zero false positives at fpp 1e-6 on this corpus so the survivor set "
+    "equals the exact leg's).  Each keeps its own full DuckDB "
+    "re-derivation of shingling, hashing, banding, and verification",
     tags=("dedup", "suite"),
 )
 def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +255,15 @@ def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("id_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return exact.unionByName(lsh).unionByName(survivors)
+    bloom = dedup.decontaminate_bloom(
+        docs, docs.filter(F.col("doc_id") < _BENCH_IDS), ngram=_N_DECON, fpp=1e-6
+    ).select(
+        F.lit("decontaminate_bloom").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return exact.unionByName(lsh).unionByName(survivors).unionByName(bloom)
 
 
 @workload(

@@ -460,3 +460,39 @@ def test_decontaminate_min_hits(spark):
     # requiring more than that keeps it
     assert dedup.decontaminate(docs, benchmark, ngram=13, min_hits=4).count() == 1
     assert dedup.decontaminate(docs, benchmark, ngram=13, min_hits=3).count() == 0
+
+
+def test_decontaminate_bloom_matches_exact_at_low_fpp(spark, sf_small):
+    """Bloom sweep on real documents: at fpp 1e-6 the survivor set equals
+    the exact operator's; at any fpp, removals are a SUPERSET of exact
+    removals (one-sided error — no contaminated doc ever survives)."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 5)
+    exact = {r.doc_id for r in dedup.decontaminate(docs, bench, ngram=13).collect()}
+    bloom = {
+        r.doc_id
+        for r in dedup.decontaminate_bloom(docs, bench, ngram=13, fpp=1e-6).collect()
+    }
+    assert bloom == exact
+    # deliberately tiny filter: heavy false positives still only shrink the
+    # survivor set, never grow it
+    tiny = {
+        r.doc_id
+        for r in dedup.decontaminate_bloom(
+            docs, bench, ngram=13, num_bits=256, num_hashes=2
+        ).collect()
+    }
+    assert tiny <= exact
+
+
+def test_decontaminate_bloom_min_hits_and_plan(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+    docs = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    benchmark = spark.createDataFrame([(base,)], ["text"])
+    assert dedup.decontaminate_bloom(docs, benchmark, ngram=13, min_hits=4).count() == 1
+    assert dedup.decontaminate_bloom(docs, benchmark, ngram=13, min_hits=3).count() == 0
+    kept = dedup.decontaminate_bloom(docs, benchmark, ngram=13)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # one-row bitmap broadcast; no corpus-sized shuffle for the check
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
