@@ -62,6 +62,29 @@ def test_iris_golden(spark, string_labels, use_categorical_feature, criterion):
     assert test_many == golden(f"test_{key}", string_labels)
 
 
+@pytest.mark.parametrize("criterion", [Criterion.ENTROPY, Criterion.GINI])
+@pytest.mark.parametrize("string_labels", [False, True], ids=["int", "str"])
+def test_iris_golden_exact_arrow(spark, string_labels, criterion):
+    """The reference's golden outputs through the PACKED exact path:
+    hist_method='arrow' with max_bins=None (candidates = every distinct
+    value as uint8 codes, f32 shrink semantics included) must reproduce
+    the published predictions byte-for-byte."""
+    train_pdf, test_pdf = train_test_frames(string_labels)
+    train_pdf = train_pdf.drop(columns=["categorical_feature"])
+    test_pdf = test_pdf.drop(columns=["categorical_feature"])
+    df_train = spark.createDataFrame(train_pdf)
+    df_test = spark.createDataFrame(test_pdf)
+
+    model = DecisionTreeClassifier(
+        max_depth=4, criterion=criterion, hist_method="arrow"
+    )
+    model.fit(df_train, "target")
+
+    key = "entropy" if criterion == Criterion.ENTROPY else "gini"
+    assert model.predict_many(df_train) == golden(f"train_{key}", string_labels)
+    assert model.predict_many(df_test) == golden(f"test_{key}", string_labels)
+
+
 def test_feature_names_with_spaces_survive_round_trip(spark):
     """The iris feature names contain spaces and parentheses — ensure the
     whole surface (fit, transform, save/load) handles non-identifier column
