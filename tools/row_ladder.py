@@ -52,6 +52,11 @@ def ensure_scaled_dir(spark, base_sf_dir: str, mult: int) -> str:
     tag = os.path.basename(os.path.normpath(base_sf_dir)) or "sf"
     out = os.path.join(REPO, ".bench_cache", f"rowscale_{tag}_x{mult}")
     rep = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__rep")
+    # Write enough files that the scan starts at full parallelism: the
+    # point of the ladder is data-proportional work, and a 6-split scan on
+    # 32 cores measures starvation, not scaling (a real corpus has far
+    # more splits than cores).
+    n_out = spark.sparkContext.defaultParallelism
 
     li_path = os.path.join(out, "lineitem.parquet")
     if not os.path.exists(os.path.join(li_path, "_SUCCESS")):
@@ -63,6 +68,7 @@ def ensure_scaled_dir(spark, base_sf_dir: str, mult: int) -> str:
                 F.col("l_orderkey") + F.col("__rep") * F.lit(10_000_000_000),
             )
             .drop("__rep")
+            .repartition(n_out)
             .write.mode("overwrite")
             .parquet(li_path)
         )
@@ -94,7 +100,7 @@ def ensure_scaled_dir(spark, base_sf_dir: str, mult: int) -> str:
             .alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
-        scaled.write.mode("overwrite").parquet(docs_path)
+        scaled.repartition(n_out).write.mode("overwrite").parquet(docs_path)
     return out
 
 
