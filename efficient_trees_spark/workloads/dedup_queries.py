@@ -410,24 +410,112 @@ _SUBSTRING_SPAN_ORACLE = f"""
 """
 
 
+# Keep-first strip twin, fully re-derived: keeper = min doc id per
+# duplicated window; a token is removed iff covered by a NON-keeper window
+# occurrence and NOT covered by any window the doc itself keeps (the
+# protection that guarantees every duplicated window survives intact in
+# its keeper).  Coverage tests need no interval merging — per-position
+# EXISTS over the marked windows is equivalent to merged-span membership.
+_STRIP_ORACLE = f"""
+    WITH t AS (SELECT doc_id, coalesce({{toks}}, []) AS toks FROM documents),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+    w AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS start,
+               md5(array_to_string(
+                   toks[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + {_SPAN_N})],
+                   ' ')) AS h
+        FROM base, UNNEST(range(0, n_tokens - {_SPAN_N} + 1)) AS u(i)
+    ),
+    dup AS (SELECT h, min(doc_id) AS keeper FROM w GROUP BY h
+            HAVING count(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}),
+    mk AS (SELECT w.doc_id, w.start, (w.doc_id = dup.keeper) AS is_keeper
+           FROM w JOIN dup USING (h)),
+    pos AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+               toks[CAST(u.i AS INT) + 1] AS tok
+        FROM base, UNNEST(range(0, n_tokens)) AS u(i)
+    ),
+    removed AS (
+        SELECT DISTINCT p.doc_id, p.i
+        FROM pos p
+        JOIN mk r ON r.doc_id = p.doc_id AND NOT r.is_keeper
+                 AND p.i BETWEEN r.start AND r.start + {_SPAN_N - 1}
+        WHERE NOT EXISTS (
+            SELECT 1 FROM mk k
+            WHERE k.doc_id = p.doc_id AND k.is_keeper
+              AND p.i BETWEEN k.start AND k.start + {_SPAN_N - 1}
+        )
+    ),
+    keptpos AS (
+        SELECT p.doc_id, p.i, p.tok FROM pos p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM removed r WHERE r.doc_id = p.doc_id AND r.i = p.i
+        )
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS kept_text,
+               count(*) AS kept_n
+        FROM keptpos GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           b.n_tokens - coalesce(a.kept_n, 0) AS removed_tokens,
+           md5(coalesce(a.kept_text, '')) AS kept_md5
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 @workload(
     "dedup_substring_spans",
-    oracle=_SUBSTRING_SPAN_ORACLE.format(toks=_TOKS),
-    description="Span-level exact substring dedup (Lee et al. 2021, "
-    "suffix-array duplicated spans re-expressed relationally): every "
-    f"{_SPAN_N}-token window occurring in >= {_SPAN_MIN_DOCS} distinct docs "
-    "marks its positions duplicated; overlapping windows merge into maximal "
-    "spans via a per-doc sorted fold.  One map-side window-hash explode, one "
-    "distinct-doc count on the hash, one mark join — the corpus is never "
-    "self-joined and no global suffix sort exists.  Per-doc output: window/"
-    "span counts, covered tokens, duplicated-token fraction",
+    oracle=f"""
+        SELECT 'stats' AS kind, doc_id, n_tokens,
+               dup_windows AS c1, n_spans AS c2, covered_tokens AS c3,
+               dup_token_frac AS frac, CAST(NULL AS VARCHAR) AS payload
+        FROM ({_SUBSTRING_SPAN_ORACLE.format(toks=_TOKS)})
+        UNION ALL
+        SELECT 'strip', doc_id, n_tokens,
+               removed_tokens, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE), kept_md5
+        FROM ({_STRIP_ORACLE.format(toks=_TOKS)})
+    """,
+    description="Span-level exact substring dedup suite (Lee et al. 2021, "
+    "suffix-array duplicated spans re-expressed relationally).  "
+    f"kind='stats': every {_SPAN_N}-token window occurring in >= "
+    f"{_SPAN_MIN_DOCS} distinct docs marks its positions duplicated; "
+    "overlapping windows merge into maximal spans via a per-doc sorted "
+    "fold (window/span counts, covered tokens, duplicated-token "
+    "fraction).  kind='strip': the keep-first dedup step — the min-id doc "
+    "per window keeps its tokens, other docs drop covered positions "
+    "EXCEPT positions protected by windows they themselves keep, so every "
+    "duplicated window survives intact in its keeper (kept text compared "
+    "by md5; removed-token counts exact).  One map-side window-hash "
+    "explode, one distinct-doc count on the hash, one mark join — the "
+    "corpus is never self-joined and no global suffix sort exists",
     tags=("dedup", "suite"),
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.duplicate_window_spans(
-        load(spark, sf_dir, "documents"),
+    docs = load(spark, sf_dir, "documents")
+    stats = dedup.duplicate_window_spans(
+        docs, "doc_id", "text", n=_SPAN_N, min_docs=_SPAN_MIN_DOCS
+    ).select(
+        F.lit("stats").alias("kind"),
         "doc_id",
-        "text",
-        n=_SPAN_N,
-        min_docs=_SPAN_MIN_DOCS,
+        "n_tokens",
+        F.col("dup_windows").alias("c1"),
+        F.col("n_spans").alias("c2"),
+        F.col("covered_tokens").alias("c3"),
+        F.col("dup_token_frac").alias("frac"),
+        F.lit(None).cast("string").alias("payload"),
     )
+    strip = dedup.strip_duplicate_spans(
+        docs, "doc_id", "text", n=_SPAN_N, min_docs=_SPAN_MIN_DOCS
+    ).select(
+        F.lit("strip").alias("kind"),
+        "doc_id",
+        "n_tokens",
+        F.col("removed_tokens").alias("c1"),
+        F.lit(None).cast("long").alias("c2"),
+        F.lit(None).cast("long").alias("c3"),
+        F.lit(None).cast("double").alias("frac"),
+        F.md5(F.col("kept_text")).alias("payload"),
+    )
+    return stats.unionByName(strip)
