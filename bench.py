@@ -30,7 +30,7 @@ from efficient_trees_spark.session import get_spark  # noqa: E402
 from efficient_trees_spark.workloads.dedup_queries import (  # noqa: E402
     dedup_exact_bag,
     dedup_minhash_lsh,
-    dedup_substring_spans,
+    dedup_substring_span_stats,
 )
 from efficient_trees_spark.workloads.relational import (  # noqa: E402
     q1_pricing_summary,
@@ -64,7 +64,9 @@ BENCH_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "dedup_exact_bag": dedup_exact_bag,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_substring_spans": dedup_substring_spans,
+    # stats leg only — comparable to earlier rounds; the registered
+    # workload adds the strip leg for the correctness gate
+    "dedup_substring_spans": dedup_substring_span_stats,
     "docs_curation_pipeline": docs_curation_pipeline,
     "events_tumbling_window": events_tumbling_window,
     "q1_pricing_summary": q1_pricing_summary,

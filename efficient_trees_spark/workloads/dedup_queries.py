@@ -410,6 +410,19 @@ _SUBSTRING_SPAN_ORACLE = f"""
 """
 
 
+def dedup_substring_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats leg alone — the bench-timed operator (comparable to earlier
+    rounds' ``dedup_substring_spans`` timings; the registered suite below
+    adds the strip leg on top)."""
+    return dedup.duplicate_window_spans(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=_SPAN_N,
+        min_docs=_SPAN_MIN_DOCS,
+    )
+
+
 # Keep-first strip twin, fully re-derived: keeper = min doc id per
 # duplicated window; a token is removed iff covered by a NON-keeper window
 # occurrence and NOT covered by any window the doc itself keeps (the
