@@ -579,6 +579,41 @@ def pq_adc_topk(
     scale the same plan holds with the codes relation persisted once and
     reused across query batches; a `mapInArrow` table-lookup variant can
     cut the explode but gives up engine-portable scoring."""
+    table = _pq_query_table(queries, codebooks, id_col, vec_col, round_to)
+    codes = pq_encode(corpus, id_col, vec_col, codebooks, round_to).select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("j", "code")
+    )
+    scale = float(10**round_to)
+    scored = (
+        codes.join(F.broadcast(table), ["j", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(_adc_score(scale).alias("cos"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _pq_query_table(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+) -> DataFrame:
+    """(query_id, j, code, partial) — the per-query ADC distance table.
+
+    Partial distances are carried as INTEGER micro-units (x 10^round_to):
+    the per-(query, neighbor) ADC sum is then an exact BIGINT aggregation —
+    immune to float-association order across partitionings/engines.  The
+    score NEVER goes through round(): an odd micro-sum puts 1 - d²/2
+    exactly ON a round-6 decimal boundary, where engines' round()
+    implementations legitimately disagree (exact-decimal HALF_UP vs
+    float-multiply).  Instead the score is assembled in exact integer
+    half-micro units and divided out once (:func:`_adc_score`) —
+    bit-identical everywhere."""
     m = len(codebooks)
     ksub = len(codebooks[0])
     # (j, c, sub) literal relation — M × K_sub rows of D/M floats.
@@ -594,19 +629,11 @@ def pq_adc_topk(
         ]
     )
     sub = len(codebooks[0][0])
+    scale = float(10**round_to)
     q = queries.select(
         F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("__qu")
     )
-    # Partial distances are carried as INTEGER micro-units (x 10^round_to):
-    # the per-(query, neighbor) ADC sum is then an exact BIGINT aggregation —
-    # immune to float-association order across partitionings/engines.  The
-    # score NEVER goes through round(): an odd micro-sum puts 1 - d²/2
-    # exactly ON a round-6 decimal boundary, where engines' round()
-    # implementations legitimately disagree (exact-decimal HALF_UP vs
-    # float-multiply).  Instead the score is assembled in exact integer
-    # half-micro units and divided out once — bit-identical everywhere.
-    scale = float(10**round_to)
-    table = q.select(
+    return q.select(
         "query_id", F.explode(entries).alias("e"), F.col("__qu")
     ).select(
         "query_id",
@@ -619,19 +646,64 @@ def pq_adc_topk(
         .cast("long")
         .alias("partial"),
     )
-    codes = pq_encode(corpus, id_col, vec_col, codebooks, round_to).select(
-        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("j", "code")
+
+
+def _adc_score(scale: float) -> Column:
+    """1 − ADC²/2 assembled in exact integer half-micro units."""
+    return (F.lit(int(10 * scale)) - F.sum("partial") * F.lit(5)) / F.lit(10.0 * scale)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF + PQ composed — the classic two-level ANN index (FAISS IVFPQ
+    shape, here without residual encoding): the coarse quantizer restricts
+    each query to its ``nprobe`` nearest cells, and ADC distance tables
+    score only the codes INSIDE those cells.  Per-query work drops from
+    |corpus| × M code rows to |probed cells| × M, with PQ's 32×-or-more
+    compression on what remains — the combination that serves
+    billion-vector indexes.
+
+    Scale shape: cell assignment and PQ encoding are both broadcast/
+    literal map-only passes over the corpus; the scoring join keys on
+    (cell, subspace, code) against the broadcast (query × probed-cell ×
+    M × K_sub) table, so non-probed cells never leave the scan.  Scoring
+    is the same exact-integer ADC as :func:`pq_adc_topk` — a neighbor
+    scored by both paths gets the bit-identical score."""
+    corpus_cells = nearest_centroids(
+        corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
     )
+    query_cells = nearest_centroids(
+        queries, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
+    )
+    codes = (
+        pq_encode(corpus, id_col, vec_col, codebooks, round_to)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode("codes").alias("j", "code"),
+        )
+        .join(
+            corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
+            "neighbor_id",
+        )
+    )
+    table = _pq_query_table(queries, codebooks, id_col, vec_col, round_to).join(
+        query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
+    )
+    scale = float(10**round_to)
     scored = (
-        codes.join(F.broadcast(table), ["j", "code"])
+        codes.join(F.broadcast(table), ["cell", "j", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(
-            (
-                (F.lit(int(10 * scale)) - F.sum("partial") * F.lit(5))
-                / F.lit(10.0 * scale)
-            ).alias("cos")
-        )
+        .agg(_adc_score(scale).alias("cos"))
     )
     from pyspark.sql import Window
 

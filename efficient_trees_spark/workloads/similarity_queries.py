@@ -230,6 +230,78 @@ _PQ_TOPK_ORACLE = f"""
 """
 
 
+# IVF + PQ composed: the PQ oracle's codes/qtable restricted to the IVF
+# assignment's probed cells — a neighbor is scored iff its (single) cell is
+# one of the query's nprobe cells; the score itself is the same exact-
+# integer ADC, so shared (query, neighbor) pairs match the pq leg's bits.
+_IVF_PQ_TOPK_ORACLE = f"""
+    WITH {_UNIT_CTE},
+    js AS (SELECT CAST(range AS INT) AS j FROM range(0, {_PQ_M})),
+    sseed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, uvec
+              FROM unit WHERE {_CENTROID_FILTER}),
+    ssub AS (SELECT j, c, uvec[(j*{_PQ_SUB}+1):(j*{_PQ_SUB}+{_PQ_SUB})] AS sub
+             FROM sseed, js),
+    vsub AS (SELECT vec_id, j, uvec[(j*{_PQ_SUB}+1):(j*{_PQ_SUB}+{_PQ_SUB})] AS sub
+             FROM unit, js),
+    scored_codes AS (
+        SELECT v.vec_id, v.j, s.c,
+               {_PQ_L2SQ.format(n=_PQ_SUB + 1, a="v.sub", b="s.sub")} AS d
+        FROM vsub v JOIN ssub s USING (j)
+    ),
+    codes AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d ASC, c ASC) AS rn
+            FROM scored_codes
+        ) WHERE rn = 1
+    ),
+    qtable AS (
+        SELECT q.vec_id AS query_id, s.j, s.c AS code,
+               CAST(round(({_PQ_L2SQ_RAW.format(n=_PQ_SUB + 1, a="q.sub", b="s.sub")}) * 1000000.0) AS BIGINT) AS partial
+        FROM (SELECT * FROM vsub WHERE {_Q_FILTER}) q
+        JOIN ssub s USING (j)
+    ),
+    corpus_cells AS ({_ivf_assign_sql("TRUE", 1)}),
+    query_cells AS ({_ivf_assign_sql(_Q_FILTER, 2)}),
+    adc AS (
+        SELECT t.query_id, c.vec_id AS neighbor_id,
+               (10000000 - sum(t.partial) * 5) / 10000000.0 AS cos
+        FROM codes c
+        JOIN corpus_cells cc ON cc.vec_id = c.vec_id
+        JOIN query_cells qc ON qc.cell = cc.cell
+        JOIN qtable t ON t.query_id = qc.vec_id AND t.j = c.j AND t.code = c.code
+        WHERE c.vec_id != t.query_id
+        GROUP BY 1, 2
+    ),
+    ivfpq_ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ivfpq_ranked WHERE rank <= 5
+"""
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (the FAISS-IVFPQ two-level shape, no residuals):
+    coarse cells bound the candidate set, ADC code tables score what's
+    left — per-query work is |probed cells| x M code rows with PQ's
+    compression on the index itself.  Registered via ``ann_topk_suite``
+    (method='ivf_pq')."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.expr(_CENTROID_FILTER))
+    centroids = seeds.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    books = similarity.pq_codebooks_from_seeds(seeds, "vec_id", "embedding", m=_PQ_M)
+    queries = emb.filter(F.expr(_Q_FILTER))
+    return similarity.ivf_pq_topk(
+        emb, queries, centroids, books, "vec_id", "embedding", k=5, nprobe=2
+    )
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate top-5: vectors compress to {_PQ_M} uint codes
     (32x smaller than f32 here — the lever that fits billion-vector indexes
@@ -387,6 +459,9 @@ def ann_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'pq', query_id, neighbor_id, cos AS score, rank
         FROM ({_PQ_TOPK_ORACLE})
         UNION ALL
+        SELECT 'ivf_pq', query_id, neighbor_id, cos AS score, rank
+        FROM ({_IVF_PQ_TOPK_ORACLE})
+        UNION ALL
         SELECT 'bm25', query_id, neighbor_id, score, rank
         FROM ({_BM25_TOPK_ORACLE})
     """,
@@ -397,7 +472,10 @@ def ann_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scale path; method='pq' is product-quantized ADC retrieval (vectors "
     "compress to 8 subspace codes, queries rank by distance-table sums; "
     "score is the PQ approximation 1 - ADC^2/2 on unit vectors) — the memory "
-    "scale path; method='bm25' is lexical BM25 over the documents table "
+    "scale path; method='ivf_pq' composes both (the FAISS-IVFPQ two-level "
+    "shape: coarse cells bound candidates, ADC scores the remainder — the "
+    "billion-vector combination, bit-identical ADC scores to the pq leg on "
+    "shared pairs); method='bm25' is lexical BM25 over the documents table "
     "(operators/retrieval.py: postings in one shuffle, broadcast query "
     "weights, Lucene +1 idf) — the exact-term path for decontamination "
     "sweeps and quality mining",
@@ -420,6 +498,7 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_score(ann_cosine_topk(spark, sf_dir), "brute")
         .unionByName(as_score(ann_ivf_topk(spark, sf_dir), "ivf"))
         .unionByName(as_score(ann_pq_topk(spark, sf_dir), "pq"))
+        .unionByName(as_score(ann_ivf_pq_topk(spark, sf_dir), "ivf_pq"))
         .unionByName(bm25)
     )
 

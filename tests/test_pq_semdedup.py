@@ -125,6 +125,48 @@ def test_adc_ranks_exact_duplicate_first(spark, books):
     assert dup["cos"] == top[0]["cos"]
 
 
+def test_ivf_pq_restricts_to_probed_cells_with_pq_identical_scores(spark, corpus, books):
+    """ivf_pq_topk = pq_adc_topk restricted to the IVF candidate set: every
+    returned neighbor's cell must be one of its query's nprobe cells, and
+    every returned (query, neighbor) score must BIT-match the unrestricted
+    PQ run (same exact-integer ADC)."""
+    seeds = corpus.filter("vid % 10 = 1")
+    centroids = seeds.select(F.col("vid").alias("cid"), F.col("vec").alias("cvec"))
+    queries = corpus.filter("vid % 7 = 0")
+    out = similarity.ivf_pq_topk(
+        corpus, queries, centroids, books, "vid", "vec", k=3, nprobe=2
+    ).collect()
+    assert out, "composition returned nothing"
+
+    cells = {
+        r["vid"]: r["cell"]
+        for r in similarity.nearest_centroids(
+            corpus, centroids, "vid", "vec", nprobe=1
+        ).collect()
+    }
+    probed = {}
+    for r in similarity.nearest_centroids(
+        queries, centroids, "vid", "vec", nprobe=2
+    ).collect():
+        probed.setdefault(r["vid"], set()).add(r["cell"])
+    for r in out:
+        assert cells[r["neighbor_id"]] in probed[r["query_id"]]
+
+    pq_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.pq_adc_topk(
+            corpus, queries, books, "vid", "vec", k=40
+        ).collect()
+    }
+    for r in out:
+        assert pq_scores[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+    again = similarity.ivf_pq_topk(
+        corpus.repartition(5), queries, centroids, books, "vid", "vec", k=3, nprobe=2
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_semantic_dedup_in_cell_vs_cross_cell(spark):
     # Two well-separated cell anchors; a near-dup pair around anchor A.
     a = [1.0, 0.0, 0.0, 0.0]
