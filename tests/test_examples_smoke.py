@@ -27,6 +27,7 @@ EXAMPLES = [
     "corpus_pipeline.py",
     "memory_profiling.py",
     "quality_filter.py",
+    "ann_retrieval.py",
 ]
 
 
