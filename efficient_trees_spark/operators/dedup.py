@@ -419,8 +419,12 @@ def connected_components(
     — the probe is a synchronous 1-row driver round-trip, and at the fixed
     point the iteration is idempotent (the potential function of Kiveris et
     al. is monotone, so no oscillation can fake a repeat), so spacing
-    probes trades ≤ ``probe_interval - 1`` redundant star-shaped rounds for
-    proportionally fewer driver syncs on deep graphs.
+    probes trades redundant star-shaped rounds for proportionally fewer
+    driver syncs on deep graphs.  Worst case ≈ ``2 * probe_interval - 1``
+    extra rounds: up to ``probe_interval - 1`` rounds may run before the
+    first probe AT the fixed point, and detection then needs a SECOND
+    matching probe one interval later.  The probe is skipped on the final
+    iteration — its result could not affect control flow there.
     """
     # undirected edge set as directed pairs, self-loops dropped
     e = (
@@ -463,8 +467,11 @@ def connected_components(
         )
         e = ss
         rounds += 1
-        if (i + 1) % probe_interval and i + 1 < max_iterations:
-            continue  # skip the driver sync this round
+        if (i + 1) % probe_interval or i + 1 == max_iterations:
+            # Skip the driver sync off-interval, and ALWAYS on the final
+            # iteration: the loop ends either way, so that probe's result
+            # cannot affect control flow — it would be a wasted sync.
+            continue
         # order-independent edge-set signature; bit_xor cannot overflow
         # under ANSI (unlike a sum of full-range hashes)
         sig = tuple(

@@ -101,19 +101,30 @@ def resize_image(
     target_height: int = 16,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    decoder: str = "auto",
 ) -> DataFrame:
     """Resize step of an image pipeline — payload in, smaller payload out.
 
     The Spark plumbing is the real thing (Arrow-batched ``mapInPandas``,
     binary-in/binary-out with an explicit schema — the shape a thumbnailing
-    or model-input-normalization pass has at scale); the pixel resampling is
-    a deterministic byte-level stand-in (nearest-neighbor over the byte
-    stream, like the fake featurizer's fake decode) because no imaging
-    library ships in this container.  A real build replaces ONLY the inner
-    ``_resample`` with e.g. ``PIL.Image.resize``; schema, batching, and
-    partitioning are unchanged.  Output payloads have exactly
-    ``target_width * target_height`` bytes.
+    or model-input-normalization pass has at scale).  Two decoders, same
+    pattern as :func:`decode_image`:
+
+    - ``decoder='auto'`` (default): where Pillow is importable ON THE
+      WORKER, each payload is really decoded, resized (nearest-neighbor)
+      to ``target_width x target_height``, and re-encoded as PNG bytes;
+      payloads that fail to decode (poison blobs, non-image bytes, NULLs)
+      degrade per-row to the deterministic byte-level stand-in instead of
+      failing the stage.  Without Pillow, every row takes the stand-in.
+    - ``decoder='fake'``: always the byte-level stand-in (nearest-neighbor
+      index mapping over the flat byte stream) — environment-independent,
+      the mode oracle-checked suites should pin.
+
+    Stand-in payloads have exactly ``target_width * target_height`` bytes;
+    really-decoded payloads are PNG-encoded (variable length).
     """
+    if decoder not in ("auto", "fake"):
+        raise ValueError(f"decoder must be 'auto' or 'fake', got {decoder!r}")
     n_out = int(target_width) * int(target_height)
 
     def _resample(data: bytes) -> bytes:
@@ -124,11 +135,35 @@ def resize_image(
         return bytes(data[min(int(i * step), len(data) - 1)] for i in range(n_out))
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None
+        if decoder == "auto":
+            try:  # import on the worker — driver importability is irrelevant
+                from PIL import Image  # noqa: F811
+            except ImportError:
+                Image = None
+
+        def one(data: bytes) -> bytes:
+            if Image is not None and data:
+                import io
+
+                try:
+                    img = Image.open(io.BytesIO(data))
+                    img.load()
+                    out = io.BytesIO()
+                    img.resize(
+                        (int(target_width), int(target_height)),
+                        Image.Resampling.NEAREST,
+                    ).save(out, format="PNG")
+                    return out.getvalue()
+                except Exception:
+                    pass  # poison blob -> deterministic stand-in row
+            return _resample(data)
+
         for pdf in batches:
             rows = [
                 (
                     int(doc_id),
-                    _resample(b"" if payload is None else bytes(payload)),
+                    one(b"" if payload is None else bytes(payload)),
                     target_width,
                     target_height,
                 )
@@ -139,15 +174,22 @@ def resize_image(
     return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_SCHEMA)
 
 
-DECODE_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("width", IntegerType()),
-        StructField("height", IntegerType()),
-        StructField("mode", StringType()),
-        StructField("histogram", ArrayType(DoubleType())),
-    ]
-)
+def _decode_schema(id_col: str) -> StructType:
+    """Output schema for :func:`decode_image`, keyed by the caller's id
+    column — a non-default ``id_col`` keeps its name in the output (it used
+    to be silently renamed to ``doc_id``)."""
+    return StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mode", StringType()),
+            StructField("histogram", ArrayType(DoubleType())),
+        ]
+    )
+
+
+DECODE_SCHEMA = _decode_schema("doc_id")
 
 
 def decode_image(
@@ -196,10 +238,10 @@ def decode_image(
                         (int(doc_id), 0, 0, None, [0.0] * N_HISTOGRAM_BINS)
                     )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "width", "height", "mode", "histogram"]
+                rows, columns=[id_col, "width", "height", "mode", "histogram"]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(decode, DECODE_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(decode, _decode_schema(id_col))
 
 
 FRAME_BYTES = 64

@@ -1,4 +1,5 @@
-"""Lexical retrieval: distributed BM25 top-k over a document corpus.
+"""Lexical retrieval: distributed BM25 over a document corpus, with a
+persistable index.
 
 The counterpart to the embedding paths in ``operators/similarity.py`` — a
 training-data pipeline needs BOTH retrieval modalities: embeddings for
@@ -6,6 +7,14 @@ semantic near-dup / clustering, and lexical BM25 for benchmark
 decontamination sweeps, quality mining ("find docs like these seed docs"),
 and eval-set leakage audits, where exact-term evidence and an
 explainable score matter more than embedding recall.
+
+API shape: real retrieval serves MANY query batches against ONE corpus —
+so the corpus-derived state is split out as :class:`Bm25Index`
+(:func:`bm25_index` builds it; ``.persist()`` caches the three relations,
+``.write()`` / :func:`read_bm25_index` round-trip them through parquet),
+and :func:`bm25_search` scores a query batch against an existing index
+without touching the corpus again.  :func:`bm25_topk` remains the one-shot
+composition of the two for single-batch callers and the oracle suite.
 
 Plan shape at 100 TB (everything here is plain DataFrame ops — no UDFs):
 
@@ -38,7 +47,9 @@ retrieval surface; this operator is part of the extension inventory
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from efficient_trees_spark.functions import text
@@ -49,35 +60,58 @@ from efficient_trees_spark.functions import text
 _QTERM_ROW_BYTES = 64
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: DataFrame,
-    doc_id: str = "doc_id",
-    text_col: str = "text",
-    query_id: str = "query_id",
-    query_text: str = "query_text",
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    broadcast_queries: bool | None = None,
-    broadcast_budget_bytes: int = 64 << 20,
-) -> DataFrame:
-    """Top-``k`` docs per query under BM25 (Robertson/Sparck Jones; the
-    Lucene ``+1`` idf variant, so idf > 0 even for terms in most docs).
+@dataclass(frozen=True)
+class Bm25Index:
+    """The corpus-derived half of BM25: three relations, no query state.
 
-    Query terms are deduplicated (each distinct term contributes once —
-    repeating a word in a query does not double its weight).  Returns
-    ``(query_id, neighbor_id, score, rank)`` with rank 1..k per query,
-    ties broken by ascending ``neighbor_id`` on the rounded score.
-
-    :param broadcast_queries: ``True`` forces the broadcast scoring join
-        (the postings side never shuffles), ``False`` forces a shuffled
-        join (for decontamination sweeps against a benchmark collection too
-        large to broadcast).  ``None`` (default) decides from a one-pass
-        token count of the QUERY side against ``broadcast_budget_bytes`` —
-        the count never touches the corpus, and total query tokens upper-
-        bounds the weight-table rows.  Both paths produce identical scores.
+    ``postings`` is corpus-token-sized ((doc, term) -> tf with the doc
+    length riding along); ``dfreq`` is vocabulary-sized; ``stats`` is one
+    row (N, avgdl).  Scoring parameters (k1, b) are search-time arguments,
+    not index state — the same index serves any parameterization.
     """
+
+    postings: DataFrame  # (__doc, __dl, __term, __tf)
+    dfreq: DataFrame  # (__term, __df)
+    stats: DataFrame  # one row: (__n, __avgdl)
+
+    def persist(self) -> "Bm25Index":
+        """Cache all three relations (lazily — materialized on first use)
+        so subsequent query batches never re-scan the corpus."""
+        self.postings.persist()
+        self.dfreq.persist()
+        self.stats.persist()
+        return self
+
+    def unpersist(self) -> "Bm25Index":
+        self.postings.unpersist()
+        self.dfreq.unpersist()
+        self.stats.unpersist()
+        return self
+
+    def write(self, path: str, mode: str = "error") -> None:
+        """Persist the index as three parquet relations under ``path`` —
+        build once on the cluster that can see the corpus, serve query
+        batches anywhere."""
+        self.postings.write.mode(mode).parquet(f"{path}/postings")
+        self.dfreq.write.mode(mode).parquet(f"{path}/dfreq")
+        self.stats.write.mode(mode).parquet(f"{path}/stats")
+
+
+def read_bm25_index(spark: SparkSession, path: str) -> Bm25Index:
+    """Load an index previously written by :meth:`Bm25Index.write`."""
+    return Bm25Index(
+        postings=spark.read.parquet(f"{path}/postings"),
+        dfreq=spark.read.parquet(f"{path}/dfreq"),
+        stats=spark.read.parquet(f"{path}/stats"),
+    )
+
+
+def bm25_index(
+    docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text"
+) -> Bm25Index:
+    """Build the BM25 index relations from a corpus — ONE corpus scan, ONE
+    data-sized shuffle (the postings aggregation); everything downstream of
+    that shuffle is vocabulary- or doc-sized."""
     from efficient_trees_spark.sources.io import fan_out_small_input
 
     docs = fan_out_small_input(docs)
@@ -108,15 +142,48 @@ def bm25_topk(
             (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
         )
     )
+    return Bm25Index(postings=postings, dfreq=dfreq, stats=stats)
 
+
+def bm25_search(
+    index: Bm25Index,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    broadcast_queries: bool | str = True,
+    broadcast_budget_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Top-``k`` docs per query against an existing :class:`Bm25Index`
+    under BM25 (Robertson/Sparck Jones; the Lucene ``+1`` idf variant, so
+    idf > 0 even for terms in most docs).
+
+    Query terms are deduplicated (each distinct term contributes once —
+    repeating a word in a query does not double its weight).  Returns
+    ``(query_id, neighbor_id, score, rank)`` with rank 1..k per query,
+    ties broken by ascending ``neighbor_id`` on the rounded score.
+
+    :param broadcast_queries: ``True`` (default — query batches are small
+        by construction) keeps the scoring join broadcast: the postings
+        side never shuffles and plan construction stays fully lazy.
+        ``False`` forces a shuffled join, the opt-out for decontamination
+        sweeps against a benchmark collection too large to broadcast.
+        ``'auto'`` decides from a one-pass token count of the QUERY side
+        against ``broadcast_budget_bytes`` — note this runs an eager
+        driver action over the query relation at plan-construction time
+        (cache a derived queries relation first if its pipeline is
+        expensive).  All paths produce identical scores.
+    """
     qterms = (
         queries.select(
             F.col(query_id).alias("__qid"),
             F.explode(text.tokens(query_text)).alias("__term"),
         )
         .distinct()
-        .join(dfreq, "__term")
-        .crossJoin(F.broadcast(stats))
+        .join(index.dfreq, "__term")
+        .crossJoin(F.broadcast(index.stats))
         .select(
             "__qid",
             "__term",
@@ -129,7 +196,7 @@ def bm25_topk(
         )
     )
 
-    if broadcast_queries is None:
+    if broadcast_queries == "auto":
         est_rows = (
             queries.select(
                 F.sum(F.coalesce(F.size(text.tokens(query_text)), F.lit(0)))
@@ -138,17 +205,17 @@ def bm25_topk(
         )
         broadcast_queries = est_rows * _QTERM_ROW_BYTES <= broadcast_budget_bytes
 
-    # Broadcast the (queries x terms)-sized weight table when it fits the
-    # budget: the big postings side never shuffles for this join, and
+    # Broadcast the (queries x terms)-sized weight table on the default
+    # path: the big postings side never shuffles for this join, and
     # non-matching postings are dropped before the scoring aggregation.
-    # Beyond the budget (a decontamination sweep against a large benchmark
-    # collection), fall back to a shuffled hash join on the term — one
+    # The opt-out (a decontamination sweep against a large benchmark
+    # collection) falls back to a shuffled hash join on the term — one
     # postings-sized exchange, but no OOM-ing broadcast.
     if broadcast_queries:
         weighted = F.broadcast(qterms)
     else:
         weighted = qterms.hint("shuffle_hash")
-    contrib = postings.join(weighted, "__term").select(
+    contrib = index.postings.join(weighted, "__term").select(
         "__qid",
         F.col("__doc").alias("neighbor_id"),
         (
@@ -182,4 +249,34 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("__qid").alias(query_id), "neighbor_id", "score", "rank")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    broadcast_queries: bool | str = True,
+    broadcast_budget_bytes: int = 64 << 20,
+) -> DataFrame:
+    """One-shot BM25 top-``k``: build the index and search it in a single
+    lazy plan.  For repeated query batches against the same corpus, build
+    the index once with :func:`bm25_index` and ``.persist()`` it — this
+    wrapper re-derives the postings per call."""
+    return bm25_search(
+        bm25_index(docs, doc_id=doc_id, text_col=text_col),
+        queries,
+        query_id=query_id,
+        query_text=query_text,
+        k=k,
+        k1=k1,
+        b=b,
+        broadcast_queries=broadcast_queries,
+        broadcast_budget_bytes=broadcast_budget_bytes,
     )

@@ -950,11 +950,14 @@ def s10_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrected = ev.filter(
         (F.col("day") == target_day) & (F.col("event_id") % 2 == 0)
     )
+    # Restore whatever the session had before, not a hardcoded 'static' —
+    # clobbering a session configured dynamic would be a side effect.
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         corrected.write.mode("overwrite").partitionBy("day").parquet(out)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return (
         spark.read.parquet(out)
         .groupBy(F.col("day").cast("string").alias("day"))

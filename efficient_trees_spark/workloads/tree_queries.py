@@ -320,8 +320,14 @@ def model_fit_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tree._fan_out_small_input) and both the order-statistic bin edges and
     # the seeded bootstrap are partitioning-dependent — a host with a
     # different core count must fail as a config error, not a hash mismatch.
+    # The pinned VALUES ship for the driver's local[32]; a host that has
+    # regenerated them at another parallelism (tools/oracle_check.py) can
+    # declare it via SPARK_GRAFT_PINNED_PARALLELISM instead of patching code.
+    import os
+
+    expected_par = int(os.environ.get("SPARK_GRAFT_PINNED_PARALLELISM", "32"))
     require_pinned_scale(
-        spark.sparkContext.defaultParallelism, 32,
+        spark.sparkContext.defaultParallelism, expected_par,
         "model_fit_distributions", "session defaultParallelism",
     )
     parts = [

@@ -210,6 +210,49 @@ def test_decode_image_with_pillow(spark):
         assert out[bad]["mode"] is None
 
 
+def test_resize_image_with_pillow(spark):
+    """Real resize path — runs only where Pillow is importable (skipped in
+    this container): a real PNG comes back as a PNG of the target size,
+    while non-image payloads in the same batch degrade per-row to the
+    byte-level stand-in instead of failing the stage."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), (0, 128, 255)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.resize_image(df, 2, 2).collect()}
+    back = Image.open(io.BytesIO(bytes(out[1]["payload"])))
+    assert back.size == (2, 2)
+    assert (out[1]["width"], out[1]["height"]) == (2, 2)
+    # poison blob: exactly the stand-in bytes (2*2 = 4 of them)
+    assert len(bytes(out[2]["payload"])) == 4
+    # decoder='fake' forces the stand-in even for the real PNG
+    fake = {
+        r["doc_id"]: r
+        for r in multimodal.resize_image(df, 2, 2, decoder="fake").collect()
+    }
+    assert len(bytes(fake[1]["payload"])) == 4
+
+
+def test_decode_image_schema_follows_id_col(spark):
+    """A non-default id column keeps its name in decode_image's output
+    (ADVICE r5: it used to be silently renamed to doc_id)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        pytest.skip("Pillow absent: decode_image raises before schema matters")
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "img_id long, payload binary")
+    out = multimodal.decode_image(df, id_col="img_id")
+    assert out.columns[0] == "img_id"
+
+
 def test_multimodal_resize(spark):
     df = spark.createDataFrame(
         [(1, "x" * 1000), (2, "short"), (3, "")], ["doc_id", "text"]

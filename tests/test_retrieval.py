@@ -74,18 +74,91 @@ def test_query_join_broadcasts_postings_side_never_shuffles_for_it(spark):
 
 
 def test_shuffled_fallback_matches_broadcast_path_exactly(spark):
-    # Force the fallback (budget of 0 bytes can broadcast nothing): scores
-    # and ranks must be bit-identical to the broadcast path — the decimal
-    # fixed-point sum makes both associative.
+    # Force the fallback via the auto-guard (budget of 0 bytes can
+    # broadcast nothing): scores and ranks must be bit-identical to the
+    # broadcast path — the decimal fixed-point sum makes both associative.
     a = _run(spark, [(0, "apple cherry"), (1, "banana date")], k=10).collect()
     b = _run(
         spark,
         [(0, "apple cherry"), (1, "banana date")],
         k=10,
+        broadcast_queries="auto",
         broadcast_budget_bytes=0,
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
+
+
+def test_default_path_is_lazy_no_eager_query_side_job(spark):
+    # The default (broadcast_queries=True) must not run a driver action at
+    # plan-construction time — a query relation whose pipeline raises on
+    # execution proves construction never executes it.
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(0, "apple")], "query_id long, query_text string"
+    ).select(
+        "query_id",
+        F.when(
+            F.lit(True), F.col("query_text")
+        ).otherwise(F.raise_error("boom")).alias("query_text"),
+    )
+    bm25_topk(docs, qdf, k=5)  # plan construction only — must not raise/run
+
+
+def test_persisted_index_serves_batches_without_corpus_rescan(spark, sf_small, tmp_path):
+    import shutil
+
+    from efficient_trees_spark.operators.retrieval import (
+        bm25_index,
+        bm25_search,
+        read_bm25_index,
+    )
+
+    # Behavioral one-postings-build gate: copy the corpus somewhere
+    # deletable, materialize the persisted index, then DELETE the corpus —
+    # every subsequent batch must still answer (a rescan would fail).
+    corpus_dir = str(tmp_path / "docs.parquet")
+    shutil.copy(f"{sf_small}/documents.parquet", corpus_dir)
+    docs = spark.read.parquet(corpus_dir)
+    expected = {
+        tuple(r)
+        for r in bm25_topk(docs, spark.createDataFrame(
+            [(0, "spark window agg")], "query_id long, query_text string"
+        ), k=5).collect()
+    }
+    idx = bm25_index(docs).persist()
+    out = str(tmp_path / "bm25_idx")
+    try:
+        q1 = spark.createDataFrame(
+            [(0, "spark window agg")], "query_id long, query_text string"
+        )
+        q2 = spark.createDataFrame(
+            [(7, "shuffle join broadcast")], "query_id long, query_text string"
+        )
+        r1 = bm25_search(idx, q1, k=5)
+        got1 = {tuple(r) for r in r1.collect()}  # materializes all 3 relations
+        # Index/search split changes no semantics vs the one-shot wrapper.
+        assert got1 == expected
+        # Parquet round-trip written BEFORE the corpus disappears.
+        idx.write(out)
+        import os
+
+        os.remove(corpus_dir)  # corpus gone — rescans now impossible
+        plan = bm25_search(idx, q2, k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan  # scoring reads the cache
+        assert bm25_search(idx, q2, k=5).count() == 5
+        assert {tuple(r) for r in bm25_search(idx, q1, k=5).collect()} == expected
+    finally:
+        idx.unpersist()
+
+    # Written index serves with neither the corpus nor the cache present.
+    idx2 = read_bm25_index(spark, out)
+    q1 = spark.createDataFrame(
+        [(0, "spark window agg")], "query_id long, query_text string"
+    )
+    assert {tuple(r) for r in bm25_search(idx2, q1, k=5).collect()} == expected
 
 
 def test_large_query_side_does_not_broadcast_the_weight_table(spark):
