@@ -471,6 +471,7 @@ def train_pq_codebooks(
     ksub: int = 16,
     n_iters: int = 10,
     sample_n: int = 100_000,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd's k-means over a deterministic bounded sample.
 
@@ -482,13 +483,19 @@ def train_pq_codebooks(
     only ever touched by the distributed ``pq_encode`` pass.  Deterministic:
     init takes the first ``ksub`` sample rows in hash order, assignment
     breaks ties on the lowest code, empty cells keep their previous
-    centroid."""
+    centroid.
+
+    ``normalize=False`` trains on the vectors as-is — required for
+    RESIDUAL codebooks (:func:`train_pq_residual_codebooks`), where the
+    input is already a centered difference and re-normalizing it would
+    destroy the geometry."""
     import numpy as np
 
+    vec_expr = (
+        unit_vector(F.col(vec_col)) if normalize else as_double_array(vec_col)
+    )
     rows = (
-        vectors.select(
-            F.col(id_col).alias("__sid"), unit_vector(F.col(vec_col)).alias("__u")
-        )
+        vectors.select(F.col(id_col).alias("__sid"), vec_expr.alias("__u"))
         .orderBy(F.xxhash64("__sid"), F.col("__sid"))
         .limit(sample_n)
         .collect()
@@ -521,16 +528,21 @@ def pq_encode(
     vec_col: str,
     codebooks: list[list[list[float]]],
     round_to: int = 6,
+    normalize: bool = True,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>) — each vector's nearest codebook entry per
-    subspace, as a PURE PROJECTION: the codebooks ride into the plan as
-    literal arrays, so encoding is M × K_sub small folds per row inside
-    whole-stage codegen — one map-only pass over the corpus, zero shuffle,
-    no Python.  Distances are rounded and ties break on the lowest code
-    (struct ``array_min`` compares (distance, code) lexicographically)."""
+    """(id, [passthrough...], codes array<int>) — each vector's nearest
+    codebook entry per subspace, as a PURE PROJECTION: the codebooks ride
+    into the plan as literal arrays, so encoding is M × K_sub small folds
+    per row inside whole-stage codegen — one map-only pass over the corpus,
+    zero shuffle, no Python.  Distances are rounded and ties break on the
+    lowest code (struct ``array_min`` compares (distance, code)
+    lexicographically).  ``normalize=False`` encodes the vector as-is
+    (residual encoding); ``passthrough`` carries extra columns (e.g. the
+    IVF cell) through without a re-join."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    u = unit_vector(F.col(vec_col))
+    u = unit_vector(F.col(vec_col)) if normalize else as_double_array(vec_col)
 
     def best_code(j: int, uvec: Column) -> Column:
         s = F.slice(uvec, j * sub + 1, sub)
@@ -547,11 +559,14 @@ def pq_encode(
         )
         return F.array_min(entries)["c"]
 
-    # Bind the normalized vector once per row (single let-binding) rather
-    # than re-deriving it inside each of the M × K_sub folds.
-    withu = df.select(F.col(id_col), u.alias("__u"))
+    # Bind the (possibly normalized) vector once per row (single
+    # let-binding) rather than re-deriving it inside each of the M × K_sub
+    # folds.
+    extra = [F.col(c) for c in passthrough]
+    withu = df.select(F.col(id_col), *extra, u.alias("__u"))
     return withu.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.array(*[best_code(j, F.col("__u")) for j in range(m)]).alias("codes"),
     )
 
@@ -653,6 +668,128 @@ def _adc_score(scale: float) -> Column:
     return (F.lit(int(10 * scale)) - F.sum("partial") * F.lit(5)) / F.lit(10.0 * scale)
 
 
+# --------------------------------------------------------- IVFPQ residuals
+
+
+def residual_vectors(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, cell, resid) — the unit vector minus its assigned cell's
+    centroid, one row per probed cell (``nprobe=1`` for corpus encoding,
+    ``nprobe=k`` for query-side tables).
+
+    This is the FAISS IVFPQ residual step: PQ quantizes ``x − c(x)``
+    instead of ``x``.  Residual magnitudes are a fraction of vector
+    magnitudes, so the same codebook budget (M × K_sub entries) covers
+    them with far less quantization error — the recall-at-equal-nprobe
+    win over the non-residual composition.  Map-only at scale: cell
+    assignment broadcasts the centroid set (``nearest_centroids``) and
+    the subtraction is a ``zip_with`` projection against the broadcast
+    centroid vectors — the corpus never shuffles."""
+    cells = nearest_centroids(
+        vectors, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
+    )
+    cvecs = centroids.select(
+        F.col("cid").alias("cell"), as_double_array("cvec").alias("__cvec")
+    )
+    return (
+        vectors.select(F.col(id_col), unit_vector(F.col(vec_col)).alias("__u"))
+        .join(cells.select(id_col, "cell"), id_col)
+        .join(F.broadcast(cvecs), "cell")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.zip_with("__u", "__cvec", lambda x, c: x - c).alias("resid"),
+        )
+    )
+
+
+def train_pq_residual_codebooks(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int = 16,
+    n_iters: int = 10,
+    sample_n: int = 100_000,
+    round_to: int = 6,
+) -> list[list[list[float]]]:
+    """PQ codebooks trained on cell residuals (``x − centroid(cell(x))``)
+    rather than raw unit vectors — the codebooks :func:`ivf_pq_topk` with
+    ``residual=True`` expects.  Same deterministic bounded-sample Lloyd's
+    as :func:`train_pq_codebooks`, with normalization off (a residual is
+    already centered; re-normalizing would destroy the geometry)."""
+    res = residual_vectors(
+        vectors, centroids, id_col, vec_col, nprobe=1, round_to=round_to
+    )
+    return train_pq_codebooks(
+        res.select(F.col(id_col), F.col("resid")),
+        id_col,
+        "resid",
+        m,
+        ksub=ksub,
+        n_iters=n_iters,
+        sample_n=sample_n,
+        normalize=False,
+    )
+
+
+def _pq_residual_query_table(
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    round_to: int,
+) -> DataFrame:
+    """(query_id, cell, j, code, partial) — the per-(query, probed-cell)
+    ADC distance table for residual IVFPQ.  Each query contributes
+    ``nprobe`` residuals (one per probed cell, against THAT cell's
+    centroid), so the table is Q × nprobe × M × K_sub rows — still
+    broadcast-sized.  Partials are the same exact integer micro-units as
+    :func:`_pq_query_table` (see its docstring for why the score never
+    goes through float round())."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.lit(c).alias("c"),
+                F.array(*[F.lit(x) for x in codebooks[j][c]]).alias("sub"),
+            )
+            for j in range(m)
+            for c in range(ksub)
+        ]
+    )
+    scale = float(10**round_to)
+    qres = residual_vectors(
+        queries, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
+    ).select(F.col(id_col).alias("query_id"), "cell", "resid")
+    return qres.select(
+        "query_id", "cell", F.explode(entries).alias("e"), F.col("resid")
+    ).select(
+        "query_id",
+        "cell",
+        F.col("e.j").alias("j"),
+        F.col("e.c").alias("code"),
+        F.round(
+            _l2sq(F.slice(F.col("resid"), F.col("e.j") * sub + 1, sub), F.col("e.sub"))
+            * F.lit(scale)
+        )
+        .cast("long")
+        .alias("partial"),
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -663,41 +800,66 @@ def ivf_pq_topk(
     k: int,
     nprobe: int = 2,
     round_to: int = 6,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF + PQ composed — the classic two-level ANN index (FAISS IVFPQ
-    shape, here without residual encoding): the coarse quantizer restricts
-    each query to its ``nprobe`` nearest cells, and ADC distance tables
-    score only the codes INSIDE those cells.  Per-query work drops from
-    |corpus| × M code rows to |probed cells| × M, with PQ's 32×-or-more
-    compression on what remains — the combination that serves
-    billion-vector indexes.
+    shape): the coarse quantizer restricts each query to its ``nprobe``
+    nearest cells, and ADC distance tables score only the codes INSIDE
+    those cells.  Per-query work drops from |corpus| × M code rows to
+    |probed cells| × M, with PQ's 32×-or-more compression on what
+    remains — the combination that serves billion-vector indexes.
 
-    Scale shape: cell assignment and PQ encoding are both broadcast/
-    literal map-only passes over the corpus; the scoring join keys on
-    (cell, subspace, code) against the broadcast (query × probed-cell ×
-    M × K_sub) table, so non-probed cells never leave the scan.  Scoring
-    is the same exact-integer ADC as :func:`pq_adc_topk` — a neighbor
-    scored by both paths gets the bit-identical score."""
-    corpus_cells = nearest_centroids(
-        corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
-    )
-    query_cells = nearest_centroids(
-        queries, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
-    )
-    codes = (
-        pq_encode(corpus, id_col, vec_col, codebooks, round_to)
-        .select(
+    ``residual=False`` PQ-encodes raw unit vectors — a neighbor scored by
+    both this and :func:`pq_adc_topk` gets the bit-identical score.
+    ``residual=True`` is full FAISS IVFPQ: the corpus encodes
+    ``x − centroid(cell(x))`` and each query builds a distance table per
+    probed cell from ``q − centroid(cell)`` (``codebooks`` must then come
+    from :func:`train_pq_residual_codebooks`).  ADC approximates
+    ``‖q − (c + r̂)‖²`` — same reconstruction FAISS scores — so recall at
+    equal nprobe is structurally better: residuals are small, and the
+    codebook budget covers them with less quantization error.
+
+    Scale shape (both modes): cell assignment and PQ encoding are
+    broadcast/literal map-only passes over the corpus; the scoring join
+    keys on (cell, subspace, code) against the broadcast (query ×
+    probed-cell × M × K_sub) table, so non-probed cells never leave the
+    scan.  Scoring is the exact-integer ADC of :func:`pq_adc_topk`."""
+    if residual:
+        codes = residual_vectors(
+            corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
+        )
+        codes = pq_encode(
+            codes, id_col, "resid", codebooks, round_to,
+            normalize=False, passthrough=("cell",),
+        ).select(
             F.col(id_col).alias("neighbor_id"),
+            "cell",
             F.posexplode("codes").alias("j", "code"),
         )
-        .join(
-            corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
-            "neighbor_id",
+        table = _pq_residual_query_table(
+            queries, centroids, codebooks, id_col, vec_col, nprobe, round_to
         )
-    )
-    table = _pq_query_table(queries, codebooks, id_col, vec_col, round_to).join(
-        query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
-    )
+    else:
+        corpus_cells = nearest_centroids(
+            corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
+        )
+        query_cells = nearest_centroids(
+            queries, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
+        )
+        codes = (
+            pq_encode(corpus, id_col, vec_col, codebooks, round_to)
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.posexplode("codes").alias("j", "code"),
+            )
+            .join(
+                corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
+                "neighbor_id",
+            )
+        )
+        table = _pq_query_table(queries, codebooks, id_col, vec_col, round_to).join(
+            query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
+        )
     scale = float(10**round_to)
     scored = (
         codes.join(F.broadcast(table), ["cell", "j", "code"])

@@ -12,6 +12,10 @@ COVERAGE.md):
 4. pq        — product-quantized ADC: 32x index compression, full scan
 5. ivf_pq    — both composed (the billion-vector combination): cells
                bound candidates, ADC scores the remainder
+6. ivf_pq_res — full FAISS-IVFPQ shape: PQ codebooks trained on and
+               applied to CELL RESIDUALS (x − centroid), same nprobe —
+               the codebook budget covers the small residual geometry,
+               so recall at equal nprobe improves over plain ivf_pq
 
 Each approximate method's recall@k vs brute is printed — the number a
 practitioner actually tunes nprobe/bands against.  Note the driver's
@@ -45,6 +49,9 @@ queries = emb.filter(F.col("vec_id") % 25 == 0)
 seeds = emb.filter(F.col("vec_id") % 31 == 1)  # deterministic index state
 centroids = seeds.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
 books = similarity.pq_codebooks_from_seeds(seeds, "vec_id", "embedding", m=8)
+res_books = similarity.train_pq_residual_codebooks(
+    emb, centroids, "vec_id", "embedding", m=8, ksub=16, n_iters=5
+)
 
 results = {
     "brute": similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=K),
@@ -54,6 +61,10 @@ results = {
     "pq": similarity.pq_adc_topk(emb, queries, books, "vec_id", "embedding", k=K),
     "ivf_pq": similarity.ivf_pq_topk(
         emb, queries, centroids, books, "vec_id", "embedding", k=K, nprobe=2
+    ),
+    "ivf_pq_res": similarity.ivf_pq_topk(
+        emb, queries, centroids, res_books, "vec_id", "embedding",
+        k=K, nprobe=2, residual=True,
     ),
 }
 
@@ -65,6 +76,65 @@ print(f"{n_queries} queries, top-{K}, {emb.count()} corpus vectors")
 for method, df in results.items():
     got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
     recall = len(got & truth) / max(len(truth), 1)
-    print(f"{method:8s} recall@{K} vs brute = {recall:.3f}  ({len(got)} pairs)")
+    print(f"{method:10s} recall@{K} vs brute = {recall:.3f}  ({len(got)} pairs)")
+
+# ---- residual IVFPQ on CLUSTERED data — the regime it exists for ----
+# The uniform table above is the worst case for every ANN index (and
+# residuals specifically: with centroids near-orthogonal to every point,
+# x − c is no smaller than x).  Real text embeddings cluster; emulate that
+# deterministically from the same table: each vector is pulled onto one of
+# 8 anchor directions with a 0.15 mix of its own (unit) direction.  At
+# equal nprobe and equal codebook budget, residual codebooks resolve the
+# small within-cluster geometry that raw-vector codebooks waste their
+# entries spanning — recall@k roughly doubles.
+anchors = [
+    r["avec"]
+    for r in emb.filter(F.col("vec_id") % 61 == 3)
+    .limit(8)
+    .select(similarity.unit_vector(F.col("embedding")).alias("avec"))
+    .collect()
+]
+lit_anchors = F.array(
+    *[F.array(*[F.lit(float(x)) for x in a]) for a in anchors]
+)
+clustered = emb.select(
+    "vec_id",
+    F.zip_with(
+        F.element_at(lit_anchors, (F.col("vec_id") % 8 + 1).cast("int")),
+        similarity.unit_vector(F.col("embedding")),
+        lambda x, y: x + 0.15 * y,
+    ).alias("embedding"),
+).cache()
+clustered.count()
+c_centroids = spark.createDataFrame(
+    [(i, a) for i, a in enumerate(anchors)], "cid long, cvec array<double>"
+)
+c_queries = clustered.filter(F.col("vec_id") % 25 == 0)
+plain_books = similarity.train_pq_codebooks(
+    clustered, "vec_id", "embedding", m=8, ksub=16, n_iters=5
+)
+resid_books = similarity.train_pq_residual_codebooks(
+    clustered, c_centroids, "vec_id", "embedding", m=8, ksub=16, n_iters=5
+)
+c_truth = {
+    (r["query_id"], r["neighbor_id"])
+    for r in similarity.cosine_topk(
+        clustered, c_queries, "vec_id", "embedding", k=K
+    ).collect()
+}
+print("\nclustered corpus (8 anchors, 0.15 mix), equal nprobe=2 and budget:")
+for method, df in {
+    "ivf_pq": similarity.ivf_pq_topk(
+        clustered, c_queries, c_centroids, plain_books,
+        "vec_id", "embedding", k=K, nprobe=2,
+    ),
+    "ivf_pq_res": similarity.ivf_pq_topk(
+        clustered, c_queries, c_centroids, resid_books,
+        "vec_id", "embedding", k=K, nprobe=2, residual=True,
+    ),
+}.items():
+    got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+    recall = len(got & c_truth) / max(len(c_truth), 1)
+    print(f"{method:10s} recall@{K} vs brute = {recall:.3f}")
 
 spark.stop()

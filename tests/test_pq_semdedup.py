@@ -167,6 +167,141 @@ def test_ivf_pq_restricts_to_probed_cells_with_pq_identical_scores(spark, corpus
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_ivf_pq_residual_matches_numpy_oracle(spark, corpus):
+    """Residual IVFPQ (ivf_pq_topk residual=True) against a straight numpy
+    re-derivation of the whole pipeline: cell assignment by rounded cosine
+    (cid tie-break), residual r = u − c(cell), per-subspace argmin of
+    rounded L2² for codes, per-(query, probed cell) integer-micro distance
+    tables, exact integer ADC score, (score desc, id asc) ranking."""
+    seeds = corpus.filter("vid % 10 = 1")
+    centroids = seeds.select(F.col("vid").alias("cid"), F.col("vec").alias("cvec"))
+    books = similarity.train_pq_residual_codebooks(
+        corpus, centroids, "vid", "vec", m=4, ksub=4, n_iters=5, sample_n=1000
+    )
+    queries = corpus.filter("vid % 7 = 0")
+    K, NPROBE = 3, 2
+    got = similarity.ivf_pq_topk(
+        corpus, queries, centroids, books, "vid", "vec",
+        k=K, nprobe=NPROBE, residual=True,
+    ).collect()
+    assert got, "residual composition returned nothing"
+
+    # ---- numpy oracle ----
+    vecs = {r["vid"]: np.asarray(r["vec"], dtype=np.float64) for r in corpus.collect()}
+    cents = {r["cid"]: np.asarray(r["cvec"], dtype=np.float64) for r in centroids.collect()}
+    cb = np.asarray(books)  # (m, ksub, sub)
+    m, _, sub = cb.shape
+    scale = 10**6
+
+    def unit(v):
+        n = np.sqrt((v * v).sum())
+        return v / n if n > 0 else v
+
+    def probe(v, n):
+        ranked = sorted(
+            (
+                (-np.round(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)), 6), cid)
+                for cid, c in cents.items()
+            )
+        )
+        return [cid for _, cid in ranked[:n]]
+
+    def codes_of(r):
+        return [
+            int(np.round(((r[j * sub : (j + 1) * sub] - cb[j]) ** 2).sum(axis=1), 6).argmin())
+            for j in range(m)
+        ]
+
+    corpus_enc = {}  # vid -> (cell, codes)
+    for vid, v in vecs.items():
+        cell = probe(v, 1)[0]
+        corpus_enc[vid] = (cell, codes_of(unit(v) - cents[cell]))
+
+    expect = {}
+    for qid in [v for v in vecs if v % 7 == 0]:
+        scored = []
+        probed = probe(vecs[qid], NPROBE)
+        tables = {}
+        for cell in probed:
+            qr = unit(vecs[qid]) - cents[cell]
+            tables[cell] = [
+                np.round(
+                    ((qr[j * sub : (j + 1) * sub] - cb[j]) ** 2).sum(axis=1) * scale
+                ).astype(np.int64)
+                for j in range(m)
+            ]
+        for nid, (cell, codes) in corpus_enc.items():
+            if nid == qid or cell not in tables:
+                continue
+            total = sum(int(tables[cell][j][codes[j]]) for j in range(m))
+            score = (10 * scale - 5 * total) / (10.0 * scale)
+            scored.append((-score, nid))
+        for rank, (neg, nid) in enumerate(sorted(scored)[:K], start=1):
+            expect[(qid, nid)] = (-neg, rank)
+
+    assert {(r["query_id"], r["neighbor_id"]): (r["cos"], r["rank"]) for r in got} == expect
+
+    # partitioning-independence: exact integer ADC is associative
+    again = similarity.ivf_pq_topk(
+        corpus.repartition(5), queries, centroids, books, "vid", "vec",
+        k=K, nprobe=NPROBE, residual=True,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_residual_codebooks_reduce_reconstruction_error(spark):
+    """The point of residual encoding: quantizing x − c(x) with the same
+    codebook budget reconstructs x (as c + r̂) with LESS error than
+    quantizing x directly (as x̂) — the structural recall win.  Uses
+    CLUSTERED data (anchors + small noise): residual encoding's advantage
+    is exactly that cell centroids absorb the between-cluster variance,
+    leaving PQ only the small within-cluster remainder."""
+    rng = np.random.default_rng(3)
+    anchors = rng.normal(size=(4, 8))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    rows = []
+    for i in range(80):
+        v = anchors[i % 4] + rng.normal(scale=0.08, size=8)
+        rows.append((i, v.tolist()))
+    corpus = _vec_df(spark, rows)
+    centroids = spark.createDataFrame(
+        [(c, a.tolist()) for c, a in enumerate(anchors)],
+        "cid long, cvec array<double>",
+    )
+    plain = similarity.train_pq_codebooks(corpus, "vid", "vec", m=4, ksub=4, n_iters=5, sample_n=1000)
+    resid = similarity.train_pq_residual_codebooks(
+        corpus, centroids, "vid", "vec", m=4, ksub=4, n_iters=5, sample_n=1000
+    )
+    cents = {r["cid"]: np.asarray(r["cvec"], dtype=np.float64) for r in centroids.collect()}
+    cp = np.asarray(plain)
+    cr = np.asarray(resid)
+    m, _, sub = cp.shape
+
+    def unit(v):
+        n = np.sqrt((v * v).sum())
+        return v / n if n > 0 else v
+
+    def nearest_cell(v):
+        return min(
+            cents, key=lambda cid: (-np.round(
+                v @ cents[cid] / (np.linalg.norm(v) * np.linalg.norm(cents[cid])), 6
+            ), cid)
+        )
+
+    err_plain = err_resid = 0.0
+    for r in corpus.collect():
+        u = unit(np.asarray(r["vec"], dtype=np.float64))
+        # plain: x̂ = concat of nearest entries to u's slices
+        # residual: x̂ = c + concat of nearest entries to (u − c)'s slices
+        c = cents[nearest_cell(u)]
+        ru = u - c
+        for j in range(m):
+            s = slice(j * sub, (j + 1) * sub)
+            err_plain += ((u[s] - cp[j]) ** 2).sum(axis=1).min()
+            err_resid += ((ru[s] - cr[j]) ** 2).sum(axis=1).min()
+    assert err_resid < err_plain
+
+
 def test_semantic_dedup_in_cell_vs_cross_cell(spark):
     # Two well-separated cell anchors; a near-dup pair around anchor A.
     a = [1.0, 0.0, 0.0, 0.0]
