@@ -9,10 +9,19 @@ registry) so query names and scopes stay comparable across rounds even as
 the registry consolidates singleton workloads into suites: these are the
 same 13 queries BENCH_r01/BENCH_r02 timed.
 
-Per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3) timed
+Per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 5) timed
 runs after untimed warmup passes (smallest scale, then the target scale —
 steady-state measurement, the regime a long-lived cluster runs in) —
 single-run timings in this sandbox show ±20-30% noise, which medians absorb.
+The JSON line also carries per-query DISPERSION (min/median/max) and the
+machine's loadavg before and after the run: round 5's record showed a
+uniform +10.6% drift on queries no commit had touched, so a bench sample
+without its dispersion and load context is not interpretable.  When the
+1-minute loadavg at startup exceeds $SPARK_GRAFT_BENCH_MAX_LOAD (default
+nproc/4), the harness waits up to $SPARK_GRAFT_BENCH_LOAD_WAIT seconds
+(default 120) for it to settle and ANNOTATES the output either way
+("load_exceeded": true) rather than refusing — the driver always gets a
+record, but a poisoned one says so on its face.
 """
 
 from __future__ import annotations
@@ -84,11 +93,48 @@ BENCH_QUERIES = {
 }
 
 
+def read_loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):  # non-Linux: no guard, no annotation
+        return None
+
+
+def wait_for_quiet_machine() -> tuple[list[float] | None, bool]:
+    """Sample loadavg BEFORE Spark starts; if the machine is already busy,
+    wait (bounded) for it to settle.  Returns (loadavg, exceeded_flag)."""
+    nproc = os.cpu_count() or 8
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", nproc / 4))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "120"))
+    load = read_loadavg()
+    waited = 0.0
+    while load is not None and load[0] > max_load and waited < wait_budget:
+        print(
+            f"bench: loadavg {load[0]:.2f} > {max_load:.2f}, waiting "
+            f"({waited:.0f}/{wait_budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15.0)
+        waited += 15.0
+        load = read_loadavg()
+    exceeded = load is not None and load[0] > max_load
+    if exceeded:
+        print(
+            f"bench: loadavg still {load[0]:.2f} > {max_load:.2f} after "
+            f"{waited:.0f}s — proceeding, output annotated load_exceeded",
+            file=sys.stderr,
+        )
+    return load, exceeded
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
+
+    load_start, load_exceeded = wait_for_quiet_machine()
 
     spark = get_spark(app_name="efficient-trees-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -134,6 +180,14 @@ def main() -> None:
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
+    dispersion = {
+        name: {
+            "min": round(min(ts), 3),
+            "median": round(statistics.median(ts), 3),
+            "max": round(max(ts), 3),
+        }
+        for name, ts in samples.items()
+    }
     print(
         json.dumps(
             {
@@ -141,6 +195,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "dispersion": dispersion,
+                "loadavg_start": load_start,
+                "loadavg_end": read_loadavg(),
+                "load_exceeded": load_exceeded,
                 "sf": sf,
                 "runs_per_query": runs,
                 "aggregation": "median",

@@ -291,6 +291,27 @@ def partition_quantile_edges(
     return _merge_edge_stats(partials, names, n_bins)
 
 
+def _merge_feature_edge_stats(
+    vals_list, gaps_list, vmax_list, n_list, n_bins: int
+) -> list[float]:
+    """Weighted merge of ONE feature's per-partition order statistics into
+    its sorted edge list — the single numeric core shared by the Spark
+    ``applyInPandas`` merge and the driver-local merge, so both produce
+    bit-identical edges.  Concatenation order of the partition stats is
+    immaterial: equal values permute only among themselves under the stable
+    argsort, and the SELECTED entries are values, not indices."""
+    all_vals = np.concatenate([np.asarray(x) for x in vals_list])
+    all_gaps = np.concatenate([np.asarray(x) for x in gaps_list])
+    order = np.argsort(all_vals, kind="stable")
+    sv = all_vals[order]
+    cw = np.cumsum(all_gaps[order])
+    total = float(np.sum(np.asarray(n_list, dtype=np.int64)))
+    targets = np.array([k / n_bins for k in range(1, n_bins)]) * total
+    idx = np.minimum(np.searchsorted(cw, targets, side="left"), sv.size - 1)
+    edges = set(sv[idx].tolist()) | {float(max(vmax_list))}
+    return sorted(edges)
+
+
 def _merge_edge_stats(
     partials: DataFrame, feature_names: list[str], n_bins: int
 ) -> dict[str, list[float]]:
@@ -300,17 +321,12 @@ def _merge_edge_stats(
     import pandas as pd
 
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        all_vals = np.concatenate([np.asarray(x) for x in pdf["vals"]])
-        all_gaps = np.concatenate([np.asarray(x) for x in pdf["gaps"]])
-        order = np.argsort(all_vals, kind="stable")
-        sv = all_vals[order]
-        cw = np.cumsum(all_gaps[order])
-        total = float(pdf["n"].sum())
-        targets = np.array([k / n_bins for k in range(1, n_bins)]) * total
-        idx = np.minimum(np.searchsorted(cw, targets, side="left"), sv.size - 1)
-        edges = set(sv[idx].tolist()) | {float(pdf["vmax"].max())}
+        edges = _merge_feature_edge_stats(
+            list(pdf["vals"]), list(pdf["gaps"]), list(pdf["vmax"]),
+            list(pdf["n"]), n_bins,
+        )
         return pd.DataFrame(
-            {FEATURE: [pdf[FEATURE].iloc[0]], "edges": [sorted(edges)]}
+            {FEATURE: [pdf[FEATURE].iloc[0]], "edges": [edges]}
         )
 
     rows = (
@@ -320,6 +336,34 @@ def _merge_edge_stats(
     )
     found = {row[FEATURE]: list(row["edges"]) for row in rows}
     return {name: found.get(name, []) for name in feature_names}
+
+
+def merge_edge_stats_rows(
+    rows, feature_names: list[str], n_bins: int
+) -> dict[str, list[float]]:
+    """Driver-local stage-2 merge over COLLECTED stats rows (feature, vals,
+    gaps, vmax, n) — the fused-pack path's counterpart of
+    :func:`_merge_edge_stats`.  The per-partition stats volume is
+    partitions × features × stats doubles (KBs at any corpus size: it does
+    not grow with rows), so collecting it is cluster-safe, and skipping
+    the feature-keyed shuffle + applyInPandas saves a whole Spark job.
+    Same numeric core — edges are bit-identical."""
+    by_feature: dict[str, list[list]] = {}
+    for r in rows:
+        by_feature.setdefault(r[0], [[], [], [], []])
+        acc = by_feature[r[0]]
+        acc[0].append(np.asarray(r[1], dtype=np.float64))
+        acc[1].append(np.asarray(r[2], dtype=np.float64))
+        acc[2].append(float(r[3]))
+        acc[3].append(int(r[4]))
+    return {
+        name: (
+            _merge_feature_edge_stats(*by_feature[name], n_bins)
+            if name in by_feature
+            else []
+        )
+        for name in feature_names
+    }
 
 
 # ----------------------------------------------------- packed-matrix path
@@ -437,6 +481,136 @@ def pack_raw_features(
     return src.mapInArrow(pack, f"{packed_col} binary, {tcol} int")
 
 
+def _matrix_order_stats(full: "np.ndarray", names: list[str], g: int):
+    """Per-feature order statistics over ONE partition's (rows × features)
+    float matrix — the stage-1 numeric core shared by
+    :func:`quantile_edges_packed` and :func:`pack_raw_features_with_stats`
+    (identical code → identical stats → identical edges)."""
+    feats, vals_out, gaps_out, vmax_out, n_out = [], [], [], [], []
+    for j, name in enumerate(names):
+        v = full[:, j]
+        v = v[~np.isnan(v)]  # drops real NaN and the NULL sentinel alike
+        if not v.size:
+            continue
+        v = np.sort(v)
+        n = v.size
+        pos = np.unique(np.round(np.linspace(0, n - 1, min(g, n))).astype(np.int64))
+        stats = v[pos]
+        gaps = np.diff(np.concatenate(([np.int64(-1)], pos))).astype(np.float64)
+        feats.append(name)
+        vals_out.append(stats)
+        gaps_out.append(gaps)
+        vmax_out.append(float(v[-1]))
+        n_out.append(n)
+    return feats, vals_out, gaps_out, vmax_out, n_out
+
+
+# Stats side-channel columns of the fused pack+stats relation.
+STATS_FEATURE = "__sf"
+_STATS_COLS = (STATS_FEATURE, "__sv", "__sg", "__svx", "__sn")
+
+
+def pack_raw_features_with_stats(
+    df: DataFrame,
+    feature_names: list[str],
+    target_idx_col: str,
+    stats_per_partition: int,
+    dtype: str = "f4",
+    packed_col: str = PACKED_COL,
+) -> DataFrame:
+    """:func:`pack_raw_features` with the quantile-edge ORDER STATISTICS
+    fused into the same pass: data rows stream out as (packed, target,
+    NULL-stats), and each partition appends one stats row per feature
+    (packed NULL) carrying its order statistics.
+
+    This folds the separate :func:`quantile_edges_packed` scan of the
+    packed cache into the pack job itself — one pass over the data instead
+    of two, saving a full read + Arrow crossing of the raw matrix (the
+    measured ~2.5 s stage of the warm sf0.1 wide fit).  The caller collects
+    the stats rows (tiny: partitions × features, row-count-independent),
+    merges edges driver-side (:func:`merge_edge_stats_rows`), and filters
+    ``STATS_FEATURE IS NULL`` for the data view.
+
+    Bit-parity: the stats are computed by the same numeric core over the
+    same per-partition matrices the two-pass flow sees (the persisted pack
+    output preserves its input partitioning), so the resulting edges — and
+    hence the fitted tree — are identical.  Memory note: like the separate
+    stats pass, each task holds one partition's float matrix; the fused
+    form adds no second copy (data batches stream out before stats are
+    computed from the retained matrix)."""
+    import pyarrow as pa
+
+    names = list(feature_names)
+    tcol = target_idx_col
+    np_dtype, bits_dtype, canon_nan_bits, null_bits = _dtype_info(dtype)
+    n_feat = len(names)
+    g = int(stats_per_partition)
+    elem_type = "float" if dtype == "f4" else "double"
+    src = df.select(
+        F.array(*[F.col(f).cast(elem_type) for f in names]).alias("__arr"),
+        target_idx_col,
+    )
+
+    def null_stats(n: int) -> list["pa.Array"]:
+        return [
+            pa.nulls(n, type=pa.string()),
+            pa.nulls(n, type=pa.list_(pa.float64())),
+            pa.nulls(n, type=pa.list_(pa.float64())),
+            pa.nulls(n, type=pa.float64()),
+            pa.nulls(n, type=pa.int64()),
+        ]
+
+    def pack(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        mats: list["np.ndarray"] = []
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            flat = b.column("__arr").flatten()  # logical values, offset-safe
+            vals = flat.to_numpy(zero_copy_only=False).astype(np_dtype, copy=True)
+            bits = vals.view(bits_dtype)
+            bits[np.isnan(vals)] = canon_nan_bits
+            if flat.null_count:
+                bits[flat.is_null().to_numpy(zero_copy_only=False)] = null_bits
+            mat = np.ascontiguousarray(vals.reshape(n, n_feat))
+            mats.append(mat)
+            target = (
+                b.column(tcol).to_numpy(zero_copy_only=False).astype(np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [_pack_binary(mat), pa.array(target, type=pa.int32())]
+                + null_stats(n),
+                names=[packed_col, tcol, *_STATS_COLS],
+            )
+        if not mats:
+            return
+        full = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        feats, vals_out, gaps_out, vmax_out, n_out = _matrix_order_stats(
+            full, names, g
+        )
+        if not feats:
+            return
+        k = len(feats)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.nulls(k, type=pa.binary()),
+                pa.nulls(k, type=pa.int32()),
+                pa.array(feats, type=pa.string()),
+                pa.array([x.tolist() for x in vals_out], type=pa.list_(pa.float64())),
+                pa.array([x.tolist() for x in gaps_out], type=pa.list_(pa.float64())),
+                pa.array(vmax_out, type=pa.float64()),
+                pa.array(n_out, type=pa.int64()),
+            ],
+            names=[packed_col, tcol, *_STATS_COLS],
+        )
+
+    return src.mapInArrow(
+        pack,
+        f"{packed_col} binary, {tcol} int, {STATS_FEATURE} string, "
+        "__sv array<double>, __sg array<double>, __svx double, __sn long",
+    )
+
+
 def quantile_edges_packed(
     packed_df: DataFrame,
     feature_names: list[str],
@@ -465,22 +639,9 @@ def quantile_edges_packed(
         if not mats:
             return
         full = np.concatenate(mats) if len(mats) > 1 else mats[0]
-        feats, vals_out, gaps_out, vmax_out, n_out = [], [], [], [], []
-        for j, name in enumerate(names):
-            v = full[:, j]
-            v = v[~np.isnan(v)]  # drops real NaN and the NULL sentinel alike
-            if not v.size:
-                continue
-            v = np.sort(v)
-            n = v.size
-            pos = np.unique(np.round(np.linspace(0, n - 1, min(g, n))).astype(np.int64))
-            stats = v[pos]
-            gaps = np.diff(np.concatenate(([np.int64(-1)], pos))).astype(np.float64)
-            feats.append(name)
-            vals_out.append(stats)
-            gaps_out.append(gaps)
-            vmax_out.append(float(v[-1]))
-            n_out.append(n)
+        feats, vals_out, gaps_out, vmax_out, n_out = _matrix_order_stats(
+            full, names, g
+        )
         if not feats:
             return
         yield pa.RecordBatch.from_arrays(
@@ -670,6 +831,12 @@ def route_codes(mat: "np.ndarray", splits: list[tuple]) -> "np.ndarray":
     return node
 
 
+# Sentinel FEATURE value carrying per-node class totals through the
+# histogram relation when emit_node_totals is requested (a user feature of
+# this exact name would collide; the dunder makes that implausible).
+DIST_FEATURE = "__dist__"
+
+
 def packed_histogram_counts(
     packed_df: DataFrame,
     feature_names: list[str],
@@ -681,6 +848,7 @@ def packed_histogram_counts(
     packed_col: str = PACKED_COL,
     feature_positions: list[int] | None = None,
     matrix_width: int | None = None,
+    emit_node_totals: bool = False,
 ) -> DataFrame:
     """:func:`binned_histogram_counts` over the packed uint8 code matrix,
     with tree routing fused into the same numpy pass (``route_codes``) —
@@ -691,7 +859,13 @@ def packed_histogram_counts(
     per-tree feature sampling): ``feature_positions`` gives each name's
     column index in the full matrix and ``matrix_width`` the full width —
     only the subset's columns are histogrammed, while ``routing_splits``
-    keeps addressing full-matrix positions."""
+    keeps addressing full-matrix positions.
+
+    ``emit_node_totals`` adds one ``DIST_FEATURE`` row per node carrying
+    the node's full per-class row counts (feature-independent — NULL cells
+    excluded from per-feature bins still count here).  The root
+    distribution then rides the level-0 histogram instead of a separate
+    job racing it to materialize the code cache."""
     import pyarrow as pa
 
     names = list(feature_names)
@@ -728,64 +902,25 @@ def packed_histogram_counts(
     has_edges = (lens > 0)[None, :]
 
     def histogram(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        acc: dict[int, np.ndarray] = {}
-        flat_size = n_feat * slots * n_classes
-        feat_base = (np.arange(n_feat, dtype=np.int64) * slots)[None, :]
-
-        for batch in batches:
-            n_rows = batch.num_rows
-            if n_rows == 0:
-                continue
-            mat = _unpack_binary(batch.column(packed_col), width, np.uint8)
-            target = batch.column(tcol).to_numpy(zero_copy_only=False).astype(np.int64)
-            nodes = route_codes(mat, routing_splits)
-            keep = nodes >= 0
-            if not keep.any():
-                continue
-            if not keep.all():
-                mat, target, nodes = mat[keep], target[keep], nodes[keep]
-            if width != n_feat or feature_positions is not None:
-                mat = mat[:, pos]  # histogram only the subset's columns
-            m64 = mat.astype(np.int64)
-            idx = np.where(m64 == PACKED_NAN_CODE, slots - 1, np.minimum(m64, cap))
-            valid = (m64 != PACKED_NULL_CODE) & has_edges
-            flat = (feat_base + idx) * n_classes + target[:, None]
-            for nv in np.unique(nodes):
-                a = acc.get(int(nv))
-                if a is None:
-                    a = acc[int(nv)] = np.zeros(flat_size, dtype=np.int64)
-                node_rows = nodes == nv
-                sel = flat[node_rows][valid[node_rows]]
-                if sel.size:
-                    a += np.bincount(sel, minlength=flat_size)
-
-        node_out, feat_out, value_out, total_out = [], [], [], []
-        class_out: list[list[np.ndarray]] = [[] for _ in range(n_classes)]
-        name_arr = np.asarray(names, dtype=object)
-        for nv, a in acc.items():
-            cube = a.reshape(n_feat, slots, n_classes)
-            totals = cube.sum(axis=2)
-            fj, sj = np.nonzero(totals)
-            if fj.size == 0:
-                continue
-            vals = edges_mat[fj, np.minimum(sj, lens[fj] - 1)]
-            vals = np.where(sj == slots - 1, np.nan, vals)
-            node_out.append(np.full(fj.size, nv, dtype=np.int32))
-            feat_out.append(name_arr[fj])
-            value_out.append(vals)
-            for i in range(n_classes):
-                class_out[i].append(cube[fj, sj, i])
-            total_out.append(totals[fj, sj])
-        if not node_out:
+        acc, dist_acc = _accumulate_cubes(
+            batches, packed_col, tcol, routing_splits, width, n_feat, pos,
+            slots, cap, has_edges, n_classes, emit_node_totals,
+            feature_positions is not None,
+        )
+        sparse = _sparsify_cubes(
+            acc, dist_acc, names, lens, slots, edges_mat, n_classes
+        )
+        if sparse is None:
             return
+        node_out, feat_out, value_out, class_out, total_out = sparse
         arrays = [
-            pa.array(np.concatenate(node_out), type=pa.int32()),
-            pa.array(np.concatenate(feat_out), type=pa.string()),
-            pa.array(np.concatenate(value_out), type=pa.float64()),
+            pa.array(node_out, type=pa.int32()),
+            pa.array(feat_out, type=pa.string()),
+            pa.array(value_out, type=pa.float64()),
         ]
         for i in range(n_classes):
-            arrays.append(pa.array(np.concatenate(class_out[i]), type=pa.int64()))
-        arrays.append(pa.array(np.concatenate(total_out), type=pa.int64()))
+            arrays.append(pa.array(class_out[i], type=pa.int64()))
+        arrays.append(pa.array(total_out, type=pa.int64()))
         yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     partials = packed_df.select(packed_col, tcol).mapInArrow(histogram, spark_schema)
@@ -793,3 +928,227 @@ def packed_histogram_counts(
         *[F.sum(class_count_col(i)).alias(class_count_col(i)) for i in range(n_classes)],
         F.sum("count_examples").alias("count_examples"),
     )
+
+
+def _accumulate_cubes(
+    batches, packed_col, tcol, routing_splits, width, n_feat, pos, slots,
+    cap, has_edges, n_classes, emit_node_totals, subset,
+) -> tuple[dict[int, "np.ndarray"], dict[int, "np.ndarray"]]:
+    """Route + bincount one partition's Arrow batches into per-node flat
+    count cubes (and per-node class totals when requested) — the numeric
+    core shared by the sparse-row and dense-cube emitters."""
+    acc: dict[int, np.ndarray] = {}
+    dist_acc: dict[int, np.ndarray] = {}
+    flat_size = n_feat * slots * n_classes
+    feat_base = (np.arange(n_feat, dtype=np.int64) * slots)[None, :]
+
+    for batch in batches:
+        n_rows = batch.num_rows
+        if n_rows == 0:
+            continue
+        mat = _unpack_binary(batch.column(packed_col), width, np.uint8)
+        target = batch.column(tcol).to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes = route_codes(mat, routing_splits)
+        keep = nodes >= 0
+        if not keep.any():
+            continue
+        if not keep.all():
+            mat, target, nodes = mat[keep], target[keep], nodes[keep]
+        if width != n_feat or subset:
+            mat = mat[:, pos]  # histogram only the subset's columns
+        m64 = mat.astype(np.int64)
+        idx = np.where(m64 == PACKED_NAN_CODE, slots - 1, np.minimum(m64, cap))
+        valid = (m64 != PACKED_NULL_CODE) & has_edges
+        flat = (feat_base + idx) * n_classes + target[:, None]
+        for nv in np.unique(nodes):
+            a = acc.get(int(nv))
+            if a is None:
+                a = acc[int(nv)] = np.zeros(flat_size, dtype=np.int64)
+            node_rows = nodes == nv
+            sel = flat[node_rows][valid[node_rows]]
+            if sel.size:
+                a += np.bincount(sel, minlength=flat_size)
+            if emit_node_totals:
+                d = dist_acc.get(int(nv))
+                if d is None:
+                    d = dist_acc[int(nv)] = np.zeros(n_classes, dtype=np.int64)
+                d += np.bincount(target[node_rows], minlength=n_classes)
+    return acc, dist_acc
+
+
+def _sparsify_cubes(acc, dist_acc, names, lens, slots, edges_mat, n_classes):
+    """Per-node flat cubes -> the sparse histogram row arrays (node,
+    feature, value, class counts, total).  Shared by the worker-side sparse
+    emitter and the driver-side dense-cube merge so both produce the exact
+    same rows."""
+    node_out, feat_out, value_out, total_out = [], [], [], []
+    class_out: list[list[np.ndarray]] = [[] for _ in range(n_classes)]
+    name_arr = np.asarray(names, dtype=object)
+    n_feat = len(names)
+    for nv, a in acc.items():
+        cube = a.reshape(n_feat, slots, n_classes)
+        totals = cube.sum(axis=2)
+        fj, sj = np.nonzero(totals)
+        if fj.size == 0:
+            continue
+        vals = edges_mat[fj, np.minimum(sj, lens[fj] - 1)]
+        vals = np.where(sj == slots - 1, np.nan, vals)
+        node_out.append(np.full(fj.size, nv, dtype=np.int32))
+        feat_out.append(name_arr[fj])
+        value_out.append(vals)
+        for i in range(n_classes):
+            class_out[i].append(cube[fj, sj, i])
+        total_out.append(totals[fj, sj])
+    for nv, d in dist_acc.items():
+        node_out.append(np.full(1, nv, dtype=np.int32))
+        feat_out.append(np.asarray([DIST_FEATURE], dtype=object))
+        value_out.append(np.zeros(1, dtype=np.float64))
+        for i in range(n_classes):
+            class_out[i].append(d[i : i + 1])
+        total_out.append(np.asarray([int(d.sum())], dtype=np.int64))
+    if not node_out:
+        return None
+    return (
+        np.concatenate(node_out),
+        np.concatenate(feat_out),
+        np.concatenate(value_out),
+        [np.concatenate(class_out[i]) for i in range(n_classes)],
+        np.concatenate(total_out),
+    )
+
+
+def _cube_geometry(feature_names, bin_edges):
+    names = list(feature_names)
+    lens = np.array([len(bin_edges.get(f, ())) for f in names], dtype=np.int64)
+    max_edges = int(lens.max()) if names else 0
+    slots = max_edges + 1  # +1 NaN bucket
+    edges_mat = np.full((len(names), max_edges), np.inf, dtype=np.float64)
+    for j, f in enumerate(names):
+        e = bin_edges.get(f, ())
+        edges_mat[j, : len(e)] = np.asarray(e, dtype=np.float64)
+    return names, lens, slots, edges_mat
+
+
+def packed_histogram_cubes(
+    packed_df: DataFrame,
+    feature_names: list[str],
+    n_classes: int,
+    bin_edges: dict[str, list[float]],
+    target_idx_col: str,
+    routing_splits: list[tuple],
+    node_col: str,
+    packed_col: str = PACKED_COL,
+    feature_positions: list[int] | None = None,
+    matrix_width: int | None = None,
+    emit_node_totals: bool = False,
+) -> DataFrame:
+    """:func:`packed_histogram_counts` with DENSE per-node output: one row
+    per (partition, node) carrying the whole flat count cube as int64
+    bytes (+ the per-class node totals appended when ``emit_node_totals``).
+
+    This is the histogram-allreduce shape XGBoost/LightGBM use: partial
+    cubes stream straight to the central merge
+    (:func:`merge_cubes_to_counts_pdf`, exact int64 addition) with NO
+    shuffle stage — the level job becomes a single mapInArrow stage plus a
+    partitions × nodes × cube collect.  Only sane when that product is
+    small (local mode, shallow trees); the sparse + distributed-agg form
+    remains the path when partitions × nodes grows (the caller guards)."""
+    import pyarrow as pa
+
+    names, lens, slots, edges_mat = _cube_geometry(feature_names, bin_edges)
+    tcol = target_idx_col
+    n_feat = len(names)
+    width = matrix_width if matrix_width is not None else n_feat
+    pos = (
+        np.asarray(feature_positions, dtype=np.int64)
+        if feature_positions is not None
+        else np.arange(n_feat, dtype=np.int64)
+    )
+    cap = np.maximum(lens - 1, 0)[None, :]
+    has_edges = (lens > 0)[None, :]
+
+    def cubes(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        acc, dist_acc = _accumulate_cubes(
+            batches, packed_col, tcol, routing_splits, width, n_feat, pos,
+            slots, cap, has_edges, n_classes, emit_node_totals,
+            feature_positions is not None,
+        )
+        if not acc:
+            return
+        nodes_out, blobs = [], []
+        for nv, a in acc.items():
+            blob = a.tobytes()
+            if emit_node_totals:
+                d = dist_acc.get(nv)
+                if d is None:
+                    d = np.zeros(n_classes, dtype=np.int64)
+                blob += d.tobytes()
+            nodes_out.append(nv)
+            blobs.append(blob)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.asarray(nodes_out, dtype=np.int32), type=pa.int32()),
+                pa.array(blobs, type=pa.binary()),
+            ],
+            names=[node_col, "__cube"],
+        )
+
+    return packed_df.select(packed_col, tcol).mapInArrow(
+        cubes, f"{node_col} int, __cube binary"
+    )
+
+
+def merge_cubes_to_counts_pdf(
+    rows,
+    feature_names: list[str],
+    n_classes: int,
+    bin_edges: dict[str, list[float]],
+    node_col: str,
+    emit_node_totals: bool = False,
+):
+    """Driver-side merge of collected dense cubes -> (counts pdf,
+    distributions).  Integer addition only, then the SAME sparsification
+    the worker-side emitter uses — the resulting rows are exactly what
+    :func:`packed_histogram_counts` + the distributed SUM would produce.
+    ``distributions`` is {node: [(class_idx, count), ...]} (count > 0,
+    class-ascending) or None when not requested."""
+    import pandas as pd
+
+    names, lens, slots, edges_mat = _cube_geometry(feature_names, bin_edges)
+    n_feat = len(names)
+    flat_size = n_feat * slots * n_classes
+    merged: dict[int, np.ndarray] = {}
+    for r in rows:
+        nv = int(r[0])
+        cube = np.frombuffer(bytes(r[1]), dtype=np.int64)
+        m = merged.get(nv)
+        if m is None:
+            merged[nv] = cube.copy()
+        else:
+            m += cube
+    acc = {nv: v[:flat_size] for nv, v in merged.items()}
+    distributions = None
+    if emit_node_totals:
+        distributions = {
+            nv: [
+                (i, int(c))
+                for i, c in enumerate(v[flat_size : flat_size + n_classes])
+                if c > 0
+            ]
+            for nv, v in merged.items()
+        }
+    sparse = _sparsify_cubes(acc, {}, names, lens, slots, edges_mat, n_classes)
+    if sparse is None:
+        return None, distributions
+    node_out, feat_out, value_out, class_out, total_out = sparse
+    from efficient_trees_spark.functions.exprs import class_count_col
+
+    data = {
+        node_col: node_out.astype(np.int32),
+        FEATURE: feat_out,
+        FEATURE_VALUE: value_out,
+    }
+    for i in range(n_classes):
+        data[class_count_col(i)] = class_out[i]
+    data["count_examples"] = total_out
+    return pd.DataFrame(data), distributions

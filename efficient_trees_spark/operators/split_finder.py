@@ -397,6 +397,21 @@ def find_best_splits_per_node(
     return _best_split_rows(gains, feature_names, node_col)
 
 
+# A level's aggregated histogram relation above this row estimate keeps the
+# fully distributed gains pipeline (window prefix sums); below it, the
+# relation is collected and prefix-summed driver-side — see
+# find_best_splits_packed.  2M rows ≈ ~100 MB of counts, comfortable for a
+# driver at any corpus size (the relation is nodes × features × bins —
+# row-count-INDEPENDENT).
+_LOCAL_GAINS_MAX_ROWS = 2_000_000
+
+# Budget for collecting DENSE per-(partition, node) histogram cubes to the
+# driver (the no-shuffle level-job form).  Volume = partitions × pending
+# nodes × features × slots × classes × 8 B; past this the sparse rows +
+# distributed SUM path takes over (thousands-of-partitions clusters).
+_DENSE_CUBE_MAX_BYTES = 256 << 20
+
+
 def find_best_splits_packed(
     packed_df: DataFrame,
     feature_names: list[str],
@@ -407,24 +422,129 @@ def find_best_splits_packed(
     target_idx_col: str = TARGET_IDX,
     node_col: str = "__node_id",
     all_feature_names: list[str] | None = None,
-) -> list[dict[str, Any]]:
+    n_pending_nodes: int | None = None,
+    want_distributions: bool = False,
+) -> list[dict[str, Any]] | tuple[list[dict[str, Any]], dict[int, list] | None]:
     """:func:`find_best_splits_per_node` over the packed uint8 code matrix
     (``operators/histogram.py`` packed path): tree routing runs vectorized
     inside the histogram pass instead of as a JVM routing column, so each
     level costs one 2-column Arrow transfer of the cached code relation.
-    Downstream gains/argmax pipeline and tie-breaks are shared unchanged —
-    trees are bit-identical to the expand and column-arrow paths
-    (``tests/test_wide_fit.py``).
+
+    The aggregated histogram relation is bounded by nodes × features ×
+    (bins+1) rows — independent of corpus size — so when that bound is
+    small (every binned fit; the architecture XGBoost/LightGBM use:
+    distributed histogram aggregation, central split finding) it is
+    COLLECTED and the integer prefix sums run driver-side; the float gain
+    expressions and the argmax then evaluate over a tiny local relation
+    through the SAME Catalyst pipeline, skipping the per-level window
+    shuffle stages (~1 s/level of fixed latency at sf0.1).  All float math
+    stays in Catalyst with identical expression shapes and the prefix sums
+    are exact int64 either way, so trees are bit-identical to the expand
+    and column-arrow paths (``tests/test_wide_fit.py``) and to the fully
+    distributed form, which remains the path for relations past
+    ``_LOCAL_GAINS_MAX_ROWS`` (deep trees in packed-exact mode).
 
     ``all_feature_names`` is the packed matrix's full column order when
-    ``feature_names`` scores only a subset (forest feature bagging)."""
-    from efficient_trees_spark.operators.histogram import packed_histogram_counts
+    ``feature_names`` scores only a subset (forest feature bagging);
+    ``n_pending_nodes`` (the caller's frontier size) sizes the estimate.
+
+    ``want_distributions`` switches the return to ``(splits,
+    distributions)``: on the local path the per-node class totals ride the
+    histogram relation as ``DIST_FEATURE`` sentinel rows (no separate
+    distribution job, no cache-materialization race with one), coming back
+    as ``{node_id: [(class_idx, count), ...]}``; the distributed path
+    returns ``None`` for them and the caller falls back to its own job."""
+    from efficient_trees_spark.functions.exprs import class_count_col
+    from efficient_trees_spark.operators.histogram import (
+        DIST_FEATURE,
+        merge_cubes_to_counts_pdf,
+        packed_histogram_counts,
+        packed_histogram_cubes,
+    )
 
     if all_feature_names is not None and all_feature_names != list(feature_names):
         positions = [all_feature_names.index(f) for f in feature_names]
         width = len(all_feature_names)
     else:
         positions, width = None, None
+    max_edges = max((len(bin_edges.get(f, ())) for f in feature_names), default=0)
+    slots = sum(len(bin_edges.get(f, ())) + 1 for f in feature_names)
+    est_rows = max(1, n_pending_nodes or 1) * slots
+    local_path = est_rows <= _LOCAL_GAINS_MAX_ROWS
+    if local_path:
+        # Dense-cube variant when the partitions × nodes × cube collect is
+        # small: the level job collapses to one mapInArrow stage + an exact
+        # driver merge — no shuffle at all.  Volume grows with the input's
+        # partition count, so past the budget (big clusters, deep trees)
+        # the sparse rows + distributed SUM form below takes over.
+        cube_bytes = (
+            len(feature_names) * (max_edges + 1) * n_classes * 8
+            + (n_classes * 8 if want_distributions else 0)
+        )
+        n_parts = packed_df.rdd.getNumPartitions()
+        dense_ok = (
+            n_parts * max(1, n_pending_nodes or 1) * cube_bytes
+            <= _DENSE_CUBE_MAX_BYTES
+        )
+        distributions: dict[int, list] | None = None
+        if dense_ok:
+            cubes = packed_histogram_cubes(
+                packed_df,
+                feature_names,
+                n_classes,
+                bin_edges,
+                target_idx_col,
+                routing_splits,
+                node_col,
+                feature_positions=positions,
+                matrix_width=width,
+                emit_node_totals=want_distributions,
+            )
+            pdf, distributions = merge_cubes_to_counts_pdf(
+                cubes.collect(),
+                feature_names,
+                n_classes,
+                bin_edges,
+                node_col,
+                emit_node_totals=want_distributions,
+            )
+        else:
+            counts = packed_histogram_counts(
+                packed_df,
+                feature_names,
+                n_classes,
+                bin_edges,
+                target_idx_col,
+                routing_splits,
+                node_col,
+                feature_positions=positions,
+                matrix_width=width,
+                emit_node_totals=want_distributions,
+            )
+            pdf = counts.toPandas()
+            if want_distributions:
+                mask = pdf[FEATURE] == DIST_FEATURE
+                distributions = {
+                    int(r[node_col]): [
+                        (i, int(r[class_count_col(i)]))
+                        for i in range(n_classes)
+                        if r[class_count_col(i)] > 0
+                    ]
+                    for _, r in pdf[mask].iterrows()
+                }
+                pdf = pdf[~mask]
+        if pdf is None or pdf.empty:
+            best: list[dict[str, Any]] = []
+        else:
+            cum = _local_prefix_sums(pdf, packed_df.sparkSession, n_classes, node_col)
+            gains = _gains_from_prefix_sums(
+                cum, [node_col, FEATURE], n_classes, criterion,
+                include_child_counts=True,
+            )
+            best = _best_split_rows_local(
+                gains.toPandas(), feature_names, node_col
+            )
+        return (best, distributions) if want_distributions else best
     counts = packed_histogram_counts(
         packed_df,
         feature_names,
@@ -447,7 +567,92 @@ def find_best_splits_packed(
         bounded_candidates=True,
         precomputed_counts=counts,
     )
-    return _best_split_rows(gains, feature_names, node_col)
+    best = _best_split_rows(gains, feature_names, node_col)
+    return (best, None) if want_distributions else best
+
+
+def _best_split_rows_local(
+    gains_pdf, feature_names: list[str], node_col: str
+) -> list[dict[str, Any]]:
+    """Driver-side argmax over the COLLECTED gains relation — pure float
+    COMPARISONS on values Spark computed (no arithmetic), so the result is
+    bit-identical to the ``max_by`` form by construction.  Replicates its
+    total order exactly: gain desc, feature position asc, threshold asc
+    with the NaN candidate preferred over any finite threshold at equal
+    (gain, position) — ``max_by`` maximizes ``-value`` and double NaN
+    sorts greatest, so NaN maps to -inf in the ascending sort key."""
+    import numpy as np
+
+    if gains_pdf.empty:
+        return []
+    pos = {name: i for i, name in enumerate(feature_names)}
+    vals = gains_pdf[FEATURE_VALUE].to_numpy(np.float64)
+    g = gains_pdf.assign(
+        __pos=gains_pdf[FEATURE].map(pos).to_numpy(np.int64),
+        __vkey=np.where(np.isnan(vals), -np.inf, vals),
+    ).sort_values(
+        [node_col, "information_gain", "__pos", "__vkey"],
+        ascending=[True, False, True, True],
+    )
+    top = g.groupby(node_col, sort=False).head(1)
+    return [
+        {
+            "node_id": int(r[node_col]),
+            "feature": r[FEATURE],
+            "threshold": float(r[FEATURE_VALUE]),
+            "information_gain": float(r["information_gain"]),
+            "parent_criterion": float(r["parent_criterion"]),
+            "left_counts": [int(x) for x in r["left_counts"]],
+            "right_counts": [int(x) for x in r["right_counts"]],
+        }
+        for _, r in top.iterrows()
+    ]
+
+
+def _local_prefix_sums(
+    pdf, spark, n_classes: int, node_col: str
+) -> DataFrame | None:
+    """Per-(node, feature) prefix sums of the collected histogram relation,
+    driver-side — exact int64 arithmetic, identical to the window-sum form.
+    Ordering replicates the window spec bit-for-bit: ascending
+    feature_value with NaN LAST (Spark sorts double NaN greatest); values
+    are unique per group by construction (they come out of a groupBy on
+    exactly these keys).  Returns the cum relation as a LOCAL DataFrame
+    (created through pyarrow so the NaN candidate survives as NaN, not
+    null), or None when no rows survive."""
+    import numpy as np
+    import pyarrow as pa
+
+    from efficient_trees_spark.functions.exprs import class_count_col
+
+    if pdf.empty:
+        return None
+    pdf = pdf.sort_values(
+        [node_col, FEATURE, FEATURE_VALUE], na_position="last", kind="mergesort"
+    ).reset_index(drop=True)
+    grp = pdf.groupby([node_col, FEATURE], sort=False)
+    arrays: dict[str, pa.Array] = {
+        node_col: pa.array(pdf[node_col].to_numpy(np.int32), type=pa.int32()),
+        FEATURE: pa.array(pdf[FEATURE].tolist(), type=pa.string()),
+        FEATURE_VALUE: pa.array(
+            pdf[FEATURE_VALUE].to_numpy(np.float64), type=pa.float64()
+        ),
+    }
+    for i in range(n_classes):
+        col = class_count_col(i)
+        arrays[f"cum_class_{i}"] = pa.array(
+            grp[col].cumsum().to_numpy(np.int64), type=pa.int64()
+        )
+        arrays[f"sum_class_{i}"] = pa.array(
+            grp[col].transform("sum").to_numpy(np.int64), type=pa.int64()
+        )
+    arrays["cum_n"] = pa.array(
+        grp["count_examples"].cumsum().to_numpy(np.int64), type=pa.int64()
+    )
+    arrays["sum_n"] = pa.array(
+        grp["count_examples"].transform("sum").to_numpy(np.int64), type=pa.int64()
+    )
+    return spark.createDataFrame(pa.table(arrays))
 
 
 def _best_split_rows(

@@ -54,6 +54,17 @@ def get_spark(
         # dominates these sub-second stages.  The 1m default is right here and
         # immaterial at cluster scale where advisory size governs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Per-task Arrow batch rows (Spark default 10000).  At a wide-fit
+        # shape (190 float cols) every concurrent task pipelines a few
+        # batches of this size through the JVM ArrowWriter plus the Python
+        # worker, so aggregate transient memory scales as cores x batch
+        # rows x row width.  The default is right for the local bench;
+        # lower it (e.g. 2048) to cap per-task memory when many concurrent
+        # wide scans OOM a small executor heap — see SCALE.md memory table.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH_ROWS", "10000"),
+        )
         # Split files at 16 MB (default 128 MB): a single-host bench reads
         # few, modest files — at 128 MB a 400 MB table scans with 4 of 32
         # cores.  On a real cluster the input has orders of magnitude more

@@ -21,6 +21,22 @@ The same semantics in batch form (for the DuckDB oracle and parity tests):
 gap-sessionize with lag/cumsum, then sub-split every gap-session by
 ``floor(row_number / max_events)`` — counting is order-insensitive within a
 session, so (start, end, n) match the stream exactly.
+
+``transformWithStateInPandas`` migration (evaluated, blocked by the
+environment): Spark 4's arbitrary-state API fits these semantics cleanly —
+a ``StatefulProcessor`` with one ``ValueState`` for the open session's
+(start, last, n) and a registered event-time timer replacing
+``setTimeoutTimestamp``; per-key Arrow batching is the same shape.  In
+THIS container the migration cannot run: the TWS Python worker speaks
+protobuf to the JVM state server
+(``pyspark/sql/streaming/stateful_processor_api_client.py`` imports
+``google.protobuf``), and protobuf is not installed (probe:
+``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` → ``ImportError:
+cannot import name 'descriptor' from 'google.protobuf'``; the RocksDB
+state-store provider itself initializes fine).  On a cluster with
+protobuf available the sketch above is the drop-in upgrade — it removes
+the GroupState timeout dance (real timers), supports state TTL, and
+queues multiple state variables per key.
 """
 
 from __future__ import annotations

@@ -350,9 +350,12 @@ class DecisionTreeClassifier:
         if hist_method == "arrow":
             from efficient_trees_spark.operators.histogram import (
                 _MAX_PACKED_EDGES,
+                STATS_FEATURE,
                 distinct_edges_packed,
                 encode_packed,
+                merge_edge_stats_rows,
                 pack_raw_features,
+                pack_raw_features_with_stats,
             )
 
             # Pack the feature matrix into one binary blob per row FIRST:
@@ -362,12 +365,26 @@ class DecisionTreeClassifier:
             # histogram read cheap 2-column packed relations
             # (histogram.py packed-path notes).
             dtype = "f4" if shrink_features else "f8"
-            packed_raw = pack_raw_features(
-                prepared, feature_names, _TARGET_IDX, dtype=dtype
-            ).persist()
             if self.max_bins is not None:
-                bin_edges = self._compute_bin_edges(
-                    packed_raw, feature_names, packed_dtype=dtype
+                # Binned mode: the quantile-edge order statistics are FUSED
+                # into the pack pass (one scan of the data instead of two);
+                # the tiny per-partition stats rows come back with the
+                # materializing filter and merge driver-side.  Edges — and
+                # the tree — are bit-identical to the two-pass flow
+                # (histogram.pack_raw_features_with_stats parity notes).
+                n_bins, stats = self._binned_edge_params()
+                packed_raw = pack_raw_features_with_stats(
+                    prepared, feature_names, _TARGET_IDX, stats, dtype=dtype
+                ).persist()
+                stat_rows = (
+                    packed_raw.filter(F.col(STATS_FEATURE).isNotNull())
+                    .select(STATS_FEATURE, "__sv", "__sg", "__svx", "__sn")
+                    .collect()
+                )
+                bin_edges = merge_edge_stats_rows(stat_rows, feature_names, n_bins)
+                self.bin_edges_ = bin_edges
+                data_view = packed_raw.filter(F.col(STATS_FEATURE).isNull()).select(
+                    "__packed", _TARGET_IDX
                 )
                 if (
                     max((len(e) for e in bin_edges.values()), default=0)
@@ -377,13 +394,16 @@ class DecisionTreeClassifier:
                     # (1 byte/cell); routing and histograms run on codes —
                     # order-isomorphic to raw values, bit-identical trees.
                     prepared = encode_packed(
-                        packed_raw, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
+                        data_view, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
                     )
                     packed_mode = True
                 else:  # beyond uint8 code space: per-level searchsorted path
                     packed_raw.unpersist()
                     packed_raw = None
             else:
+                packed_raw = pack_raw_features(
+                    prepared, feature_names, _TARGET_IDX, dtype=dtype
+                ).persist()
                 # EXACT mode on the packed path: candidates = every distinct
                 # value (the reference's tree.py:244 semantics).  Snapping to
                 # edges that ARE the distinct values is the identity, so the
@@ -528,6 +548,16 @@ class DecisionTreeClassifier:
 
     # -------------------------------------------------- quantile binning
 
+    def _binned_edge_params(self) -> tuple[int, int]:
+        """(n_bins, stats_per_partition) for quantile edge placement —
+        shared by the two-pass flow (:meth:`_compute_bin_edges`) and the
+        fused pack+stats flow so both place identical edges."""
+        n_bins = int(self.max_bins)
+        if n_bins < 2:
+            raise ValueError(f"max_bins must be >= 2, got {self.max_bins}")
+        stats = max(2 * n_bins, min(2048, int(round(1.0 / self.bin_rel_error))))
+        return n_bins, stats
+
     def _compute_bin_edges(
         self,
         prepared: DataFrame,
@@ -566,10 +596,7 @@ class DecisionTreeClassifier:
             quantile_edges_packed,
         )
 
-        n_bins = int(self.max_bins)
-        if n_bins < 2:
-            raise ValueError(f"max_bins must be >= 2, got {self.max_bins}")
-        stats = max(2 * n_bins, min(2048, int(round(1.0 / self.bin_rel_error))))
+        n_bins, stats = self._binned_edge_params()
         if packed_dtype is not None:  # `prepared` is the packed raw relation
             edges_by_feature = quantile_edges_packed(
                 prepared, feature_names, n_bins, stats, dtype=packed_dtype
@@ -749,6 +776,8 @@ class DecisionTreeClassifier:
                                 ),
                                 node_col=node_col,
                                 all_feature_names=all_names,
+                                n_pending_nodes=len(frontier),
+                                want_distributions=need_root_dist,
                             )
 
                     else:
@@ -778,19 +807,38 @@ class DecisionTreeClassifier:
                         )
                         return [(row[_TARGET_IDX], row["count"]) for row in rows]
 
-                    # The (cheap) root-distribution job and the (expensive)
-                    # split job are independent — submit both and let the
-                    # scheduler overlap them; level wall time ≈ the split job.
-                    with ThreadPoolExecutor(max_workers=2) as pool:
-                        dist_future = (
-                            pool.submit(collect_root_distribution)
-                            if need_root_dist
-                            else None
-                        )
-                        if not at_max_depth:
-                            best_by_node = {b["node_id"]: b for b in find_splits()}
-                        if dist_future is not None:
-                            distributions[0] = dist_future.result()
+                    if packed and not at_max_depth:
+                        # Packed path: the root distribution rides the
+                        # level-0 histogram as DIST_FEATURE sentinel rows —
+                        # one job, and no second job racing the first to
+                        # materialize the code cache (both used to encode
+                        # the same uncached partitions concurrently).
+                        splits_out = find_splits()
+                        if need_root_dist:
+                            splits_out, fused_dists = splits_out
+                            distributions[0] = (
+                                fused_dists[0]
+                                if fused_dists is not None and 0 in fused_dists
+                                else collect_root_distribution()
+                            )
+                        best_by_node = {b["node_id"]: b for b in splits_out}
+                    else:
+                        # Expand path keeps the overlap: the (cheap)
+                        # root-distribution job and the (expensive) split
+                        # job are independent — submit both and let the
+                        # scheduler overlap them.
+                        with ThreadPoolExecutor(max_workers=2) as pool:
+                            dist_future = (
+                                pool.submit(collect_root_distribution)
+                                if need_root_dist
+                                else None
+                            )
+                            if not at_max_depth:
+                                best_by_node = {
+                                    b["node_id"]: b for b in find_splits()
+                                }
+                            if dist_future is not None:
+                                distributions[0] = dist_future.result()
                     if release_raw is not None:
                         # level 0's job materialized the persisted code
                         # relation — upstream raw caches can go now.

@@ -41,7 +41,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from efficient_trees_spark.session import get_spark  # noqa: E402
 
 MULTS = [1, 10, 30]
-WIDE_MULTS = [1, 9]  # the x9 table is the reference's 5.5M-row shape
+# x9 is the reference's 5.5M-row AMEX shape; x30 (18M x 190) stresses the
+# packed scan's asymptote past the point where caches fit the local heap.
+WIDE_MULTS = [1, 9, 30]
 SUPERLINEAR = 1.3
 
 
@@ -105,16 +107,26 @@ def ensure_scaled_dir(spark, base_sf_dir: str, mult: int) -> str:
 
 
 def query_fns():
-    from efficient_trees_spark.workloads.dedup_queries import dedup_minhash_lsh
+    from efficient_trees_spark.workloads.dedup_queries import (
+        dedup_minhash_lsh,
+        dedup_substring_span_stats,
+    )
     from efficient_trees_spark.workloads.relational import q1_pricing_summary
     from efficient_trees_spark.workloads.similarity_queries import ann_bm25_topk
     from efficient_trees_spark.workloads.text_pipeline import docs_curation_pipeline
+    from efficient_trees_spark.workloads.tree_queries import (
+        tree_fit_predict_distribution,
+    )
 
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "ann_bm25_topk": ann_bm25_topk,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "docs_curation_pipeline": docs_curation_pipeline,
+        # round-6 additions: the two remaining heavy bench queries
+        # (VERDICT r5 task 4) — span dedup's fold and the narrow exact fit.
+        "dedup_substring_spans": dedup_substring_span_stats,
+        "tree_fit_predict_distribution": tree_fit_predict_distribution,
     }
 
 
