@@ -99,7 +99,10 @@ class RandomForestClassifier:
         bin_edges: dict[str, list[float]] | None = None
         packed_raw = None
         if self.max_bins is not None:
-            from efficient_trees_spark.tree import _fan_out_small_input
+            from efficient_trees_spark.tree import (
+                _fan_out_small_input,
+                _raw_cache_level,
+            )
 
             # Same fan-out as the single-tree binned fit (see
             # tree._fan_out_small_input): every Arrow pass below — and each
@@ -121,7 +124,7 @@ class RandomForestClassifier:
             dtype = "f4" if shrink_features else "f8"
             packed_raw = pack_raw_features(
                 prepared, feature_names, _TARGET_IDX, dtype=dtype
-            ).persist()
+            ).persist(_raw_cache_level())
             bin_edges = proto._compute_bin_edges(
                 packed_raw, feature_names, packed_dtype=dtype
             )

@@ -52,6 +52,58 @@ FEATURE = "feature"
 FEATURE_VALUE = "feature_value"
 
 
+def array_cast_expr(names: list[str], elem_type: str):
+    """``array(CAST(f AS <type>), ...)`` over all features as ONE parsed SQL
+    expression.  Building this with ``F.array(*[F.col(f).cast(...)])`` costs
+    3 py4j round-trips per column — ~0.5 s of pure driver latency per plan
+    at width 190, paid once per Arrow pass; a single ``F.expr`` string is
+    one round-trip and parses JVM-side.  CAST and ``Column.cast`` are the
+    same expression, so plans are identical."""
+    cols = ", ".join(
+        f"CAST(`{n.replace('`', '``')}` AS {elem_type.upper()})" for n in names
+    )
+    return F.expr(f"array({cols})")
+
+
+_jemalloc_decay_set = False
+
+
+def _trim_malloc() -> None:
+    """Return freed allocator pages to the OS at Arrow-task end.
+
+    The pyspark daemon workers are long-lived, and BOTH allocators under a
+    mapInArrow task retain freed pages: pyarrow's default jemalloc pool
+    (every record-batch buffer) keeps dirty pages per its decay policy,
+    and glibc (the numpy matrices) keeps them in arenas.  Measured at the
+    reference benchmark shape, 32 workers ratcheted to ~10 GiB aggregate
+    RSS across one pack stage while live per-task state was ~0.5 GiB —
+    and jemalloc was the bulk of it (pinning glibc's mmap threshold alone
+    changed nothing).  ``release_unused()`` purges the jemalloc dirty
+    pages, decay-0 makes future frees purge eagerly, and ``malloc_trim``
+    hands back the glibc arena tails; each silently skipped where
+    unavailable.  Cost is ~1 ms per task — negligible next to any Arrow
+    pass over a partition."""
+    global _jemalloc_decay_set
+    try:
+        import pyarrow as pa
+
+        if not _jemalloc_decay_set:
+            _jemalloc_decay_set = True
+            try:
+                pa.jemalloc_set_decay_ms(0)
+            except Exception:
+                pass
+        pa.default_memory_pool().release_unused()
+    except Exception:
+        pass
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
 def binned_histogram_counts(
     df: DataFrame,
     feature_names: list[str],
@@ -454,7 +506,7 @@ def pack_raw_features(
     n_feat = len(names)
     elem_type = "float" if dtype == "f4" else "double"
     src = df.select(
-        F.array(*[F.col(f).cast(elem_type) for f in names]).alias("__arr"),
+        array_cast_expr(names, elem_type).alias("__arr"),
         target_idx_col,
     )
 
@@ -477,6 +529,7 @@ def pack_raw_features(
                 [_pack_binary(mat), pa.array(target, type=pa.int32())],
                 names=[packed_col, tcol],
             )
+        _trim_malloc()
 
     return src.mapInArrow(pack, f"{packed_col} binary, {tcol} int")
 
@@ -492,9 +545,13 @@ def _matrix_order_stats(full: "np.ndarray", names: list[str], g: int):
         v = v[~np.isnan(v)]  # drops real NaN and the NULL sentinel alike
         if not v.size:
             continue
-        v = np.sort(v)
         n = v.size
         pos = np.unique(np.round(np.linspace(0, n - 1, min(g, n))).astype(np.int64))
+        # Partial selection: introselect places the EXACT k-th order
+        # statistic at every k in ``pos`` (bit-identical to a full sort's
+        # v[pos], including v[-1] since linspace's endpoint puts n-1 in
+        # pos), at O(n) instead of O(n log n) per feature.
+        v = np.partition(v, pos)
         stats = v[pos]
         gaps = np.diff(np.concatenate(([np.int64(-1)], pos))).astype(np.float64)
         feats.append(name)
@@ -547,7 +604,7 @@ def pack_raw_features_with_stats(
     g = int(stats_per_partition)
     elem_type = "float" if dtype == "f4" else "double"
     src = df.select(
-        F.array(*[F.col(f).cast(elem_type) for f in names]).alias("__arr"),
+        array_cast_expr(names, elem_type).alias("__arr"),
         target_idx_col,
     )
 
@@ -583,12 +640,16 @@ def pack_raw_features_with_stats(
                 names=[packed_col, tcol, *_STATS_COLS],
             )
         if not mats:
+            _trim_malloc()
             return
         full = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        mats.clear()  # `full` owns (or is) the data now; drop the batch refs
         feats, vals_out, gaps_out, vmax_out, n_out = _matrix_order_stats(
             full, names, g
         )
+        del full
         if not feats:
+            _trim_malloc()
             return
         k = len(feats)
         yield pa.RecordBatch.from_arrays(
@@ -603,12 +664,168 @@ def pack_raw_features_with_stats(
             ],
             names=[packed_col, tcol, *_STATS_COLS],
         )
+        _trim_malloc()
 
     return src.mapInArrow(
         pack,
         f"{packed_col} binary, {tcol} int, {STATS_FEATURE} string, "
         "__sv array<double>, __sg array<double>, __svx double, __sn long",
     )
+
+
+def partition_order_stats(
+    df: DataFrame,
+    feature_names: list[str],
+    stats_per_partition: int,
+    dtype: str = "f4",
+) -> DataFrame:
+    """Stats-ONLY sibling of :func:`pack_raw_features_with_stats`: the same
+    per-partition order statistics over the same (dtype-converted) matrices
+    — so the merged edges are bit-identical — but emitting ONLY the tiny
+    stats rows (partitions × features, row-count-independent).  No packed
+    blob is built and nothing is cached.
+
+    This is pass 1 of the binned fit's two-scan flow (tree.py): a sketch
+    pass for edges, then ONE fused pack+encode pass
+    (:func:`pack_encode_features`) straight to uint8 codes — the XGBoost
+    approx-tree architecture (quantile sketch + binning pass).  Versus the
+    cache-the-raw-matrix flow it trades a second source scan for never
+    materializing the 4/8-byte-per-cell raw relation: at 100 TB a rescan
+    of compressed column-pruned parquet is cheaper than writing AND
+    re-reading a cache several times that size, and peak executor memory
+    drops to scan + the 1-byte/cell code cache.  Rows-only output also
+    means the Arrow return stream is negligible — the pass pays one
+    JVM→Arrow crossing of the matrix and nothing else."""
+    import pyarrow as pa
+
+    names = list(feature_names)
+    np_dtype, bits_dtype, canon_nan_bits, null_bits = _dtype_info(dtype)
+    n_feat = len(names)
+    g = int(stats_per_partition)
+    elem_type = "float" if dtype == "f4" else "double"
+    src = df.select(array_cast_expr(names, elem_type).alias("__arr"))
+
+    def order_stats(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        mats: list["np.ndarray"] = []
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            flat = b.column("__arr").flatten()  # logical values, offset-safe
+            vals = flat.to_numpy(zero_copy_only=False).astype(np_dtype, copy=True)
+            bits = vals.view(bits_dtype)
+            bits[np.isnan(vals)] = canon_nan_bits
+            if flat.null_count:
+                bits[flat.is_null().to_numpy(zero_copy_only=False)] = null_bits
+            mats.append(np.ascontiguousarray(vals.reshape(n, n_feat)))
+        if not mats:
+            _trim_malloc()
+            return
+        full = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        mats.clear()  # `full` owns (or is) the data now; drop the batch refs
+        feats, vals_out, gaps_out, vmax_out, n_out = _matrix_order_stats(
+            full, names, g
+        )
+        del full
+        if not feats:
+            _trim_malloc()
+            return
+        k = len(feats)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(feats, type=pa.string()),
+                pa.array([x.tolist() for x in vals_out], type=pa.list_(pa.float64())),
+                pa.array([x.tolist() for x in gaps_out], type=pa.list_(pa.float64())),
+                pa.array(vmax_out, type=pa.float64()),
+                pa.array(n_out, type=pa.int64()),
+            ],
+            names=[STATS_FEATURE, "__sv", "__sg", "__svx", "__sn"],
+        )
+        _trim_malloc()
+
+    return src.mapInArrow(
+        order_stats,
+        f"{STATS_FEATURE} string, __sv array<double>, __sg array<double>, "
+        "__svx double, __sn long",
+    )
+
+
+def pack_encode_features(
+    df: DataFrame,
+    feature_names: list[str],
+    bin_edges: dict[str, list[float]],
+    target_idx_col: str,
+    dtype: str = "f4",
+    packed_col: str = PACKED_COL,
+) -> DataFrame:
+    """Fused :func:`pack_raw_features` + :func:`encode_packed`: source
+    batches → packed uint8 bin-code blobs DIRECTLY, never materializing the
+    raw float blob.  Pass 2 of the binned two-scan flow (see
+    :func:`partition_order_stats`); the level-0 histogram job materializes
+    this relation into the persisted code cache, so a depth-d binned fit
+    touches the source exactly twice and persists only 1 byte/cell.
+
+    Bit-parity with the two-step composition: values are converted to the
+    same ``dtype`` first and ``searchsorted`` upcasts them against the same
+    float64 edges, NULLs (Arrow validity) map to ``PACKED_NULL_CODE`` and
+    NaNs to ``PACKED_NAN_CODE`` exactly as ``encode_packed`` derives them
+    from the raw blob's reserved bit patterns — asserted by
+    ``tests/test_wide_fit.py``."""
+    import pyarrow as pa
+
+    if any(len(e) > _MAX_PACKED_EDGES for e in bin_edges.values()):
+        raise ValueError(
+            f"pack_encode_features supports at most {_MAX_PACKED_EDGES} "
+            "edges per feature"
+        )
+    names = list(feature_names)
+    tcol = target_idx_col
+    np_dtype, _, _, _ = _dtype_info(dtype)
+    n_feat = len(names)
+    elem_type = "float" if dtype == "f4" else "double"
+    edges_list = [np.asarray(bin_edges.get(f, ()), dtype=np.float64) for f in names]
+    src = df.select(
+        array_cast_expr(names, elem_type).alias("__arr"),
+        target_idx_col,
+    )
+
+    def pack_encode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            flat = b.column("__arr").flatten()  # logical values, offset-safe
+            vals = flat.to_numpy(zero_copy_only=False).astype(np_dtype, copy=False)
+            if flat.null_count:
+                nullf = flat.is_null().to_numpy(zero_copy_only=False)
+            else:
+                nullf = np.zeros(vals.shape[0], dtype=bool)
+            nanf = np.isnan(vals) & ~nullf
+            mat = vals.reshape(n, n_feat)
+            nullm = nullf.reshape(n, n_feat)
+            nanm = nanf.reshape(n, n_feat)
+            codes = np.empty((n, n_feat), dtype=np.uint8)
+            for j in range(n_feat):
+                ej = edges_list[j]
+                if ej.size:
+                    cj = np.searchsorted(ej, mat[:, j], side="left")
+                    np.minimum(cj, ej.size - 1, out=cj)
+                    col_codes = cj.astype(np.uint8)
+                    col_codes[nanm[:, j]] = PACKED_NAN_CODE
+                else:  # all-NULL/NaN feature: no candidates at all
+                    col_codes = np.full(n, PACKED_NULL_CODE, dtype=np.uint8)
+                col_codes[nullm[:, j]] = PACKED_NULL_CODE
+                codes[:, j] = col_codes
+            target = (
+                b.column(tcol).to_numpy(zero_copy_only=False).astype(np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [_pack_binary(codes), pa.array(target, type=pa.int32())],
+                names=[packed_col, tcol],
+            )
+        _trim_malloc()
+
+    return src.mapInArrow(pack_encode, f"{packed_col} binary, {tcol} int")
 
 
 def quantile_edges_packed(
@@ -637,12 +854,16 @@ def quantile_edges_packed(
             if b.num_rows
         ]
         if not mats:
+            _trim_malloc()
             return
         full = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        mats.clear()  # `full` owns (or is) the data now; drop the batch refs
         feats, vals_out, gaps_out, vmax_out, n_out = _matrix_order_stats(
             full, names, g
         )
+        del full
         if not feats:
+            _trim_malloc()
             return
         yield pa.RecordBatch.from_arrays(
             [
@@ -654,6 +875,7 @@ def quantile_edges_packed(
             ],
             names=[FEATURE, "vals", "gaps", "vmax", "n"],
         )
+        _trim_malloc()
 
     partials = packed_df.select(packed_col).mapInArrow(
         order_stats,
@@ -698,8 +920,10 @@ def distinct_edges_packed(
             if b.num_rows
         ]
         if not mats:
+            _trim_malloc()
             return
         full = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        mats.clear()  # `full` owns (or is) the data now; drop the batch refs
         feats, vals_out, over_out = [], [], []
         for j, name in enumerate(names):
             v = full[:, j]
@@ -710,7 +934,9 @@ def distinct_edges_packed(
             feats.append(name)
             over_out.append(u.size > cap)
             vals_out.append(u[: cap + 1])
+        del full
         if not feats:
+            _trim_malloc()
             return
         yield pa.RecordBatch.from_arrays(
             [
@@ -720,6 +946,7 @@ def distinct_edges_packed(
             ],
             names=[FEATURE, "vals", "overflow"],
         )
+        _trim_malloc()
 
     partials = packed_df.select(packed_col).mapInArrow(
         partition_distinct, f"{FEATURE} string, vals array<double>, overflow boolean"
@@ -803,6 +1030,7 @@ def encode_packed(
                 [_pack_binary(codes), target.combine_chunks() if hasattr(target, "combine_chunks") else target],
                 names=[packed_col, tcol],
             )
+        _trim_malloc()
 
     return packed_df.select(packed_col, tcol).mapInArrow(
         encode, f"{packed_col} binary, {tcol} int"
@@ -911,6 +1139,7 @@ def packed_histogram_counts(
             acc, dist_acc, names, lens, slots, edges_mat, n_classes
         )
         if sparse is None:
+            _trim_malloc()
             return
         node_out, feat_out, value_out, class_out, total_out = sparse
         arrays = [
@@ -922,6 +1151,7 @@ def packed_histogram_counts(
             arrays.append(pa.array(class_out[i], type=pa.int64()))
         arrays.append(pa.array(total_out, type=pa.int64()))
         yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+        _trim_malloc()
 
     partials = packed_df.select(packed_col, tcol).mapInArrow(histogram, spark_schema)
     return partials.groupBy(ncol, FEATURE, FEATURE_VALUE).agg(
@@ -1092,6 +1322,7 @@ def packed_histogram_cubes(
             ],
             names=[node_col, "__cube"],
         )
+        _trim_malloc()
 
     return packed_df.select(packed_col, tcol).mapInArrow(
         cubes, f"{node_col} int, __cube binary"

@@ -500,8 +500,19 @@ def find_best_splits_packed(
                 matrix_width=width,
                 emit_node_totals=want_distributions,
             )
+            # Arrow transport for the cube partials: a depth-d level collects
+            # partitions x nodes ~100 KB binary cubes (tens of MB at depth
+            # 3+), and toArrow moves binary columns in columnar IPC batches
+            # instead of py4j row pickling — transport only, same rows.
+            if hasattr(cubes, "toArrow"):
+                tbl = cubes.toArrow()
+                cube_rows = list(
+                    zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist())
+                )
+            else:  # pragma: no cover - pre-Arrow-collect Spark
+                cube_rows = cubes.collect()
             pdf, distributions = merge_cubes_to_counts_pdf(
-                cubes.collect(),
+                cube_rows,
                 feature_names,
                 n_classes,
                 bin_edges,

@@ -54,6 +54,29 @@ from efficient_trees_spark.plans.case_compiler import compile_tree
 
 _TARGET_IDX = split_finder.TARGET_IDX
 
+
+def _raw_cache_level():
+    """Storage level for the raw packed-float relation (4/8 bytes per cell
+    — the single biggest transient of a wide fit).  It is written once and
+    read exactly once (binned: level 0's encode) or twice (exact: distinct
+    edges + encode), so DISK_ONLY is the default: keeping it on-heap was
+    the measured data-proportional chunk of the local[32] memory over-floor
+    (~4.1 GB at the reference's 5.4M x 190 f32 benchmark shape) and the
+    reason smaller heaps OOM'd, while the disk round-trip is sequential
+    columnar I/O an executor's local disk absorbs.  The uint8 CODE cache
+    (1 byte/cell) that lives for the whole fit stays in memory.  Override
+    with SPARK_GRAFT_RAW_CACHE_LEVEL=MEMORY_AND_DISK to pin it on-heap
+    (e.g. memory-rich executors over slow disks)."""
+    import os
+
+    from pyspark import StorageLevel
+
+    name = os.environ.get("SPARK_GRAFT_RAW_CACHE_LEVEL", "DISK_ONLY")
+    level = getattr(StorageLevel, name, None)
+    if level is None:
+        raise ValueError(f"unknown SPARK_GRAFT_RAW_CACHE_LEVEL: {name!r}")
+    return level
+
 # Above this cardinality, categorical codes are applied via a broadcast-join
 # mapping table instead of a literal CASE map (SURVEY.md §2.8).
 _LITERAL_MAP_MAX = 256
@@ -339,8 +362,12 @@ class DecisionTreeClassifier:
             # volume every level's histogram pass transfers.  Lossless —
             # searchsorted compares f32 upcast to the float64 edges, and the
             # emitted candidate values are the edges themselves.
-            prepared = prepared.select(
-                *[F.col(f).cast("float").alias(f) for f in feature_names],
+            prepared = prepared.selectExpr(
+                *[
+                    f"CAST(`{f.replace('`', '``')}` AS FLOAT) AS "
+                    f"`{f.replace('`', '``')}`"
+                    for f in feature_names
+                ],
                 _TARGET_IDX,
             )
 
@@ -350,42 +377,34 @@ class DecisionTreeClassifier:
         if hist_method == "arrow":
             from efficient_trees_spark.operators.histogram import (
                 _MAX_PACKED_EDGES,
-                STATS_FEATURE,
                 distinct_edges_packed,
                 encode_packed,
                 merge_edge_stats_rows,
+                pack_encode_features,
                 pack_raw_features,
-                pack_raw_features_with_stats,
+                partition_order_stats,
             )
 
-            # Pack the feature matrix into one binary blob per row FIRST:
-            # the expensive many-column JVM->Arrow conversion (the
-            # measured floor of every Arrow pass at width ~190) happens
-            # exactly once; edge placement, encoding, and every level's
-            # histogram read cheap 2-column packed relations
-            # (histogram.py packed-path notes).
             dtype = "f4" if shrink_features else "f8"
             if self.max_bins is not None:
-                # Binned mode: the quantile-edge order statistics are FUSED
-                # into the pack pass (one scan of the data instead of two);
-                # the tiny per-partition stats rows come back with the
-                # materializing filter and merge driver-side.  Edges — and
-                # the tree — are bit-identical to the two-pass flow
-                # (histogram.pack_raw_features_with_stats parity notes).
+                # Binned mode: TWO streaming scans of the source and no raw
+                # cache at all — the XGBoost approx-tree architecture.
+                # Pass 1 collects per-partition order statistics only
+                # (rows-independent output, nothing persisted); pass 2
+                # fuses pack+encode straight to uint8 codes, materialized
+                # into the level-0 code cache (1 byte/cell — the only
+                # persisted training artifact).  Edges and trees are
+                # bit-identical to the cache-the-raw-floats flow
+                # (histogram.partition_order_stats parity notes); versus it
+                # the rescan of column-pruned compressed parquet replaces
+                # writing AND reading back a 4/8-byte-per-cell cache — the
+                # measured data-proportional chunk of peak executor memory.
                 n_bins, stats = self._binned_edge_params()
-                packed_raw = pack_raw_features_with_stats(
-                    prepared, feature_names, _TARGET_IDX, stats, dtype=dtype
-                ).persist()
-                stat_rows = (
-                    packed_raw.filter(F.col(STATS_FEATURE).isNotNull())
-                    .select(STATS_FEATURE, "__sv", "__sg", "__svx", "__sn")
-                    .collect()
-                )
+                stat_rows = partition_order_stats(
+                    prepared, feature_names, stats, dtype=dtype
+                ).collect()
                 bin_edges = merge_edge_stats_rows(stat_rows, feature_names, n_bins)
                 self.bin_edges_ = bin_edges
-                data_view = packed_raw.filter(F.col(STATS_FEATURE).isNull()).select(
-                    "__packed", _TARGET_IDX
-                )
                 if (
                     max((len(e) for e in bin_edges.values()), default=0)
                     <= _MAX_PACKED_EDGES
@@ -393,17 +412,16 @@ class DecisionTreeClassifier:
                     # The persisted training relation becomes uint8 bin codes
                     # (1 byte/cell); routing and histograms run on codes —
                     # order-isomorphic to raw values, bit-identical trees.
-                    prepared = encode_packed(
-                        data_view, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
+                    prepared = pack_encode_features(
+                        prepared, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
                     )
                     packed_mode = True
-                else:  # beyond uint8 code space: per-level searchsorted path
-                    packed_raw.unpersist()
-                    packed_raw = None
+                # beyond uint8 code space: `prepared` stays columnar and the
+                # per-level searchsorted histogram path takes over below.
             else:
                 packed_raw = pack_raw_features(
                     prepared, feature_names, _TARGET_IDX, dtype=dtype
-                ).persist()
+                ).persist(_raw_cache_level())
                 # EXACT mode on the packed path: candidates = every distinct
                 # value (the reference's tree.py:244 semantics).  Snapping to
                 # edges that ARE the distinct values is the identity, so the
@@ -513,11 +531,14 @@ class DecisionTreeClassifier:
             if f.dataType.typeName() in ("float", "double")
         }
 
-        def feature_expr(name: str):
-            col = F.col(name)
-            if shrink_features and name in fractional:
-                col = col.cast("float")
-            return col.cast("double").alias(name)
+        # One parsed SQL string per feature built in a single py4j call
+        # (histogram.array_cast_expr rationale): at width ~190 the
+        # per-column F.col().cast().alias() chain costs ~0.5 s of driver
+        # round-trips per plan.  CAST == Column.cast — identical plans.
+        def feature_sql(name: str) -> str:
+            q = f"`{name.replace('`', '``')}`"
+            inner = f"CAST({q} AS FLOAT)" if shrink_features and name in fractional else q
+            return f"CAST({inner} AS DOUBLE) AS {q}"
 
         # A NULL label is a class of its own (distinct() surfaces it; the
         # reference's engine-order indexing tolerates it) — but it can't be a
@@ -535,9 +556,11 @@ class DecisionTreeClassifier:
             F.col(target_name).isNull(), F.lit(null_idx)
         ).otherwise(label_to_idx[F.col(target_name)])
         prepared = data.select(
-            *[feature_expr(f) for f in feature_names],
+            F.expr(
+                "struct(" + ", ".join(feature_sql(f) for f in feature_names) + ")"
+            ).alias("__feat"),
             target_idx_expr.cast("int").alias(_TARGET_IDX),
-        )
+        ).select("__feat.*", _TARGET_IDX)
         # NOTE: widening the persisted relation to defaultParallelism via an
         # up-front repartition was measured SLOWER (A/B at sf0.1: ~12s vs
         # ~9s per fit) — the extra shuffle costs more than the narrow cached

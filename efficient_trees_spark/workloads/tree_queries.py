@@ -279,12 +279,17 @@ def forest_fit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relation out to defaultParallelism (tree._fan_out_small_input), and both
 # the order-statistic bin edges and the seeded bootstrap sample depend on
 # that partitioning.  Recompute with tools/oracle_check.py if the testdata
-# or the host core count changes.
+# or the host core count changes.  tree_binned re-pinned in round 6 when the
+# binned flow moved to two-scan stats (histogram.partition_order_stats):
+# the new edges agree with the expand path's _compute_bin_edges on this
+# data, which the previous fused-pack stats did NOT (arrow/expand gave
+# 6032/6028 'R' rows at r5 HEAD) — the re-pin records the now-converged
+# value, verified identical under tuned and vanilla sessions.
 _FIT_DISTRIBUTIONS_SF0_01 = """
     SELECT model, prediction, CAST(n AS BIGINT) AS n FROM (VALUES
         ('tree', 'A', 1688), ('tree', 'N', 52976), ('tree', 'R', 5336),
-        ('tree_binned', 'A', 1688), ('tree_binned', 'N', 52280),
-        ('tree_binned', 'R', 6032),
+        ('tree_binned', 'A', 1688), ('tree_binned', 'N', 52284),
+        ('tree_binned', 'R', 6028),
         ('tree_exact_arrow', 'A', 35537), ('tree_exact_arrow', 'N', 23814),
         ('tree_exact_arrow', 'R', 649),
         ('forest', 'A', 36449), ('forest', 'N', 23404), ('forest', 'R', 147)

@@ -122,9 +122,32 @@ def ensure_wide_table(
     """
     path = wide_table_path(sf_dir, n_features, row_mult)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_wide_table(spark, sf_dir, n_features, row_mult).write.mode(
-            "overwrite"
-        ).parquet(path)
+        # Write a scan-friendly layout: enough files to feed every core and
+        # BOUNDED row groups.  Spark's 128 MB parquet.block.size default
+        # produced ~134 MB row groups here, and a row group is the parquet
+        # scan's atomic unit — each task buffers one whole group's column
+        # chunks, so at 190 columns a single wide-scan task transiently
+        # held ~300-400 MB of heap (measured: 32 concurrent tasks OOM'd a
+        # 6 GB local[32] heap) and the sf0.1 table scanned 4-way on 32
+        # cores, forcing an up-front repartition shuffle of the full
+        # matrix.  32 MB groups (~22k rows at width 190) bound per-task
+        # scan memory ~4x below that and make `_fan_out_small_input` a
+        # genuine no-op — the same rule a 100 TB writer should follow:
+        # size row groups for the READER's width x concurrency budget,
+        # not the writer's convenience.
+        n_rows = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").count() * row_mult
+        )
+        n_files = max(
+            spark.sparkContext.defaultParallelism, -(-n_rows // 85_000)
+        )
+        (
+            build_wide_table(spark, sf_dir, n_features, row_mult)
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .option("parquet.block.size", 32 * 1024 * 1024)
+            .parquet(path)
+        )
     return path
 
 
