@@ -890,6 +890,7 @@ def distinct_edges_packed(
     max_distinct: int = _MAX_PACKED_EDGES,
     dtype: str = "f4",
     packed_col: str = PACKED_COL,
+    packed: bool = True,
 ) -> dict[str, list[float]]:
     """EXACT-mode candidate edges: every distinct non-NaN/non-NULL value per
     feature, provided every feature fits uint8 code space (``max_distinct``,
@@ -903,22 +904,40 @@ def distinct_edges_packed(
     prove overflow); a feature-keyed distinct-merge bounds driver traffic at
     n_features rows.  Features whose TRUE distinct count exceeds the cap
     raise ``ValueError`` with guidance (set ``max_bins`` or use the melt
-    path) rather than silently degrading."""
+    path) rather than silently degrading.
+
+    ``packed=False`` reads the COLUMNAR feature relation directly (its own
+    array-column crossing, Arrow nulls arriving as NaN) instead of a packed
+    raw blob — the first pass of exact mode's two-scan flow, so no raw
+    cache exists there either.  The value multiset per feature is the same
+    ``dtype``-converted set either way, and a distinct set is
+    partitioning-independent, so edges are identical."""
     import pyarrow as pa
 
     names = list(feature_names)
     np_dtype, _, _, _ = _dtype_info(dtype)
     n_feat = len(names)
     cap = int(max_distinct)
+    if not packed:
+        elem_type = "float" if dtype == "f4" else "double"
+        packed_df = packed_df.select(
+            array_cast_expr(names, elem_type).alias("__arr")
+        )
+
+    def to_mat(b: "pa.RecordBatch") -> "np.ndarray":
+        if packed:
+            return _unpack_binary(b.column(packed_col), n_feat, np_dtype)
+        flat = b.column("__arr").flatten()
+        return (
+            flat.to_numpy(zero_copy_only=False)
+            .astype(np_dtype, copy=False)
+            .reshape(b.num_rows, n_feat)
+        )
 
     def partition_distinct(
         batches: Iterator["pa.RecordBatch"],
     ) -> Iterator["pa.RecordBatch"]:
-        mats = [
-            _unpack_binary(b.column(packed_col), n_feat, np_dtype)
-            for b in batches
-            if b.num_rows
-        ]
+        mats = [to_mat(b) for b in batches if b.num_rows]
         if not mats:
             _trim_malloc()
             return
@@ -948,7 +967,7 @@ def distinct_edges_packed(
         )
         _trim_malloc()
 
-    partials = packed_df.select(packed_col).mapInArrow(
+    partials = packed_df.select(packed_col if packed else "__arr").mapInArrow(
         partition_distinct, f"{FEATURE} string, vals array<double>, overflow boolean"
     )
     merged = (
@@ -1351,7 +1370,10 @@ def merge_cubes_to_counts_pdf(
     merged: dict[int, np.ndarray] = {}
     for r in rows:
         nv = int(r[0])
-        cube = np.frombuffer(bytes(r[1]), dtype=np.int64)
+        # r[1] may be a Row bytearray or a zero-copy Arrow buffer slice
+        # (split_finder._arrow_cube_rows) — frombuffer reads either without
+        # copying.
+        cube = np.frombuffer(r[1], dtype=np.int64)
         m = merged.get(nv)
         if m is None:
             merged[nv] = cube.copy()

@@ -501,14 +501,16 @@ def find_best_splits_packed(
                 emit_node_totals=want_distributions,
             )
             # Arrow transport for the cube partials: a depth-d level collects
-            # partitions x nodes ~100 KB binary cubes (tens of MB at depth
-            # 3+), and toArrow moves binary columns in columnar IPC batches
-            # instead of py4j row pickling — transport only, same rows.
+            # partitions x nodes ~100 KB binary cubes (hundreds of MB at
+            # depth 3+ on many-partition inputs), and toArrow moves binary
+            # columns in columnar IPC batches instead of py4j row pickling.
+            # The merge then reads each cube as a ZERO-COPY buffer view of
+            # the Arrow column (np.frombuffer on the value slice) — the
+            # driver never holds more than the IPC table plus one int64
+            # accumulator per node; to_pylist would double it in bytes
+            # copies.  Transport/accounting only, same numbers.
             if hasattr(cubes, "toArrow"):
-                tbl = cubes.toArrow()
-                cube_rows = list(
-                    zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist())
-                )
+                cube_rows = _arrow_cube_rows(cubes.toArrow())
             else:  # pragma: no cover - pre-Arrow-collect Spark
                 cube_rows = cubes.collect()
             pdf, distributions = merge_cubes_to_counts_pdf(
@@ -580,6 +582,20 @@ def find_best_splits_packed(
     )
     best = _best_split_rows(gains, feature_names, node_col)
     return (best, None) if want_distributions else best
+
+
+def _arrow_cube_rows(tbl) -> list[tuple[int, "object"]]:
+    """(node, cube-buffer) pairs from a collected Arrow table of dense
+    cubes — each cube a zero-copy slice of the IPC binary column's data
+    buffer (``np.frombuffer``-ready), so the driver-side merge adds int64
+    vectors straight out of the transport buffers."""
+    out: list[tuple[int, object]] = []
+    for batch in tbl.to_batches():
+        nodes = batch.column(0).to_pylist()
+        bin_arr = batch.column(1)
+        for i, nv in enumerate(nodes):
+            out.append((nv, bin_arr[i].as_buffer()))
+    return out
 
 
 def _best_split_rows_local(

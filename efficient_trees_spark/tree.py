@@ -373,15 +373,12 @@ class DecisionTreeClassifier:
 
         bin_edges: dict[str, list[float]] | None = None
         packed_mode = False
-        packed_raw = None
         if hist_method == "arrow":
             from efficient_trees_spark.operators.histogram import (
                 _MAX_PACKED_EDGES,
                 distinct_edges_packed,
-                encode_packed,
                 merge_edge_stats_rows,
                 pack_encode_features,
-                pack_raw_features,
                 partition_order_stats,
             )
 
@@ -400,9 +397,19 @@ class DecisionTreeClassifier:
                 # writing AND reading back a 4/8-byte-per-cell cache — the
                 # measured data-proportional chunk of peak executor memory.
                 n_bins, stats = self._binned_edge_params()
-                stat_rows = partition_order_stats(
+                stats_df = partition_order_stats(
                     prepared, feature_names, stats, dtype=dtype
-                ).collect()
+                )
+                if hasattr(stats_df, "toArrow"):
+                    # partitions x features rows of double-lists: Arrow IPC
+                    # transport instead of py4j row pickling (the rows are
+                    # tuple-indexed either way).
+                    t = stats_df.toArrow()
+                    stat_rows = list(
+                        zip(*(t.column(i).to_pylist() for i in range(5)))
+                    )
+                else:  # pragma: no cover - pre-Arrow-collect Spark
+                    stat_rows = stats_df.collect()
                 bin_edges = merge_edge_stats_rows(stat_rows, feature_names, n_bins)
                 self.bin_edges_ = bin_edges
                 if (
@@ -419,9 +426,6 @@ class DecisionTreeClassifier:
                 # beyond uint8 code space: `prepared` stays columnar and the
                 # per-level searchsorted histogram path takes over below.
             else:
-                packed_raw = pack_raw_features(
-                    prepared, feature_names, _TARGET_IDX, dtype=dtype
-                ).persist(_raw_cache_level())
                 # EXACT mode on the packed path: candidates = every distinct
                 # value (the reference's tree.py:244 semantics).  Snapping to
                 # edges that ARE the distinct values is the identity, so the
@@ -430,9 +434,12 @@ class DecisionTreeClassifier:
                 # exceeds uint8 code space (or, under auto selection, falls
                 # back to the melt with a warning — the cardinality probe is
                 # two cheap passes vs. the melt's rows x width Expand).
+                # Same two-scan shape as the binned branch: the distinct
+                # pass reads the columnar relation directly and the encode
+                # is fused — no raw float cache in exact mode either.
                 try:
                     bin_edges = distinct_edges_packed(
-                        packed_raw, feature_names, dtype=dtype
+                        prepared, feature_names, dtype=dtype, packed=False
                     )
                 except ValueError:
                     if not exact_auto_fallback:
@@ -444,15 +451,13 @@ class DecisionTreeClassifier:
                         "scale path",
                         stacklevel=2,
                     )
-                    packed_raw.unpersist()
-                    packed_raw = None
                     hist_method = "expand"
                     bin_edges = None
                     prepared = prepared_base
                 else:
                     self.bin_edges_ = bin_edges
-                    prepared = encode_packed(
-                        packed_raw, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
+                    prepared = pack_encode_features(
+                        prepared, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
                     )
                     packed_mode = True
         elif self.max_bins is not None:
@@ -461,43 +466,27 @@ class DecisionTreeClassifier:
             # path materializes the snapped relation up front.
             prepared = self._snap_to_edges(prepared, feature_names)
 
-        # The raw float packed relation (4/8 bytes per cell) is needed only
-        # until the uint8 codes materialize — which the FIRST level's
-        # histogram job does (it populates the persisted code cache).  Hand
-        # the level-wise builder a release hook so the raw cache is freed
-        # right after level 0 instead of at fit end: at the reference's
-        # 5.5M x 190 f32 benchmark shape this returns ~4.2 GB of cache for
-        # the remaining levels, at zero extra passes.
-        release_raw = None
-        if packed_mode and packed_raw is not None:
-            raw_ref = packed_raw
-
-            def release_raw():
-                raw_ref.unpersist()
-
-        try:
-            if strategy == "level":
-                self.tree = self._build_tree_levelwise(
-                    prepared,
-                    feature_names,
-                    unique_targets,
-                    hist_method=hist_method,
-                    bin_edges=bin_edges if hist_method == "arrow" else None,
-                    packed=packed_mode,
-                    release_raw=release_raw,
-                )
-            elif strategy == "node":
-                self.tree = self._build_tree(
-                    prepared, feature_names, unique_targets, depth=0
-                )
-            else:
-                raise ValueError(f"unknown strategy: {strategy!r}")
-        finally:
-            # The raw packed relation only feeds edge placement and the
-            # one-time encode (materialized by the first level's job); free
-            # it once the tree is built.
-            if packed_raw is not None:
-                packed_raw.unpersist()
+        # Both packed branches above are two-scan flows (sketch/distinct
+        # pass + fused pack-encode): no raw float relation is ever cached
+        # by a single-tree fit, so there is nothing to release — the only
+        # persisted training artifact is the 1 byte/cell code relation the
+        # level-wise builder pins (and the forest's shared raw cache, which
+        # ensemble.py manages itself).
+        if strategy == "level":
+            self.tree = self._build_tree_levelwise(
+                prepared,
+                feature_names,
+                unique_targets,
+                hist_method=hist_method,
+                bin_edges=bin_edges if hist_method == "arrow" else None,
+                packed=packed_mode,
+            )
+        elif strategy == "node":
+            self.tree = self._build_tree(
+                prepared, feature_names, unique_targets, depth=0
+            )
+        else:
+            raise ValueError(f"unknown strategy: {strategy!r}")
 
     def _prepare(
         self, data: DataFrame, target_name: str, shrink_features: bool
@@ -744,7 +733,6 @@ class DecisionTreeClassifier:
         bin_edges: dict[str, list[float]] | None = None,
         packed: bool = False,
         packed_all_features: list[str] | None = None,
-        release_raw=None,
     ) -> dict[str, Any]:
         """PLANET-style breadth-first growth (the published strategy behind
         MLlib's trees, here with exact distinct-value splits): each level runs
@@ -862,11 +850,6 @@ class DecisionTreeClassifier:
                                 }
                             if dist_future is not None:
                                 distributions[0] = dist_future.result()
-                    if release_raw is not None:
-                        # level 0's job materialized the persisted code
-                        # relation — upstream raw caches can go now.
-                        release_raw()
-                        release_raw = None
 
                 next_frontier: dict[int, dict[str, Any]] = {}
                 for node_id, placeholder in frontier.items():
