@@ -408,6 +408,7 @@ def merge_edge_stats_rows(
         acc[1].append(np.asarray(r[2], dtype=np.float64))
         acc[2].append(float(r[3]))
         acc[3].append(int(r[4]))
+    del rows
     return {
         name: (
             _merge_feature_edge_stats(*by_feature[name], n_bins)
@@ -416,6 +417,33 @@ def merge_edge_stats_rows(
         )
         for name in feature_names
     }
+
+
+def arrow_stat_rows(tbl) -> list[tuple]:
+    """Collected order-stats Arrow table -> (feature, vals, gaps, vmax, n)
+    tuples whose vals/gaps are ZERO-COPY numpy views over the list columns'
+    flat value buffers.  ``to_pylist`` here would explode partitions ×
+    features × stats doubles into millions of Python float objects — a
+    measured ~2 GiB driver transient at the 5.4M × 190 benchmark shape —
+    while the views cost nothing beyond the IPC table itself."""
+    feats = tbl.column(0).to_pylist()
+    out: list[tuple] = []
+    views = []
+    for ci in (1, 2):
+        col = tbl.column(ci).combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        off = col.offsets.to_numpy()
+        views.append((flat, off))
+    vmax = tbl.column(3).to_numpy(zero_copy_only=False)
+    ns = tbl.column(4).to_numpy(zero_copy_only=False)
+    (sv, so), (gv, go) = views
+    for i, name in enumerate(feats):
+        out.append(
+            (name, sv[so[i]:so[i + 1]], gv[go[i]:go[i + 1]], vmax[i], ns[i])
+        )
+    return out
 
 
 # ----------------------------------------------------- packed-matrix path

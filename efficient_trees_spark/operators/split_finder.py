@@ -457,6 +457,7 @@ def find_best_splits_packed(
     from efficient_trees_spark.functions.exprs import class_count_col
     from efficient_trees_spark.operators.histogram import (
         DIST_FEATURE,
+        _trim_malloc,
         merge_cubes_to_counts_pdf,
         packed_histogram_counts,
         packed_histogram_cubes,
@@ -521,6 +522,12 @@ def find_best_splits_packed(
                 node_col,
                 emit_node_totals=want_distributions,
             )
+            # The per-level IPC table is hundreds of MB on many-partition
+            # inputs; return it to the OS before the next level piles on
+            # (the DRIVER ratchets across levels otherwise, same allocator
+            # behavior the workers showed — histogram._trim_malloc notes).
+            del cube_rows
+            _trim_malloc()
         else:
             counts = packed_histogram_counts(
                 packed_df,

@@ -376,6 +376,7 @@ class DecisionTreeClassifier:
         if hist_method == "arrow":
             from efficient_trees_spark.operators.histogram import (
                 _MAX_PACKED_EDGES,
+                arrow_stat_rows,
                 distinct_edges_packed,
                 merge_edge_stats_rows,
                 pack_encode_features,
@@ -402,15 +403,16 @@ class DecisionTreeClassifier:
                 )
                 if hasattr(stats_df, "toArrow"):
                     # partitions x features rows of double-lists: Arrow IPC
-                    # transport instead of py4j row pickling (the rows are
-                    # tuple-indexed either way).
-                    t = stats_df.toArrow()
-                    stat_rows = list(
-                        zip(*(t.column(i).to_pylist() for i in range(5)))
-                    )
+                    # transport + zero-copy numpy views instead of py4j row
+                    # pickling (the rows are tuple-indexed either way).
+                    stat_rows = arrow_stat_rows(stats_df.toArrow())
                 else:  # pragma: no cover - pre-Arrow-collect Spark
                     stat_rows = stats_df.collect()
                 bin_edges = merge_edge_stats_rows(stat_rows, feature_names, n_bins)
+                del stat_rows
+                from efficient_trees_spark.operators.histogram import _trim_malloc
+
+                _trim_malloc()
                 self.bin_edges_ = bin_edges
                 if (
                     max((len(e) for e in bin_edges.values()), default=0)
