@@ -303,3 +303,62 @@ def test_route_codes_semantics():
     splits = [(0, 0, 2, 1, -1), (1, 1, 10, 3, 4)]
     out = route_codes(mat, splits)
     assert out.tolist() == [3, 3, -1, -1, -1, 4, -1]
+
+
+def test_arrow_stat_rows_matches_collect(spark):
+    """The zero-copy Arrow consumption of the order-stats relation must see
+    exactly what row collect() sees — same tuples, same merged edges."""
+    from efficient_trees_spark.operators.histogram import (
+        arrow_stat_rows,
+        merge_edge_stats_rows,
+        partition_order_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 7), float(i % 3), i % 2) for i in range(500)]
+        + [(None, float("nan"), 0)],
+        "a double, b double, t int",
+    ).repartition(4)
+    stats_df = partition_order_stats(df, ["a", "b"], 8, dtype="f4")
+    via_arrow = arrow_stat_rows(stats_df.toArrow())
+    via_rows = stats_df.collect()
+    assert len(via_arrow) == len(via_rows)
+    key = lambda r: (r[0], list(map(float, r[1])))  # noqa: E731
+    for a, r in zip(sorted(via_arrow, key=key), sorted(via_rows, key=key)):
+        assert a[0] == r[0]
+        assert list(map(float, a[1])) == list(map(float, r[1]))
+        assert list(map(float, a[2])) == list(map(float, r[2]))
+        assert float(a[3]) == float(r[3]) and int(a[4]) == int(r[4])
+    ea = merge_edge_stats_rows(via_arrow, ["a", "b"], 4)
+    er = merge_edge_stats_rows(via_rows, ["a", "b"], 4)
+    assert ea == er
+
+
+def test_arrow_cube_rows_zero_copy_merge(spark):
+    """_arrow_cube_rows buffers feed merge_cubes_to_counts_pdf identically
+    to collect() rows."""
+    import pyarrow as pa
+
+    from efficient_trees_spark.operators.histogram import (
+        merge_cubes_to_counts_pdf,
+    )
+    from efficient_trees_spark.operators.split_finder import _arrow_cube_rows
+
+    edges = {"f": [0.0, 1.0, 2.0]}
+    flat = 1 * 4 * 2  # 1 feature x (3 edges + nan slot) x 2 classes
+    cubes = [
+        (0, np.arange(flat, dtype=np.int64).tobytes()),
+        (0, np.ones(flat, dtype=np.int64).tobytes()),
+        (1, (2 * np.ones(flat, dtype=np.int64)).tobytes()),
+    ]
+    tbl = pa.table(
+        {
+            "n": pa.array([c[0] for c in cubes], type=pa.int32()),
+            "c": pa.array([c[1] for c in cubes], type=pa.binary()),
+        }
+    )
+    pdf_a, _ = merge_cubes_to_counts_pdf(
+        _arrow_cube_rows(tbl), ["f"], 2, edges, "n"
+    )
+    pdf_r, _ = merge_cubes_to_counts_pdf(cubes, ["f"], 2, edges, "n")
+    assert pdf_a.equals(pdf_r)
