@@ -419,6 +419,61 @@ def merge_edge_stats_rows(
     }
 
 
+def _spark_size_bytes(s: str) -> int:
+    """Parse a Spark size conf string ('1g', '512m', '1024', '2gb') to
+    bytes.  0 / negative means unlimited in Spark; callers map that to
+    their own ceiling."""
+    s = str(s).strip().lower()
+    if s.endswith("b") and len(s) > 1 and not s[-2].isdigit():
+        s = s[:-1]
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(float(s))
+
+
+def stats_collect_budget(spark) -> int:
+    """Raw-bytes budget for collecting per-partition order-stats rows to
+    the driver: HALF of ``spark.driver.maxResultSize`` (serialized task
+    results compress below raw doubles, so raw ≤ half the cap stays
+    clearly inside it), with unlimited (≤ 0) mapped to 4 GiB — a driver
+    holding more raw stats than that should have merged distributively
+    regardless.  The x9 row-ladder rung is the motivating failure: 532
+    partitions × 190 features × 2 × 2048 doubles ≈ 3.3 GB raw serialized
+    to 1 GiB of task results and broke the default maxResultSize."""
+    try:
+        raw = spark.sparkContext.getConf().get("spark.driver.maxResultSize", "1g")
+    except Exception:  # pragma: no cover - Connect-style sessions
+        raw = "1g"
+    try:
+        cap = _spark_size_bytes(raw)
+    except ValueError:
+        cap = 1 << 30
+    if cap <= 0:
+        return 4 << 30
+    return cap // 2
+
+
+def merge_order_stats_distributed(
+    stats_df: DataFrame, feature_names: list[str], n_bins: int
+) -> dict[str, list[float]]:
+    """Cluster-scale stage-2 merge over :func:`partition_order_stats`
+    output: a feature-keyed shuffle + ``applyInPandas`` merge so the
+    driver collects only F merged edge rows instead of partitions ×
+    features stats rows.  Same numeric core as
+    :func:`merge_edge_stats_rows` (``_merge_feature_edge_stats``) —
+    edges are bit-identical; tree.py switches here when the raw stats
+    volume would approach ``spark.driver.maxResultSize``."""
+    partials = stats_df.select(
+        F.col(STATS_FEATURE).alias(FEATURE),
+        F.col("__sv").alias("vals"),
+        F.col("__sg").alias("gaps"),
+        F.col("__svx").alias("vmax"),
+        F.col("__sn").alias("n"),
+    )
+    return _merge_edge_stats(partials, feature_names, n_bins)
+
+
 def arrow_stat_rows(tbl) -> list[tuple]:
     """Collected order-stats Arrow table -> (feature, vals, gaps, vmax, n)
     tuples whose vals/gaps are ZERO-COPY numpy views over the list columns'

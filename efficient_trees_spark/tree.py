@@ -401,17 +401,39 @@ class DecisionTreeClassifier:
                 stats_df = partition_order_stats(
                     prepared, feature_names, stats, dtype=dtype
                 )
-                if hasattr(stats_df, "toArrow"):
-                    # partitions x features rows of double-lists: Arrow IPC
-                    # transport + zero-copy numpy views instead of py4j row
-                    # pickling (the rows are tuple-indexed either way).
-                    stat_rows = arrow_stat_rows(stats_df.toArrow())
-                else:  # pragma: no cover - pre-Arrow-collect Spark
-                    stat_rows = stats_df.collect()
-                bin_edges = merge_edge_stats_rows(stat_rows, feature_names, n_bins)
-                del stat_rows
-                from efficient_trees_spark.operators.histogram import _trim_malloc
+                # The raw stats volume is partitions × features × 2·stats
+                # doubles — row-count-independent but PARTITION-proportional,
+                # and a many-partition input (wide ladder x9: 532 parquet
+                # splits) serializes past spark.driver.maxResultSize.  Under
+                # budget, collect + driver merge (skips a whole Spark job);
+                # over it, the feature-keyed distributed merge collects only
+                # F edge rows.  Edges are bit-identical either way.
+                from efficient_trees_spark.operators.histogram import (
+                    _trim_malloc,
+                    merge_order_stats_distributed,
+                    stats_collect_budget,
+                )
 
+                n_parts = prepared.rdd.getNumPartitions()
+                est_stats_bytes = (
+                    n_parts * len(feature_names) * (2 * stats * 8 + 48)
+                )
+                if est_stats_bytes > stats_collect_budget(prepared.sparkSession):
+                    bin_edges = merge_order_stats_distributed(
+                        stats_df, feature_names, n_bins
+                    )
+                else:
+                    if hasattr(stats_df, "toArrow"):
+                        # partitions x features rows of double-lists: Arrow
+                        # IPC transport + zero-copy numpy views instead of
+                        # py4j row pickling (tuple-indexed either way).
+                        stat_rows = arrow_stat_rows(stats_df.toArrow())
+                    else:  # pragma: no cover - pre-Arrow-collect Spark
+                        stat_rows = stats_df.collect()
+                    bin_edges = merge_edge_stats_rows(
+                        stat_rows, feature_names, n_bins
+                    )
+                    del stat_rows
                 _trim_malloc()
                 self.bin_edges_ = bin_edges
                 if (

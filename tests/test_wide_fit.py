@@ -334,6 +334,63 @@ def test_arrow_stat_rows_matches_collect(spark):
     assert ea == er
 
 
+def test_distributed_stats_merge_matches_driver_merge(spark):
+    """merge_order_stats_distributed (the over-maxResultSize fallback) must
+    place bit-identical edges to the collect + driver merge path."""
+    from efficient_trees_spark.operators.histogram import (
+        arrow_stat_rows,
+        merge_edge_stats_rows,
+        merge_order_stats_distributed,
+        partition_order_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 13) / 3.0, float(i % 5), i % 2) for i in range(700)]
+        + [(None, float("nan"), 1)],
+        "a double, b double, t int",
+    ).repartition(6)
+    stats_df = partition_order_stats(df, ["a", "b"], 16, dtype="f4")
+    driver = merge_edge_stats_rows(
+        arrow_stat_rows(stats_df.toArrow()), ["a", "b"], 6
+    )
+    dist = merge_order_stats_distributed(stats_df, ["a", "b"], 6)
+    assert dist == driver
+
+
+def test_stats_collect_budget_parses_sizes(spark):
+    from efficient_trees_spark.operators.histogram import (
+        _spark_size_bytes,
+        stats_collect_budget,
+    )
+
+    assert _spark_size_bytes("1g") == 1 << 30
+    assert _spark_size_bytes("512m") == 512 << 20
+    assert _spark_size_bytes("2gb") == 2 << 30
+    assert _spark_size_bytes("1024") == 1024
+    # real session: budget is half the configured maxResultSize (>0)
+    assert stats_collect_budget(spark) > 0
+
+
+def test_binned_fit_identical_under_distributed_stats_merge(spark, monkeypatch):
+    """Force the stats budget to zero so a binned fit takes the distributed
+    stage-2 merge, and assert the learned tree is identical."""
+    import efficient_trees_spark.operators.histogram as H
+    from efficient_trees_spark.tree import DecisionTreeClassifier
+
+    df = spark.createDataFrame(
+        [(float(i % 11), float((i * 7) % 23) / 2.0, i % 3) for i in range(400)],
+        "x0 double, x1 double, label int",
+    ).repartition(5)
+    kw = dict(max_depth=3, max_bins=8, hist_method="arrow")
+    base = DecisionTreeClassifier(**kw)
+    base.fit(df, "label")
+    monkeypatch.setattr(H, "stats_collect_budget", lambda _s: 0)
+    forced = DecisionTreeClassifier(**kw)
+    forced.fit(df, "label")
+    assert forced.tree == base.tree
+    assert forced.bin_edges_ == base.bin_edges_
+
+
 def test_arrow_cube_rows_zero_copy_merge(spark):
     """_arrow_cube_rows buffers feed merge_cubes_to_counts_pdf identically
     to collect() rows."""
