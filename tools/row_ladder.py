@@ -187,10 +187,13 @@ def main() -> None:
         for m in MULTS:
             print(f"# {name} x{m} ...", file=sys.stderr)
             results[name][m] = timed(fn, spark, dirs[m], runs)
+            # per-rung progress line so a killed run still leaves its timings
+            print(f"# {name} x{m} = {results[name][m]}s", file=sys.stderr)
     results["tree_fit_wide"] = {}
     for m in WIDE_MULTS:
         print(f"# tree_fit_wide x{m} ...", file=sys.stderr)
         results["tree_fit_wide"][m] = timed(wide_fit_fn(m), spark, base, runs)
+        print(f"# tree_fit_wide x{m} = {results['tree_fit_wide'][m]}s", file=sys.stderr)
 
     print("| query | " + " | ".join(f"x{m} (s)" for m in MULTS) + " | alpha | note |")
     print("|---" * (len(MULTS) + 3) + "|")
