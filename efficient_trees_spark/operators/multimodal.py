@@ -85,14 +85,21 @@ def fake_image_features(df: DataFrame, id_col: str = "doc_id", payload_col: str 
     return df.select(id_col, payload_col).mapInPandas(featurize, FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("payload", BinaryType()),
-        StructField("width", IntegerType()),
-        StructField("height", IntegerType()),
-    ]
-)
+def _resize_schema(id_col: str, payload_col: str) -> StructType:
+    """Output schema for :func:`resize_image`, keyed by the caller's id and
+    payload columns — non-default names keep their names in the output
+    (same contract as :func:`_decode_schema`)."""
+    return StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(payload_col, BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+
+RESIZE_SCHEMA = _resize_schema("doc_id", "payload")
 
 
 def resize_image(
@@ -169,9 +176,13 @@ def resize_image(
                 )
                 for doc_id, payload in zip(pdf[id_col], pdf[payload_col])
             ]
-            yield pd.DataFrame(rows, columns=["doc_id", "payload", "width", "height"])
+            yield pd.DataFrame(
+                rows, columns=[id_col, payload_col, "width", "height"]
+            )
 
-    return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        resize, _resize_schema(id_col, payload_col)
+    )
 
 
 def _decode_schema(id_col: str) -> StructType:

@@ -461,6 +461,7 @@ def find_best_splits_packed(
         merge_cubes_to_counts_pdf,
         packed_histogram_counts,
         packed_histogram_cubes,
+        stats_collect_budget,
     )
 
     if all_feature_names is not None and all_feature_names != list(feature_names):
@@ -483,9 +484,15 @@ def find_best_splits_packed(
             + (n_classes * 8 if want_distributions else 0)
         )
         n_parts = packed_df.rdd.getNumPartitions()
+        # Also bounded by the configured spark.driver.maxResultSize (dense
+        # int64 cubes serialize at most at raw size, so half the cap is
+        # clearly safe) — a cluster with a small maxResultSize must fall
+        # back rather than fail the collect.
+        cube_budget = min(
+            _DENSE_CUBE_MAX_BYTES, stats_collect_budget(packed_df.sparkSession)
+        )
         dense_ok = (
-            n_parts * max(1, n_pending_nodes or 1) * cube_bytes
-            <= _DENSE_CUBE_MAX_BYTES
+            n_parts * max(1, n_pending_nodes or 1) * cube_bytes <= cube_budget
         )
         distributions: dict[int, list] | None = None
         if dense_ok:
