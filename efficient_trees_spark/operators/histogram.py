@@ -365,11 +365,17 @@ def _merge_feature_edge_stats(
 
 
 def _merge_edge_stats(
-    partials: DataFrame, feature_names: list[str], n_bins: int
-) -> dict[str, list[float]]:
+    partials: DataFrame, feature_names: list[str], n_bins: int,
+    with_counts: bool = False,
+):
     """Stage 2 of the order-statistic edge computation (shared by the
     column-wise and packed stage-1 variants): weighted merge of the
-    per-partition statistics keyed by feature, union of the TRUE max."""
+    per-partition statistics keyed by feature, union of the TRUE max.
+
+    ``with_counts=True`` additionally returns ``{feature: total_n}`` (the
+    summed per-partition non-null counts) riding the SAME merge job — the
+    caller-side row estimate for sizing the persisted code cache's
+    partitions costs no extra pass."""
     import pandas as pd
 
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -378,28 +384,40 @@ def _merge_edge_stats(
             list(pdf["n"]), n_bins,
         )
         return pd.DataFrame(
-            {FEATURE: [pdf[FEATURE].iloc[0]], "edges": [edges]}
+            {
+                FEATURE: [pdf[FEATURE].iloc[0]],
+                "edges": [edges],
+                "total_n": [int(pdf["n"].sum())],
+            }
         )
 
     rows = (
         partials.groupBy(FEATURE)
-        .applyInPandas(merge, f"{FEATURE} string, edges array<double>")
+        .applyInPandas(
+            merge, f"{FEATURE} string, edges array<double>, total_n long"
+        )
         .collect()
     )
     found = {row[FEATURE]: list(row["edges"]) for row in rows}
-    return {name: found.get(name, []) for name in feature_names}
+    edges_map = {name: found.get(name, []) for name in feature_names}
+    if with_counts:
+        counts = {row[FEATURE]: int(row["total_n"]) for row in rows}
+        return edges_map, {name: counts.get(name, 0) for name in feature_names}
+    return edges_map
 
 
 def merge_edge_stats_rows(
-    rows, feature_names: list[str], n_bins: int
-) -> dict[str, list[float]]:
+    rows, feature_names: list[str], n_bins: int, with_counts: bool = False
+):
     """Driver-local stage-2 merge over COLLECTED stats rows (feature, vals,
     gaps, vmax, n) — the fused-pack path's counterpart of
     :func:`_merge_edge_stats`.  The per-partition stats volume is
     partitions × features × stats doubles (KBs at any corpus size: it does
     not grow with rows), so collecting it is cluster-safe, and skipping
     the feature-keyed shuffle + applyInPandas saves a whole Spark job.
-    Same numeric core — edges are bit-identical."""
+    Same numeric core — edges are bit-identical.  ``with_counts=True``
+    additionally returns ``{feature: total_n}`` summed from the already-held
+    per-partition counts (the :func:`_merge_edge_stats` contract)."""
     by_feature: dict[str, list[list]] = {}
     for r in rows:
         by_feature.setdefault(r[0], [[], [], [], []])
@@ -409,7 +427,7 @@ def merge_edge_stats_rows(
         acc[2].append(float(r[3]))
         acc[3].append(int(r[4]))
     del rows
-    return {
+    edges_map = {
         name: (
             _merge_feature_edge_stats(*by_feature[name], n_bins)
             if name in by_feature
@@ -417,6 +435,13 @@ def merge_edge_stats_rows(
         )
         for name in feature_names
     }
+    if with_counts:
+        counts = {
+            name: int(sum(by_feature[name][3])) if name in by_feature else 0
+            for name in feature_names
+        }
+        return edges_map, counts
+    return edges_map
 
 
 def _spark_size_bytes(s: str) -> int:
@@ -455,15 +480,17 @@ def stats_collect_budget(spark) -> int:
 
 
 def merge_order_stats_distributed(
-    stats_df: DataFrame, feature_names: list[str], n_bins: int
-) -> dict[str, list[float]]:
+    stats_df: DataFrame, feature_names: list[str], n_bins: int,
+    with_counts: bool = False,
+):
     """Cluster-scale stage-2 merge over :func:`partition_order_stats`
     output: a feature-keyed shuffle + ``applyInPandas`` merge so the
     driver collects only F merged edge rows instead of partitions ×
     features stats rows.  Same numeric core as
     :func:`merge_edge_stats_rows` (``_merge_feature_edge_stats``) —
     edges are bit-identical; tree.py switches here when the raw stats
-    volume would approach ``spark.driver.maxResultSize``."""
+    volume would approach ``spark.driver.maxResultSize``.
+    ``with_counts`` as in :func:`_merge_edge_stats`."""
     partials = stats_df.select(
         F.col(STATS_FEATURE).alias(FEATURE),
         F.col("__sv").alias("vals"),
@@ -471,7 +498,7 @@ def merge_order_stats_distributed(
         F.col("__svx").alias("vmax"),
         F.col("__sn").alias("n"),
     )
-    return _merge_edge_stats(partials, feature_names, n_bins)
+    return _merge_edge_stats(partials, feature_names, n_bins, with_counts)
 
 
 def arrow_stat_rows(tbl) -> list[tuple]:
@@ -974,7 +1001,8 @@ def distinct_edges_packed(
     dtype: str = "f4",
     packed_col: str = PACKED_COL,
     packed: bool = True,
-) -> dict[str, list[float]]:
+    with_counts: bool = False,
+):
     """EXACT-mode candidate edges: every distinct non-NaN/non-NULL value per
     feature, provided every feature fits uint8 code space (``max_distinct``,
     253).  With these edges the packed path IS the reference's exact split
@@ -994,7 +1022,12 @@ def distinct_edges_packed(
     raw blob — the first pass of exact mode's two-scan flow, so no raw
     cache exists there either.  The value multiset per feature is the same
     ``dtype``-converted set either way, and a distinct set is
-    partitioning-independent, so edges are identical."""
+    partitioning-independent, so edges are identical.
+
+    ``with_counts=True`` returns ``(edges, total_rows)``: each partition's
+    stats rows also carry its ROW count (not per-feature non-null), summed
+    in the same merge job — the zero-extra-pass estimate for sizing the
+    code cache's partitions (tree.py ``_coalesce_for_pack``)."""
     import pyarrow as pa
 
     names = list(feature_names)
@@ -1026,6 +1059,7 @@ def distinct_edges_packed(
             return
         full = np.concatenate(mats) if len(mats) > 1 else mats[0]
         mats.clear()  # `full` owns (or is) the data now; drop the batch refs
+        part_rows = int(full.shape[0])
         feats, vals_out, over_out = [], [], []
         for j, name in enumerate(names):
             v = full[:, j]
@@ -1045,23 +1079,34 @@ def distinct_edges_packed(
                 pa.array(feats, type=pa.string()),
                 pa.array([x.tolist() for x in vals_out], type=pa.list_(pa.float64())),
                 pa.array(over_out, type=pa.bool_()),
+                pa.array([part_rows] * len(feats), type=pa.int64()),
             ],
-            names=[FEATURE, "vals", "overflow"],
+            names=[FEATURE, "vals", "overflow", "n"],
         )
         _trim_malloc()
 
     partials = packed_df.select(packed_col if packed else "__arr").mapInArrow(
-        partition_distinct, f"{FEATURE} string, vals array<double>, overflow boolean"
+        partition_distinct,
+        f"{FEATURE} string, vals array<double>, overflow boolean, n long",
     )
     merged = (
         partials.select(
-            FEATURE, "overflow", F.explode_outer("vals").alias("__v")
+            FEATURE,
+            "overflow",
+            "n",
+            F.posexplode_outer("vals").alias("__pos", "__v"),
         )
         .groupBy(FEATURE)
         .agg(
             F.max("overflow").alias("overflow"),
             F.count_distinct("__v").alias("__nd"),
             F.slice(F.sort_array(F.collect_set("__v")), 1, cap + 1).alias("vals"),
+            # each (feature, partition) stats row explodes into one row per
+            # distinct value, every copy carrying that partition's row count
+            # — counting n only at __pos == 0 sums each partition ONCE.
+            F.sum(
+                F.when(F.col("__pos") == 0, F.col("n")).otherwise(F.lit(0))
+            ).alias("__tn"),
         )
         .collect()
     )
@@ -1078,6 +1123,9 @@ def distinct_edges_packed(
     edges = {name: [] for name in names}  # all-NULL/NaN features: no candidates
     for r in merged:
         edges[r[FEATURE]] = list(r["vals"])
+    if with_counts:
+        total_rows = max((int(r["__tn"]) for r in merged), default=0)
+        return edges, total_rows
     return edges
 
 

@@ -102,6 +102,61 @@ def _fan_out_small_input(prepared: DataFrame) -> DataFrame:
     return prepared
 
 
+def _packed_partition_target(
+    n_parts: int, n_rows: int, width: int, parallelism: int
+) -> int:
+    """Partition count the persisted uint8 code cache SHOULD have: enough
+    partitions that every core gets ≥ 4 waves (the pack+encode scan runs at
+    this granularity too, and a 2-wave schedule was measured ~15% slower on
+    the ×30 rung from straggler tail alone), few enough that each holds
+    ~``SPARK_GRAFT_PACKED_PARTITION_BYTES`` (default 64 MB) of codes.
+    Returns ``n_parts`` unchanged when no reduction is warranted."""
+    import math
+    import os
+
+    target_bytes = int(
+        os.environ.get("SPARK_GRAFT_PACKED_PARTITION_BYTES", str(64 << 20))
+    )
+    # +8: per-row binary header + the int target column riding the blob.
+    want = max(
+        4 * parallelism, math.ceil(max(1, n_rows) * (width + 8) / target_bytes)
+    )
+    return want if n_parts > want else n_parts
+
+
+def _coalesce_for_pack(
+    prepared: DataFrame, n_rows: int | None, width: int
+) -> DataFrame:
+    """Right-size the partitioning the pack+encode pass — and therefore the
+    PERSISTED code cache every per-level histogram job re-reads — inherits.
+
+    The code relation's partition count defaults to the SOURCE scan's split
+    count, sized for reading raw parquet (16–128 MB of compressed floats),
+    not for 1-byte/cell codes: at the ×30 wide ladder rung (18M × 190) the
+    13 GB table scanned as 848 splits, so the cache held ~4 MB of codes per
+    partition and every level's ``mapInArrow`` paid 848 python-worker round
+    trips — measured 16 s/level, and the partitions × nodes dense-cube
+    driver merge fell out of budget from level 1 (split_finder.py).
+    Coalescing (zero shuffle — adjacent splits merge map-side; the pack fn
+    streams per Arrow batch, so per-task memory does not grow) to ~64 MB of
+    codes per partition amortizes the round trips, keeps the dense merge in
+    budget at every level, and leaves ≥ 2 waves per core for balance.  Row
+    counts ride the edge-stats / distinct merges (``with_counts``), so
+    sizing costs no extra job; partition-count-only reduction changes no
+    per-row value — trees are bit-identical (histograms are exact integer
+    sums, edges are already placed)."""
+    if not n_rows:
+        return prepared
+    sc = prepared.sparkSession.sparkContext
+    n_parts = prepared.rdd.getNumPartitions()
+    want = _packed_partition_target(
+        n_parts, n_rows, width, sc.defaultParallelism
+    )
+    if want < n_parts:
+        return prepared.coalesce(want)
+    return prepared
+
+
 class DecisionTreeClassifier:
     """Decision tree classifier with a Spark DataFrame backend.
 
@@ -419,8 +474,8 @@ class DecisionTreeClassifier:
                     n_parts * len(feature_names) * (2 * stats * 8 + 48)
                 )
                 if est_stats_bytes > stats_collect_budget(prepared.sparkSession):
-                    bin_edges = merge_order_stats_distributed(
-                        stats_df, feature_names, n_bins
+                    bin_edges, feat_counts = merge_order_stats_distributed(
+                        stats_df, feature_names, n_bins, with_counts=True
                     )
                 else:
                     if hasattr(stats_df, "toArrow"):
@@ -430,11 +485,12 @@ class DecisionTreeClassifier:
                         stat_rows = arrow_stat_rows(stats_df.toArrow())
                     else:  # pragma: no cover - pre-Arrow-collect Spark
                         stat_rows = stats_df.collect()
-                    bin_edges = merge_edge_stats_rows(
-                        stat_rows, feature_names, n_bins
+                    bin_edges, feat_counts = merge_edge_stats_rows(
+                        stat_rows, feature_names, n_bins, with_counts=True
                     )
                     del stat_rows
                 _trim_malloc()
+                n_rows_est = max(feat_counts.values(), default=0)
                 self.bin_edges_ = bin_edges
                 if (
                     max((len(e) for e in bin_edges.values()), default=0)
@@ -443,6 +499,9 @@ class DecisionTreeClassifier:
                     # The persisted training relation becomes uint8 bin codes
                     # (1 byte/cell); routing and histograms run on codes —
                     # order-isomorphic to raw values, bit-identical trees.
+                    prepared = _coalesce_for_pack(
+                        prepared, n_rows_est, len(feature_names)
+                    )
                     prepared = pack_encode_features(
                         prepared, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
                     )
@@ -462,8 +521,12 @@ class DecisionTreeClassifier:
                 # pass reads the columnar relation directly and the encode
                 # is fused — no raw float cache in exact mode either.
                 try:
-                    bin_edges = distinct_edges_packed(
-                        prepared, feature_names, dtype=dtype, packed=False
+                    bin_edges, n_rows_est = distinct_edges_packed(
+                        prepared,
+                        feature_names,
+                        dtype=dtype,
+                        packed=False,
+                        with_counts=True,
                     )
                 except ValueError:
                     if not exact_auto_fallback:
@@ -480,6 +543,9 @@ class DecisionTreeClassifier:
                     prepared = prepared_base
                 else:
                     self.bin_edges_ = bin_edges
+                    prepared = _coalesce_for_pack(
+                        prepared, n_rows_est, len(feature_names)
+                    )
                     prepared = pack_encode_features(
                         prepared, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
                     )

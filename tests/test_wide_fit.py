@@ -419,3 +419,60 @@ def test_arrow_cube_rows_zero_copy_merge(spark):
     )
     pdf_r, _ = merge_cubes_to_counts_pdf(cubes, ["f"], 2, edges, "n")
     assert pdf_a.equals(pdf_r)
+
+
+def test_packed_partition_target_sizing():
+    """Size-based code-cache partitioning: reduce many tiny source splits
+    toward ~64 MB of codes per partition, floored at 4x parallelism (wave
+    balance for the fused encode scan); never increase; never act without
+    a row estimate (callers skip coalesce)."""
+    from efficient_trees_spark.tree import _packed_partition_target
+
+    # x30 ladder shape: 18M rows x 190 features over 848 splits -> ~3.5 GB
+    # of codes -> ~64 MB per partition wants ~56, floored at 4*32.
+    assert _packed_partition_target(848, 18_000_000, 190, 32) == 128
+    # small input: no reduction (want above current count)
+    assert _packed_partition_target(32, 600_000, 190, 32) == 32
+    # huge input: bytes target and the 4x-parallelism floor both bound it
+    big = _packed_partition_target(800_000, 10_000_000_000, 190, 8000)
+    assert big == max(32_000, -(-10_000_000_000 * 198 // (64 << 20)))
+    assert big < 800_000
+
+
+def test_stats_merges_with_counts(spark):
+    """with_counts rides every edge-merge path and reports the same total
+    row count the relation actually has; edges are unchanged."""
+    from efficient_trees_spark.operators.histogram import (
+        arrow_stat_rows,
+        distinct_edges_packed,
+        merge_edge_stats_rows,
+        merge_order_stats_distributed,
+        partition_order_stats,
+    )
+
+    rows = [(float(i % 13) / 3.0, float(i % 5), i % 2) for i in range(700)]
+    df = spark.createDataFrame(
+        rows + [(None, float("nan"), 1)], "a double, b double, t int"
+    ).repartition(6)
+    stats_df = partition_order_stats(df, ["a", "b"], 16, dtype="f4")
+    stat_rows = arrow_stat_rows(stats_df.toArrow())
+    plain = merge_edge_stats_rows(stat_rows, ["a", "b"], 6)
+    edges_d, counts_d = merge_edge_stats_rows(
+        stat_rows, ["a", "b"], 6, with_counts=True
+    )
+    assert edges_d == plain
+    # per-feature non-null totals: 'a' misses the NULL row, 'b' the NaN row
+    assert counts_d == {"a": 700, "b": 700}
+    edges_x, counts_x = merge_order_stats_distributed(
+        stats_df, ["a", "b"], 6, with_counts=True
+    )
+    assert edges_x == plain
+    assert counts_x == counts_d
+
+    exact_plain = distinct_edges_packed(df, ["a", "b"], dtype="f4", packed=False)
+    exact_edges, total_rows = distinct_edges_packed(
+        df, ["a", "b"], dtype="f4", packed=False, with_counts=True
+    )
+    assert exact_edges == exact_plain
+    # per-partition ROW counts (not non-null) summed once per partition
+    assert total_rows == 701
