@@ -1,0 +1,167 @@
+"""Distributed BPE tokenizer training and encoding.
+
+Byte-pair-encoding merge-table training (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units") expressed
+Spark-first.  The scale design is the one every production BPE trainer
+(fastBPE, HuggingFace tokenizers) uses, lifted to a cluster:
+
+1. **Compress the corpus to its word-frequency table first.**  Pair
+   statistics only depend on (distinct word, count), so the single
+   corpus-sized shuffle happens once (`word_frequencies`); every one of the
+   ``n_merges`` training rounds then runs on the vocabulary-sized relation
+   (millions of rows at 100 TB, not trillions of tokens).
+2. **One tiny driver sync per merge round.**  Each round is one hash
+   aggregation over the cached vocabulary plus a 1-row argmax collect (the
+   winning pair) — the merge itself is a pure JVM string ``replace`` on the
+   symbol column, no Python workers anywhere.
+3. **Encoding is expression-only.**  A trained merge list compiles to a
+   nested chain of ``replace`` calls inside ``F.transform`` over the token
+   array — whole-stage-codegen, zero shuffle, linear in the corpus.
+
+Symbol representation (shared bit-for-bit with the DuckDB oracle in
+``workloads/text_pipeline.py``): a word's symbol sequence is kept as a
+single string with TWO-space separators and two-space padding, e.g.
+``"  l  o  w  </w>  "``.  Applying merge ``(a, b)`` is then the literal
+replace of ``" a  b "`` with ``" ab "``: the pattern consumes one space on
+each side and the replacement restores it, so consecutive non-overlapping
+occurrences all merge in a single left-to-right pass — exactly standard BPE
+semantics ("a b a b" -> "ab ab", "a a a" -> "aa a"), identical in Spark's
+``replace`` and DuckDB's (both scan forward from the end of the previous
+replacement).  A single-space representation would eat the shared delimiter
+and skip every second occurrence.
+
+The reference engine has no tokenizer training; this is part of the
+training-data-pipeline extension surface (SURVEY.md §7.1 step 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.functions import text
+
+END_OF_WORD = "</w>"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, freq)`` over the tokenization contract — the ONE
+    corpus-sized shuffle of BPE training."""
+    return (
+        docs.select(F.explode(text.tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def initial_symbols(word: Column | str) -> Column:
+    """Two-space-padded character symbols + end-of-word marker:
+    ``"low"`` -> ``"  l  o  w  </w>  "``."""
+    w = F.col(word) if isinstance(word, str) else word
+    return F.concat(
+        F.lit("  "), F.regexp_replace(w, "(.)", "$1  "), F.lit(END_OF_WORD + "  ")
+    )
+
+
+def symbols_array(syms: Column | str) -> Column:
+    """Split the padded symbol string back to its symbol array."""
+    s = F.col(syms) if isinstance(syms, str) else syms
+    return F.filter(F.split(s, "  "), lambda x: x != F.lit(""))
+
+
+def pair_counts(vocab: DataFrame, syms_col: str = "syms") -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency.
+
+    ``pair`` is the space-joined symbol pair (symbols never contain
+    spaces).  Vocabulary-sized aggregation — no corpus scan."""
+    toks = symbols_array(syms_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        vocab.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def merge_expr(syms: Column | str, left: str, right: str) -> Column:
+    """Apply one merge ``(left, right) -> left+right`` to a padded symbol
+    string — a literal JVM replace, see module docstring for why the
+    one-space-pattern / two-space-separator shape is exact."""
+    s = F.col(syms) if isinstance(syms, str) else syms
+    return F.replace(
+        s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges; returns the ranked merge list.
+
+    Tie-break: highest count, then lexicographically smallest pair (binary
+    collation — identical in Spark and the SQL oracle).  Each round is one
+    vocabulary-sized aggregation + a 1-row collect; the corpus is touched
+    exactly once (``word_frequencies``).
+    """
+    if vocab is None:
+        vocab = word_frequencies(docs, text_col)
+    base = vocab.withColumn("syms", initial_symbols("word")).cache()
+    try:
+        merges: list[tuple[str, str]] = []
+        cur = base
+        for _ in range(n_merges):
+            top = (
+                pair_counts(cur)
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # every word fully merged — corpus exhausted
+            left, right = top[0]["pair"].split(" ")
+            merges.append((left, right))
+            cur = cur.withColumn("syms", merge_expr("syms", left, right))
+        return merges
+    finally:
+        base.unpersist()
+
+
+def segment_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Compile a merge list into a pure-expression word segmenter:
+    char symbols -> fold of literal replaces -> symbol array."""
+    s = initial_symbols(word)
+    for left, right in merges:
+        s = merge_expr(s, left, right)
+    return symbols_array(s)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode each document to its BPE symbol sequence.
+
+    Expression-only (the merge table is compiled into the plan as nested
+    replaces inside ``F.transform``): zero shuffle, zero Python, linear
+    scan.  For corpora with heavy word repetition a distinct-word
+    broadcast-join variant would trade the per-token replace chain for one
+    vocabulary join; the expression form keeps the plan shuffle-free."""
+    return docs.select(
+        id_col,
+        F.flatten(
+            F.transform(text.tokens(text_col), lambda w: segment_expr(w, merges))
+        ).alias(out_col),
+    )

@@ -99,10 +99,91 @@ _LM_ORACLE = f"""
 """
 
 
+# ------------------------------------------------ BPE tokenizer-training legs
+# DuckDB twin of operators/bpe.py: same two-space symbol representation,
+# same literal-replace merge semantics (both engines' replace() scans
+# forward from the end of the previous replacement), same
+# (count DESC, pair ASC) binary-collation tie-break.  Each merge round is
+# one MATERIALIZED CTE chain link — materialization keeps the n-round
+# chain linear instead of exponentially re-inlining the vocabulary scan.
+_BPE_MERGES = 8
+_BPE_TOP_PAIRS = 15
+_BPE_TOP_TOKENS = 20
+_BPE_SYM0 = "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w>  '"
+
+
+def _bpe_pair_rows(m: str) -> str:
+    """Adjacent-pair rows (pair, freq) from the symbol column of CTE ``m``."""
+    return (
+        "SELECT l[i] || ' ' || l[i+1] AS pair, freq FROM ("
+        "SELECT l, unnest(range(1, len(l))) AS i, freq FROM ("
+        f"SELECT list_filter(string_split(s, '  '), x -> x != '') AS l, freq "
+        f"FROM {m}))"
+    )
+
+
+def _bpe_oracle_parts() -> tuple[str, str]:
+    """(WITH-clause body, UNION-ALL legs) for the BPE suite legs."""
+    ctes = [
+        "bpe_w AS MATERIALIZED (SELECT tok AS word, count(*) AS freq FROM "
+        f"(SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY 1)",
+        f"bpe_m0 AS MATERIALIZED (SELECT word, freq, {_BPE_SYM0} AS s FROM bpe_w)",
+    ]
+    for k in range(_BPE_MERGES):
+        ctes.append(
+            f"bpe_p{k} AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) "
+            f"AS cnt FROM ({_bpe_pair_rows(f'bpe_m{k}')}) GROUP BY 1)"
+        )
+        ctes.append(
+            f"bpe_b{k} AS MATERIALIZED (SELECT pair, cnt FROM bpe_p{k} "
+            "ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"bpe_m{k + 1} AS MATERIALIZED (SELECT word, freq, replace(s, "
+            "(SELECT ' ' || string_split(pair, ' ')[1] || '  ' || "
+            f"string_split(pair, ' ')[2] || ' ' FROM bpe_b{k}), "
+            "(SELECT ' ' || string_split(pair, ' ')[1] || "
+            f"string_split(pair, ' ')[2] || ' ' FROM bpe_b{k})) AS s "
+            f"FROM bpe_m{k})"
+        )
+    merges_leg = " UNION ALL ".join(
+        f"SELECT 'bpe_merge' AS kind, pair AS key, CAST({k + 1} AS BIGINT) AS n, "
+        f"CAST(NULL AS DOUBLE) AS avg_logprob FROM bpe_b{k}"
+        for k in range(_BPE_MERGES)
+    )
+    pairs_leg = f"""
+        SELECT 'bpe_pair' AS kind, pair AS key, cnt AS n,
+               CAST(NULL AS DOUBLE) AS avg_logprob
+        FROM (SELECT pair, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+              FROM bpe_p0)
+        WHERE rn <= {_BPE_TOP_PAIRS}
+    """
+    vocab_leg = f"""
+        SELECT 'bpe_token' AS kind, sym AS key, total AS n,
+               CAST(NULL AS DOUBLE) AS avg_logprob
+        FROM (SELECT sym, CAST(sum(freq) AS BIGINT) AS total,
+                     row_number() OVER
+                         (ORDER BY CAST(sum(freq) AS BIGINT) DESC, sym) AS rn
+              FROM (SELECT unnest(list_filter(string_split(s, '  '),
+                                              x -> x != '')) AS sym, freq
+                    FROM bpe_m{_BPE_MERGES})
+              GROUP BY sym)
+        WHERE rn <= {_BPE_TOP_TOKENS}
+    """
+    legs = f"{merges_leg} UNION ALL {pairs_leg} UNION ALL {vocab_leg}"
+    return ", ".join(ctes), legs
+
+
+_BPE_CTES, _BPE_LEGS = _bpe_oracle_parts()
+
+
 @workload(
     "text_lang_id",
     oracle=f"""
-        SELECT 'lang' AS kind, lang_pred, n, CAST(NULL AS DOUBLE) AS avg_logprob
+        WITH {_BPE_CTES}
+        SELECT 'lang' AS kind, lang_pred AS key, n,
+               CAST(NULL AS DOUBLE) AS avg_logprob
         FROM (
             SELECT {_lang_id_oracle_case()} AS lang_pred, count(*) AS n
             FROM documents
@@ -110,27 +191,34 @@ _LM_ORACLE = f"""
         )
         UNION ALL
         SELECT 'lm', lang_pred, n, avg_logprob FROM ({_LM_ORACLE})
+        UNION ALL {_BPE_LEGS}
     """,
-    description="Text-signal suite: kind='lang' is stopword-overlap language "
-    "ID (argmax with lexicographic tie-break) aggregated to a distribution; "
-    "kind='lm' is the statistical-LM quality signal (operators/lm.py, "
-    "CCNet-style bucketing first pass: corpus-fit add-alpha unigram, per-doc "
-    "mean token log-prob) averaged per predicted language — the full fit + "
-    "score re-derived in SQL",
-    tags=("text", "suite"),
+    description="Corpus-level text-signal suite: kind='lang' is "
+    "stopword-overlap language ID (argmax with lexicographic tie-break) "
+    "aggregated to a distribution; kind='lm' is the statistical-LM quality "
+    "signal (operators/lm.py, CCNet-style bucketing first pass: corpus-fit "
+    "add-alpha unigram, per-doc mean token log-prob) averaged per predicted "
+    "language — the full fit + score re-derived in SQL; "
+    "kind='bpe_pair'/'bpe_merge'/'bpe_token' are distributed BPE tokenizer "
+    "training (operators/bpe.py — word-frequency-compressed, one corpus "
+    "shuffle, vocabulary-sized merge rounds): the initial top pair counts, "
+    f"the full {_BPE_MERGES}-round merge table, and the trained subword "
+    "vocabulary's top token frequencies — every merge round re-derived in "
+    "SQL via a materialized CTE chain",
+    tags=("text", "suite", "bpe"),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from efficient_trees_spark.operators import lm
+    from efficient_trees_spark.operators import bpe, lm
 
     docs = load(spark, sf_dir, "documents")
     lang = (
         docs.select(text.tokens("text").alias("__toks"))
-        .select(text.lang_id(F.lit(""), toks=F.col("__toks")).alias("lang_pred"))
-        .groupBy("lang_pred")
+        .select(text.lang_id(F.lit(""), toks=F.col("__toks")).alias("key"))
+        .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.lit("lang").alias("kind"),
-            "lang_pred",
+            "key",
             "n",
             F.lit(None).cast("double").alias("avg_logprob"),
         )
@@ -139,18 +227,59 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = lm.score_unigram_logprob(docs, model)
     langs = docs.select(
         "doc_id",
-        text.lang_id(F.lit(""), toks=text.tokens("text")).alias("lang_pred"),
+        text.lang_id(F.lit(""), toks=text.tokens("text")).alias("key"),
     )
     lm_leg = (
         scores.join(langs, "doc_id")
-        .groupBy("lang_pred")
+        .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("mean_logprob"), 6).alias("avg_logprob"),
         )
-        .select(F.lit("lm").alias("kind"), "lang_pred", "n", "avg_logprob")
+        .select(F.lit("lm").alias("kind"), "key", "n", "avg_logprob")
     )
-    return lang.unionByName(lm_leg)
+
+    # BPE legs — train once, derive all three from the shared vocab.
+    vocab = bpe.word_frequencies(docs)
+    merges = bpe.train_bpe(docs, _BPE_MERGES, vocab=vocab)
+    null_lp = F.lit(None).cast("double").alias("avg_logprob")
+    pairs_leg = (
+        bpe.pair_counts(vocab.withColumn("syms", bpe.initial_symbols("word")))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_TOP_PAIRS)
+        .select(
+            F.lit("bpe_pair").alias("kind"),
+            F.col("pair").alias("key"),
+            F.col("cnt").cast("long").alias("n"),
+            null_lp,
+        )
+    )
+    merges_leg = spark.createDataFrame(
+        [("bpe_merge", f"{l} {r}", i + 1, None) for i, (l, r) in enumerate(merges)],
+        "kind string, key string, n long, avg_logprob double",
+    )
+    final_syms = vocab.withColumn(
+        "syms", bpe.segment_expr(F.col("word"), merges)
+    )
+    vocab_leg = (
+        final_syms.select(F.explode("syms").alias("sym"), "freq")
+        .groupBy("sym")
+        .agg(F.sum("freq").cast("long").alias("total"))
+        .orderBy(F.desc("total"), F.asc("sym"))
+        .limit(_BPE_TOP_TOKENS)
+        .select(
+            F.lit("bpe_token").alias("kind"),
+            F.col("sym").alias("key"),
+            F.col("total").alias("n"),
+            null_lp,
+        )
+    )
+    return (
+        lang.unionByName(lm_leg)
+        .unionByName(pairs_leg)
+        .unionByName(merges_leg)
+        .unionByName(vocab_leg)
+    )
 
 
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,147 @@
+"""Distributed BPE training/encoding (operators/bpe.py) vs a pure-Python
+reference implementation (Sennrich et al. 2016 semantics)."""
+
+import collections
+
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.operators import bpe
+
+CORPUS = [
+    (1, "low lower lowest low low"),
+    (2, "new newer newest new"),
+    (3, "wide wider widest new low"),
+    (4, "the newer the lower the wider"),
+]
+
+
+# ----------------------------------------------------- pure-Python reference
+def _py_vocab(texts):
+    words = collections.Counter()
+    for t in texts:
+        words.update(t.split())
+    return {tuple(w) + ("</w>",): n for w, n in words.items()}
+
+
+def _py_pair_counts(vocab):
+    pairs = collections.Counter()
+    for syms, n in vocab.items():
+        for a, b in zip(syms, syms[1:]):
+            pairs[(a, b)] += n
+    return pairs
+
+
+def _py_merge(vocab, pair):
+    a, b = pair
+    out = {}
+    for syms, n in vocab.items():
+        merged, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        out[tuple(merged)] = n
+    return out
+
+
+def _py_train(texts, n_merges):
+    vocab = _py_vocab(texts)
+    merges = []
+    for _ in range(n_merges):
+        pairs = _py_pair_counts(vocab)
+        if not pairs:
+            break
+        # same tie-break as the engine: max count, then lexicographically
+        # smallest space-joined pair string
+        top = max(pairs.values())
+        best = min(
+            (p for p, c in pairs.items() if c == top),
+            key=lambda p: " ".join(p),
+        )
+        merges.append(best)
+        vocab = _py_merge(vocab, best)
+    return merges, vocab
+
+
+def _py_segment(word, merges):
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+# ------------------------------------------------------------------- tests
+def test_replace_merge_semantics(spark):
+    """The two-space representation must merge consecutive non-overlapping
+    occurrences in one pass — the property the module docstring claims."""
+    df = spark.createDataFrame(
+        [("  a  b  a  b  ",), ("  a  a  a  ",)], "s string"
+    )
+    got = df.select(
+        bpe.merge_expr("s", "a", "b").alias("ab"),
+        bpe.merge_expr("s", "a", "a").alias("aa"),
+    ).collect()
+    assert got[0]["ab"] == "  ab  ab  "
+    assert got[1]["aa"] == "  aa  a  "
+
+
+def test_train_matches_python_reference(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    texts = [t for _, t in CORPUS]
+    for n_merges in (1, 5, 12):
+        got = bpe.train_bpe(docs, n_merges)
+        want, _ = _py_train(texts, n_merges)
+        assert got == want, f"n_merges={n_merges}: {got} != {want}"
+
+
+def test_pair_counts_match_python(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    vocab = bpe.word_frequencies(docs).withColumn(
+        "syms", bpe.initial_symbols("word")
+    )
+    got = {
+        tuple(r["pair"].split(" ")): r["cnt"]
+        for r in bpe.pair_counts(vocab).collect()
+    }
+    want = dict(_py_pair_counts(_py_vocab([t for _, t in CORPUS])))
+    assert got == want
+
+
+def test_encode_matches_python_segmentation(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges = bpe.train_bpe(docs, 6)
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    for doc_id, txt in CORPUS:
+        want = [s for w in txt.split() for s in _py_segment(w, merges)]
+        assert got[doc_id] == want, f"doc {doc_id}"
+
+
+def test_encode_round_trips_text(spark):
+    """Dropping the markers and re-joining recovers the original tokens —
+    BPE segmentation is lossless."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges = bpe.train_bpe(docs, 8)
+    enc = bpe.bpe_encode(docs, merges)
+    back = enc.select(
+        "doc_id",
+        F.array_join(
+            F.split(F.array_join("bpe_tokens", ""), "</w>"), " "
+        ).alias("rejoined"),
+    ).collect()
+    originals = dict(CORPUS)
+    for r in back:
+        assert r["rejoined"].strip() == originals[r["doc_id"]]
