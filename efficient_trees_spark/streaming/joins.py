@@ -1,0 +1,108 @@
+"""Stream-stream interval join with watermark-bounded state.
+
+The attribution join every event pipeline needs (click → conversion within
+a horizon), expressed as Spark's native stream-stream inner join: both
+sides carry an event-time watermark and the join condition bounds the
+right side's time to a window after the left's, so Spark can (a) buffer
+only the in-horizon slice of each side in the state store and (b) evict
+state as the watermarks advance — bounded memory on unbounded streams.
+
+Scale shape: the join shuffles both streams on the key exactly once; state
+per key is O(events within the horizon), independent of stream length.
+This is the streaming twin of the batch bin-bucketed range join
+(``operators/rangejoin.py``) — same pairing semantics, and parity between
+the two is asserted in ``tests/test_streaming_joins.py``.
+
+The reference has no streaming at all (SURVEY.md §2.10: its
+``streaming=True`` is bounded-memory batch); this module is extension
+surface, like the rest of ``streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon_minutes: int = 5,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Pairs of (left event, right event) with the same ``key`` where the
+    right event lands in ``(left.ts, left.ts + horizon]``.
+
+    Both inputs must be streaming DataFrames with an event-time ``ts``
+    column.  The strict lower bound keeps self-join pairs (same stream on
+    both sides) irreflexive; the inclusive upper bound matches the batch
+    twin in the parity test.
+    """
+    lhs = left.withWatermark("ts", watermark_delay).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("event_type").alias("l_type"),
+    )
+    rhs = right.withWatermark("ts", watermark_delay).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_type"),
+    )
+    horizon = F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+    return lhs.join(
+        rhs,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + horizon),
+        "inner",
+    ).select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+    )
+
+
+def interval_join_batch(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon_minutes: int = 5,
+) -> DataFrame:
+    """Batch twin of :func:`interval_join_stream` — identical pairing
+    semantics over bounded inputs, for parity testing and backfills.
+
+    A plain range-condition join here would cartesian within each key
+    group; at corpus scale prefer the bin-bucketed
+    :func:`~efficient_trees_spark.operators.rangejoin.range_join` which
+    bounds comparisons to adjacent time buckets.  For the parity gate the
+    direct form IS the semantics, stated without an intermediary.
+    """
+    lhs = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    rhs = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    horizon = F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+    return lhs.join(
+        rhs,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + horizon),
+        "inner",
+    ).select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+    )
