@@ -130,5 +130,18 @@ print(
     f"eval hold-out by fingerprint group: train={split_counts.get('train', 0)}, "
     f"test={split_counts.get('test', 0)}"
 )
+
+# 8. tokenizer training on the TRAIN side only (the held-out text must not
+# shape the vocabulary), then encode the whole corpus with the trained
+# merges — pure-expression, zero extra shuffles.
+from efficient_trees_spark.operators import bpe  # noqa: E402
+
+train_docs = held.filter(F.col("split") == "train").select("doc_id", "clean_text")
+merges = bpe.train_bpe(train_docs, n_merges=16, text_col="clean_text")
+encoded = bpe.bpe_encode(held, merges, text_col="clean_text")
+n_bpe = encoded.agg(F.sum(F.size("bpe_tokens"))).first()[0]
+print(f"BPE: {len(merges)} merges trained on train split; "
+      f"corpus encodes to {n_bpe} subword tokens "
+      f"(first merges: {merges[:4]})")
 canonical.unpersist()
 spark.stop()
