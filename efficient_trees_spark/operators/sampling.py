@@ -152,6 +152,47 @@ def token_budget_sample(
     )
 
 
+def mixture_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budgets: dict,
+    seed: int = 42,
+    order_by: list[Column] | Column | None = None,
+) -> DataFrame:
+    """:func:`token_budget_sample` with PER-STRATUM budgets in one plan —
+    the output side of :func:`temperature_allocation`:
+
+        budgets = temperature_allocation(d, "lang", "n_tokens", B, tau)
+        mix = mixture_budget_sample(d, "lang", "n_tokens", budgets,
+                                    order_by=[F.desc("quality"), F.asc("id")])
+
+    The budget table is a driver literal (strata-sized) broadcast onto the
+    corpus; selection is the same single window shuffle on the stratum key
+    as the scalar form.  Strata absent from ``budgets`` are dropped (inner
+    join) — allocate first, then select."""
+    spark = df.sparkSession
+    budget_rows = [(k, int(v)) for k, v in sorted(budgets.items())]
+    bdf = spark.createDataFrame(budget_rows, [strata_col, "__budget"])
+    pri = (
+        order_by
+        if isinstance(order_by, (list, tuple))
+        else [_priority(order_by, seed)]
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(*pri)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(token_col).over(w)
+    return (
+        df.join(F.broadcast(bdf), strata_col)
+        .withColumn("__cum", running)
+        .filter(F.col("__cum") - F.col(token_col) < F.col("__budget"))
+        .drop("__cum", "__budget")
+    )
+
+
 def group_split(
     df: DataFrame,
     group_col: str,

@@ -1022,9 +1022,90 @@ def s12_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s13_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture construction (operators/sampling.py): half the
+    corpus tokens allocated across languages by ``temperature_allocation``
+    (τ=1.0 — natural proportions; a single-round allocation both engines
+    express exactly in IEEE doubles) and selected best-quality-first by
+    ``mixture_budget_sample`` (per-stratum greedy window under the budget).
+    Output: selected docs + tokens per language.  Fully re-derived in SQL —
+    allocation formula, quality order, cumulative-sum admission rule.
+    Registered via ``s_format_roundtrip_suite`` (fmt='mixture')."""
+    from efficient_trees_spark.functions import text
+    from efficient_trees_spark.operators.sampling import (
+        mixture_budget_sample,
+        temperature_allocation,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        text.token_count("text").alias("n_tok"),
+        text.quality_score("text").alias("q"),
+    )
+    total = int(docs.agg(F.sum("n_tok")).first()[0])
+    budgets = temperature_allocation(
+        docs, "lang", "n_tok", total // 2, temperature=1.0
+    )
+    mix = mixture_budget_sample(
+        docs,
+        "lang",
+        "n_tok",
+        budgets,
+        order_by=[F.desc("q"), F.asc("doc_id")],
+    )
+    return mix.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tok").cast("double").alias("total"),
+    )
+
+
+def _mixture_oracle() -> str:
+    """DuckDB twin of s13_token_mixture: same tokenization/quality contract
+    as the text suite, same floor(B·n_s/N) single-round allocation (τ=1.0
+    never caps a stratum since B < N), same ROWS-frame cumulative admission."""
+    from efficient_trees_spark.functions import text as _text
+    from efficient_trees_spark.workloads.text_pipeline import (
+        _QUALITY,
+        _TOKS,
+        _sw_array,
+    )
+
+    quality = _QUALITY.replace("__SW__", _sw_array(_text.LANG_STOPWORDS["en"]))
+    return f"""
+        SELECT 'mixture' AS fmt, lang AS key, count(*) AS n,
+               CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) AS total
+        FROM (
+            SELECT lang, n_tok, budget,
+                   sum(n_tok) OVER (PARTITION BY lang
+                                    ORDER BY q DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+            FROM (
+                SELECT d.doc_id, d.lang, d.n_tok, d.q,
+                       CAST(floor(CAST(s.b AS DOUBLE) * CAST(s.n_s AS DOUBLE)
+                                  / CAST(s.n_corpus AS DOUBLE)) AS BIGINT)
+                           AS budget
+                FROM (SELECT doc_id, lang, len({_TOKS}) AS n_tok,
+                             {quality} AS q
+                      FROM documents) d
+                JOIN (SELECT lang, CAST(sum(len({_TOKS})) AS BIGINT) AS n_s,
+                             (SELECT CAST(sum(len({_TOKS})) AS BIGINT)
+                              FROM documents) AS n_corpus,
+                             (SELECT CAST(floor(CAST(sum(len({_TOKS}))
+                                                     AS DOUBLE) / 2) AS BIGINT)
+                              FROM documents) AS b
+                      FROM documents GROUP BY lang) s USING (lang)
+            )
+        )
+        WHERE cum - n_tok < budget
+        GROUP BY lang
+    """
+
+
 @workload(
     "s_format_roundtrip_suite",
-    oracle="""
+    oracle=f"""
         SELECT 'csv' AS fmt, CAST(n_regionkey AS VARCHAR) AS key,
                count(*) AS n, CAST(CAST(sum(n_nationkey) AS BIGINT) AS DOUBLE) AS total
         FROM nation GROUP BY n_regionkey
@@ -1053,6 +1134,8 @@ def s12_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('shards', '2', 134, 7217.0), ('shards', '3', 112, 6245.0),
             ('split', 'test', 150, 15.0), ('split', 'train', 350, 35.0)
         ) AS pinned(fmt, key, n, total)
+        UNION ALL
+        {_mixture_oracle()}
     """,
     description="Source/sink suite, tagged by fmt: nation goes parquet -> "
     "CSV (header + inferSchema — the reader must re-derive identical values "
@@ -1104,10 +1187,17 @@ def s_format_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("n_groups").cast("double").alias("total"),
     )
+    mixture = s13_token_mixture(spark, sf_dir).select(
+        F.lit("mixture").alias("fmt"),
+        F.col("lang").alias("key"),
+        "n",
+        "total",
+    )
     return (
         csv.unionByName(json_)
         .unionByName(orc)
         .unionByName(backfill)
         .unionByName(shards)
         .unionByName(split)
+        .unionByName(mixture)
     )

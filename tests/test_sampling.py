@@ -209,3 +209,74 @@ def test_group_split_is_a_pure_projection_and_validates(spark, sf_small):
     assert "Exchange" not in plan
     with pytest.raises(ValueError):
         group_split(docs, "doc_id", 1.5)
+
+
+def test_mixture_budget_sample_matches_scalar_form_and_drops_absent(
+    spark, sf_small
+):
+    d = _docs_with_tokens(spark, sf_small).cache()
+    try:
+        strata = [r["lang"] for r in d.select("lang").distinct().collect()]
+        # equal budgets -> identical selection to the scalar operator
+        budgets = {s: 250 for s in strata}
+        mix = sampling.mixture_budget_sample(
+            d, "lang", "n_tokens", budgets,
+            order_by=[F.desc("quality"), F.asc("doc_id")],
+        )
+        scalar = sampling.token_budget_sample(
+            d, "lang", "n_tokens", budget=250,
+            order_by=F.desc("quality"),
+        )
+        # scalar form's single order_by needs the doc_id tiebreak too for a
+        # deterministic comparison set; compare per-stratum token totals,
+        # which are tie-insensitive
+        got = {
+            r["lang"]: r["t"]
+            for r in mix.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        want = {
+            r["lang"]: r["t"]
+            for r in scalar.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        assert got == want
+        # strata absent from the budget table are dropped entirely
+        partial = sampling.mixture_budget_sample(
+            d, "lang", "n_tokens", {strata[0]: 100},
+            order_by=[F.desc("quality"), F.asc("doc_id")],
+        )
+        assert partial.select("lang").distinct().collect()[0]["lang"] == strata[0]
+    finally:
+        d.unpersist()
+
+
+def test_mixture_budget_respects_per_stratum_budgets(spark, sf_small):
+    d = _docs_with_tokens(spark, sf_small).cache()
+    try:
+        totals = {
+            r["lang"]: r["t"]
+            for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        budgets = sampling.temperature_allocation(
+            d, "lang", "n_tokens", sum(totals.values()) // 2, temperature=1.0
+        )
+        out = sampling.mixture_budget_sample(
+            d, "lang", "n_tokens", budgets,
+            order_by=[F.desc("quality"), F.asc("doc_id")],
+        )
+        sel = {
+            r["lang"]: (r["t"], r["m"])
+            for r in out.groupBy("lang")
+            .agg(F.sum("n_tokens").alias("t"), F.max("n_tokens").alias("m"))
+            .collect()
+        }
+        for lang, b in budgets.items():
+            if b <= 0:
+                assert lang not in sel or sel[lang][0] == 0
+                continue
+            t, m = sel[lang]
+            if totals[lang] <= b:
+                assert t == totals[lang]
+            else:
+                assert b <= t < b + m
+    finally:
+        d.unpersist()
