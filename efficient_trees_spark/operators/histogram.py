@@ -39,6 +39,7 @@ histogram relation.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -87,7 +88,7 @@ def _trim_malloc() -> None:
     try:
         import pyarrow as pa
 
-        if not _jemalloc_decay_set:
+        if not _jemalloc_decay_set and os.environ.get("SPARK_GRAFT_JEMALLOC_DECAY0"):
             _jemalloc_decay_set = True
             try:
                 pa.jemalloc_set_decay_ms(0)
