@@ -46,3 +46,14 @@ def test_events_query_runs_on_fresh_default_session(spark, sf_small, tmp_path):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r.n_sessions >= 1 and r.n_events >= r.n_sessions for r in rows)
+
+
+def test_session_defaults_carry_perf_confs(spark):
+    """Regression gate for the round-6 session levers: the generated-class
+    cache must stay raised (the 100-entry Spark default re-pays full
+    Janino+C1 compilation of every per-level tree-fit plan in any
+    multi-query session — measured 2x on the wide fit), and the tuned
+    driver memory must hold.  Static confs, so they only bind at session
+    build — this asserts the repo's own get_spark applied them."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1000
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
