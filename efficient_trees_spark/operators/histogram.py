@@ -648,7 +648,7 @@ def pack_raw_features(
 def _matrix_order_stats(full: "np.ndarray", names: list[str], g: int):
     """Per-feature order statistics over ONE partition's (rows × features)
     float matrix — the stage-1 numeric core shared by
-    :func:`quantile_edges_packed` and :func:`pack_raw_features_with_stats`
+    :func:`quantile_edges_packed` and :func:`partition_order_stats`
     (identical code → identical stats → identical edges)."""
     feats, vals_out, gaps_out, vmax_out, n_out = [], [], [], [], []
     for j, name in enumerate(names):
@@ -673,115 +673,8 @@ def _matrix_order_stats(full: "np.ndarray", names: list[str], g: int):
     return feats, vals_out, gaps_out, vmax_out, n_out
 
 
-# Stats side-channel columns of the fused pack+stats relation.
+# Stats side-channel column of the order-stats relations.
 STATS_FEATURE = "__sf"
-_STATS_COLS = (STATS_FEATURE, "__sv", "__sg", "__svx", "__sn")
-
-
-def pack_raw_features_with_stats(
-    df: DataFrame,
-    feature_names: list[str],
-    target_idx_col: str,
-    stats_per_partition: int,
-    dtype: str = "f4",
-    packed_col: str = PACKED_COL,
-) -> DataFrame:
-    """:func:`pack_raw_features` with the quantile-edge ORDER STATISTICS
-    fused into the same pass: data rows stream out as (packed, target,
-    NULL-stats), and each partition appends one stats row per feature
-    (packed NULL) carrying its order statistics.
-
-    This folds the separate :func:`quantile_edges_packed` scan of the
-    packed cache into the pack job itself — one pass over the data instead
-    of two, saving a full read + Arrow crossing of the raw matrix (the
-    measured ~2.5 s stage of the warm sf0.1 wide fit).  The caller collects
-    the stats rows (tiny: partitions × features, row-count-independent),
-    merges edges driver-side (:func:`merge_edge_stats_rows`), and filters
-    ``STATS_FEATURE IS NULL`` for the data view.
-
-    Bit-parity: the stats are computed by the same numeric core over the
-    same per-partition matrices the two-pass flow sees (the persisted pack
-    output preserves its input partitioning), so the resulting edges — and
-    hence the fitted tree — are identical.  Memory note: like the separate
-    stats pass, each task holds one partition's float matrix; the fused
-    form adds no second copy (data batches stream out before stats are
-    computed from the retained matrix)."""
-    import pyarrow as pa
-
-    names = list(feature_names)
-    tcol = target_idx_col
-    np_dtype, bits_dtype, canon_nan_bits, null_bits = _dtype_info(dtype)
-    n_feat = len(names)
-    g = int(stats_per_partition)
-    elem_type = "float" if dtype == "f4" else "double"
-    src = df.select(
-        array_cast_expr(names, elem_type).alias("__arr"),
-        target_idx_col,
-    )
-
-    def null_stats(n: int) -> list["pa.Array"]:
-        return [
-            pa.nulls(n, type=pa.string()),
-            pa.nulls(n, type=pa.list_(pa.float64())),
-            pa.nulls(n, type=pa.list_(pa.float64())),
-            pa.nulls(n, type=pa.float64()),
-            pa.nulls(n, type=pa.int64()),
-        ]
-
-    def pack(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        mats: list["np.ndarray"] = []
-        for b in batches:
-            n = b.num_rows
-            if n == 0:
-                continue
-            flat = b.column("__arr").flatten()  # logical values, offset-safe
-            vals = flat.to_numpy(zero_copy_only=False).astype(np_dtype, copy=True)
-            bits = vals.view(bits_dtype)
-            bits[np.isnan(vals)] = canon_nan_bits
-            if flat.null_count:
-                bits[flat.is_null().to_numpy(zero_copy_only=False)] = null_bits
-            mat = np.ascontiguousarray(vals.reshape(n, n_feat))
-            mats.append(mat)
-            target = (
-                b.column(tcol).to_numpy(zero_copy_only=False).astype(np.int32)
-            )
-            yield pa.RecordBatch.from_arrays(
-                [_pack_binary(mat), pa.array(target, type=pa.int32())]
-                + null_stats(n),
-                names=[packed_col, tcol, *_STATS_COLS],
-            )
-        if not mats:
-            _trim_malloc()
-            return
-        full = np.concatenate(mats) if len(mats) > 1 else mats[0]
-        mats.clear()  # `full` owns (or is) the data now; drop the batch refs
-        feats, vals_out, gaps_out, vmax_out, n_out = _matrix_order_stats(
-            full, names, g
-        )
-        del full
-        if not feats:
-            _trim_malloc()
-            return
-        k = len(feats)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.nulls(k, type=pa.binary()),
-                pa.nulls(k, type=pa.int32()),
-                pa.array(feats, type=pa.string()),
-                pa.array([x.tolist() for x in vals_out], type=pa.list_(pa.float64())),
-                pa.array([x.tolist() for x in gaps_out], type=pa.list_(pa.float64())),
-                pa.array(vmax_out, type=pa.float64()),
-                pa.array(n_out, type=pa.int64()),
-            ],
-            names=[packed_col, tcol, *_STATS_COLS],
-        )
-        _trim_malloc()
-
-    return src.mapInArrow(
-        pack,
-        f"{packed_col} binary, {tcol} int, {STATS_FEATURE} string, "
-        "__sv array<double>, __sg array<double>, __svx double, __sn long",
-    )
 
 
 def partition_order_stats(
@@ -790,7 +683,7 @@ def partition_order_stats(
     stats_per_partition: int,
     dtype: str = "f4",
 ) -> DataFrame:
-    """Stats-ONLY sibling of :func:`pack_raw_features_with_stats`: the same
+    """Per-partition order-stats sketch pass (stats rows ONLY): the same
     per-partition order statistics over the same (dtype-converted) matrices
     — so the merged edges are bit-identical — but emitting ONLY the tiny
     stats rows (partitions × features, row-count-independent).  No packed

@@ -176,6 +176,11 @@ def bm25_search(
         (cache a derived queries relation first if its pipeline is
         expensive).  All paths produce identical scores.
     """
+    if broadcast_queries not in (True, False, "auto"):
+        raise ValueError(
+            "broadcast_queries must be True, False, or 'auto'; got "
+            f"{broadcast_queries!r}"
+        )
     qterms = (
         queries.select(
             F.col(query_id).alias("__qid"),
@@ -262,13 +267,19 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    broadcast_queries: bool | str = True,
+    broadcast_queries: bool | str = "auto",
     broadcast_budget_bytes: int = 64 << 20,
 ) -> DataFrame:
     """One-shot BM25 top-``k``: build the index and search it in a single
     lazy plan.  For repeated query batches against the same corpus, build
     the index once with :func:`bm25_index` and ``.persist()`` it — this
-    wrapper re-derives the postings per call."""
+    wrapper re-derives the postings per call.
+
+    Default ``broadcast_queries='auto'``: one-shot callers may hand in a
+    decontamination-scale query relation, so the broadcast decision is
+    sized rather than assumed (``bm25_search`` keeps ``True`` — its
+    contract is repeated SMALL batches against a persisted index, where
+    eager sizing per batch would cost an extra job each call)."""
     return bm25_search(
         bm25_index(docs, doc_id=doc_id, text_col=text_col),
         queries,

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def stratified_fraction_sample(
@@ -170,10 +171,22 @@ def mixture_budget_sample(
     The budget table is a driver literal (strata-sized) broadcast onto the
     corpus; selection is the same single window shuffle on the stratum key
     as the scalar form.  Strata absent from ``budgets`` are dropped (inner
-    join) — allocate first, then select."""
+    join) — allocate first, then select.  An empty ``budgets`` dict (a
+    legitimate :func:`temperature_allocation` result on an empty input)
+    selects nothing."""
+    if not budgets:
+        return df.limit(0)
     spark = df.sparkSession
     budget_rows = [(k, int(v)) for k, v in sorted(budgets.items())]
-    bdf = spark.createDataFrame(budget_rows, [strata_col, "__budget"])
+    # Explicit schema: the stratum key joins df's own column, so pin its
+    # type to that column's type instead of per-call row inference.
+    schema = T.StructType(
+        [
+            T.StructField(strata_col, df.schema[strata_col].dataType),
+            T.StructField("__budget", T.LongType()),
+        ]
+    )
+    bdf = spark.createDataFrame(budget_rows, schema)
     pri = (
         order_by
         if isinstance(order_by, (list, tuple))

@@ -693,7 +693,17 @@ def _local_prefix_sums(
     arrays["sum_n"] = pa.array(
         grp["count_examples"].transform("sum").to_numpy(np.int64), type=pa.int64()
     )
-    return spark.createDataFrame(pa.table(arrays))
+    tbl = pa.table(arrays)
+    # createDataFrame(pyarrow.Table) is Spark 4.x; mirror the toArrow guard
+    # the collect paths use so pre-Arrow-table Spark takes a row-list build
+    # with an explicit schema (Python float NaN stays NaN in a double col).
+    if hasattr(DataFrame, "toArrow"):
+        return spark.createDataFrame(tbl)
+    schema = ", ".join(  # pragma: no cover - pre-Arrow-table Spark
+        f"`{f.name}` {'int' if f.type == pa.int32() else 'bigint' if f.type == pa.int64() else 'string' if f.type == pa.string() else 'double'}"
+        for f in tbl.schema
+    )
+    return spark.createDataFrame(tbl.to_pylist(), schema)  # pragma: no cover
 
 
 def _best_split_rows(

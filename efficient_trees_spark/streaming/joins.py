@@ -34,22 +34,21 @@ def interval_join_stream(
     """Pairs of (left event, right event) with the same ``key`` where the
     right event lands in ``(left.ts, left.ts + horizon]``.
 
-    Both inputs must be streaming DataFrames with an event-time ``ts``
-    column.  The strict lower bound keeps self-join pairs (same stream on
-    both sides) irreflexive; the inclusive upper bound matches the batch
-    twin in the parity test.
+    Required input schema (both sides): ``key``, an event-time ``ts``, and
+    an ``event_id`` payload column — the same contract as the batch twin.
+    The strict lower bound keeps self-join pairs (same stream on both
+    sides) irreflexive; the inclusive upper bound matches the batch twin
+    in the parity test.
     """
     lhs = left.withWatermark("ts", watermark_delay).select(
         F.col(key).alias("l_key"),
         F.col("ts").alias("l_ts"),
         F.col("event_id").alias("l_event_id"),
-        F.col("event_type").alias("l_type"),
     )
     rhs = right.withWatermark("ts", watermark_delay).select(
         F.col(key).alias("r_key"),
         F.col("ts").alias("r_ts"),
         F.col("event_id").alias("r_event_id"),
-        F.col("event_type").alias("r_type"),
     )
     horizon = F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
     return lhs.join(
