@@ -130,6 +130,92 @@ def test_encode_matches_python_segmentation(spark):
         assert got[doc_id] == want, f"doc {doc_id}"
 
 
+def _wide_corpus():
+    """Deterministic corpus with deep merge headroom: all 3-letter words
+    over a 12-letter alphabet, each repeated a small varying count.  Fully
+    merging the 1728 distinct words alone needs >1700 distinct merges, so
+    hundreds of training rounds never exhaust the pair supply."""
+    letters = "abcdefghijkl"
+    rows = []
+    i = 0
+    for a in letters:
+        for b in letters:
+            for c in letters:
+                i += 1
+                rows.append((i, " ".join([a + b + c] * (i % 7 + 1))))
+    return rows
+
+
+def test_train_many_merges_flat_per_round(spark):
+    """The round-6 scale finding: the merge loop must NOT re-execute an
+    ever-deepening replace chain.  With periodic re-materialization the
+    per-round wall time stays flat — and the merges still match the pure
+    Python reference exactly at hundreds of rounds."""
+    rows = _wide_corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    timings: list[float] = []
+    n = 300
+    got = bpe.train_bpe(docs, n, rematerialize_every=24, timings=timings)
+    assert len(got) == n, "corpus exhausted early — widen the test corpus"
+    want, _ = _py_train([t for _, t in rows], n)
+    assert got == want
+    # Flatness: skip the first 20 rounds (session warm-up / codegen), then
+    # the mean of the last quarter must not exceed 2x the mean of the first
+    # quarter.  An unmaterialized loop re-running a ~300-deep replace chain
+    # is reliably >4x here; genuine dispersion on a quiet machine is well
+    # under 2x (the vocabulary SHRINKS as training runs, so the honest
+    # expectation is <= 1x).
+    assert len(timings) == n
+    body = timings[20:]
+    q = len(body) // 4
+    first, last = body[:q], body[-q:]
+    ratio = (sum(last) / len(last)) / (sum(first) / len(first))
+    assert ratio <= 2.0, f"per-round time grew {ratio:.2f}x — lineage leak"
+
+
+def test_train_rematerialize_boundary_invariance(spark):
+    """The checkpoint cadence is an execution detail: any
+    rematerialize_every yields the identical merge list."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    base = bpe.train_bpe(docs, 10, rematerialize_every=1000)
+    for k in (1, 2, 3, 7):
+        assert bpe.train_bpe(docs, 10, rematerialize_every=k) == base
+
+
+def test_encode_joined_matches_expression_form(spark):
+    """bpe_encode_joined is bit-identical to the compiled-expression form,
+    including multi-chunk segmentation and zero-token documents."""
+    rows = CORPUS + [(5, ""), (6, "   "), (7, "low low low unseen")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.train_bpe(docs, 40)
+    want = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    for chunk in (4, 64):  # force multi-chunk and single-chunk segmentation
+        got = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe.bpe_encode_joined(docs, merges, chunk=chunk).collect()
+        }
+        assert got == want, f"chunk={chunk}"
+    assert want[5] == [] and want[6] == []
+
+
+def test_encode_joined_plan_gate(spark):
+    """The join form's contract: the per-word segmentation joins back by
+    BROADCAST (the corpus side never shuffles for it), and no projection
+    in the final plan carries more than one chunk of compiled replaces."""
+    docs = spark.createDataFrame(_wide_corpus(), "doc_id long, text string")
+    merges = bpe.train_bpe(docs, 96, rematerialize_every=24)
+    enc = bpe.bpe_encode_joined(docs, merges, chunk=16)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-join, not a cross
+    # chunked segmentation: the plan seen by codegen holds at most ONE
+    # chunk of replaces (the slices before it live behind checkpoints)
+    assert plan.count("replace(") <= 16 * 3
+
+
 def test_encode_round_trips_text(spark):
     """Dropping the markers and re-joining recovers the original tokens —
     BPE segmentation is lossless."""
