@@ -98,6 +98,7 @@ class RandomForestClassifier:
         packed = False
         bin_edges: dict[str, list[float]] | None = None
         packed_raw = None
+        packed_code_dtype = "u1"
         if self.max_bins is not None:
             from efficient_trees_spark.tree import (
                 _fan_out_small_input,
@@ -111,6 +112,7 @@ class RandomForestClassifier:
             prepared = _fan_out_small_input(prepared)
             from efficient_trees_spark.operators.histogram import (
                 _MAX_PACKED_EDGES,
+                _MAX_PACKED16_EDGES,
                 encode_packed,
                 pack_raw_features,
             )
@@ -128,12 +130,20 @@ class RandomForestClassifier:
             bin_edges = proto._compute_bin_edges(
                 packed_raw, feature_names, packed_dtype=dtype
             )
-            if (
-                max((len(e) for e in bin_edges.values()), default=0)
-                <= _MAX_PACKED_EDGES
-            ):
+            max_card = max((len(e) for e in bin_edges.values()), default=0)
+            if max_card <= _MAX_PACKED16_EDGES:
+                # Same u1/u2 selection as the single-tree fit: 1 byte/cell
+                # whenever every feature fits 253 edges, 2 bytes past that.
+                packed_code_dtype = (
+                    "u1" if max_card <= _MAX_PACKED_EDGES else "u2"
+                )
                 prepared = encode_packed(
-                    packed_raw, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
+                    packed_raw,
+                    feature_names,
+                    bin_edges,
+                    _TARGET_IDX,
+                    dtype=dtype,
+                    code_dtype=packed_code_dtype,
                 )
                 packed = True
             else:
@@ -176,6 +186,7 @@ class RandomForestClassifier:
                         bin_edges=bin_edges if packed else None,
                         packed=packed,
                         packed_all_features=feature_names if packed else None,
+                        packed_code_dtype=packed_code_dtype,
                     )
                 )
         finally:

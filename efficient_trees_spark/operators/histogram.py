@@ -540,20 +540,46 @@ def arrow_stat_rows(tbl) -> list[tuple]:
 # the (rows x features) matrix zero-copy with ``np.frombuffer``.
 #
 # Representation: row-major float32 (or float64 when the fit is unshrunk)
-# for the raw matrix; row-major uint8 bin codes after encoding.  NULL is a
-# reserved quiet-NaN BIT PATTERN (real NaNs are canonicalized first, so the
-# two stay distinguishable — both are NaN to comparisons, which is exactly
-# how the unpacked path treats them for edge placement); in code space NULL
-# and NaN are the reserved top codes.  Tree routing runs vectorized in
-# numpy inside the histogram pass (``route_codes``) instead of as a JVM
-# routing column, preserving the routing semantics bit-for-bit:
-# left = code <= t (NULL=255 and NaN=254 both fail), right = code > t
-# excluding NULL (NaN routes right, matching Spark's NaN-sorts-greatest).
+# for the raw matrix; row-major uint8 (or uint16 past 253 edges) bin codes
+# after encoding.  NULL is a reserved quiet-NaN BIT PATTERN (real NaNs are
+# canonicalized first, so the two stay distinguishable — both are NaN to
+# comparisons, which is exactly how the unpacked path treats them for edge
+# placement); in code space NULL and NaN are the reserved top codes of the
+# chosen width.  Tree routing runs vectorized in numpy inside the histogram
+# pass (``route_codes``) instead of as a JVM routing column, preserving the
+# routing semantics bit-for-bit: left = code <= t (NULL and NaN codes both
+# fail), right = code > t excluding NULL (NaN routes right, matching
+# Spark's NaN-sorts-greatest).
+#
+# Code width is a per-fit choice (tree.py): uint8 (1 byte/cell, <= 253
+# edges) whenever every feature fits, else uint16 (2 bytes/cell, <= 65 533
+# edges — virtually every real exact fit).  Same sentinels-at-the-top
+# scheme, same order isomorphism; histograms address RAGGED per-feature
+# slot ranges (``_cube_geometry``), so one wide feature costs only its own
+# edges, never max-edges x width.
 
 PACKED_COL = "__packed"
 PACKED_NAN_CODE = 254
 PACKED_NULL_CODE = 255
 _MAX_PACKED_EDGES = 253
+PACKED16_NAN_CODE = 65534
+PACKED16_NULL_CODE = 65535
+_MAX_PACKED16_EDGES = 65533
+
+
+def _code_info(code_dtype: str):
+    """(numpy code dtype, NaN code, NULL code, max edges) for a packed
+    bin-code width."""
+    if code_dtype == "u1":
+        return np.uint8, PACKED_NAN_CODE, PACKED_NULL_CODE, _MAX_PACKED_EDGES
+    if code_dtype == "u2":
+        return (
+            np.uint16,
+            PACKED16_NAN_CODE,
+            PACKED16_NULL_CODE,
+            _MAX_PACKED16_EDGES,
+        )
+    raise ValueError(f"unknown packed code dtype: {code_dtype!r}")
 
 # Reserved quiet-NaN payloads marking NULL cells in the packed float matrix.
 _F32_CANON_NAN_BITS = np.uint32(0x7FC00000)
@@ -761,26 +787,29 @@ def pack_encode_features(
     target_idx_col: str,
     dtype: str = "f4",
     packed_col: str = PACKED_COL,
+    code_dtype: str = "u1",
 ) -> DataFrame:
     """Fused :func:`pack_raw_features` + :func:`encode_packed`: source
-    batches → packed uint8 bin-code blobs DIRECTLY, never materializing the
+    batches → packed bin-code blobs DIRECTLY, never materializing the
     raw float blob.  Pass 2 of the binned two-scan flow (see
     :func:`partition_order_stats`); the level-0 histogram job materializes
     this relation into the persisted code cache, so a depth-d binned fit
-    touches the source exactly twice and persists only 1 byte/cell.
+    touches the source exactly twice and persists only ``code_dtype``'s
+    1 (u1) or 2 (u2) bytes/cell.
 
     Bit-parity with the two-step composition: values are converted to the
     same ``dtype`` first and ``searchsorted`` upcasts them against the same
-    float64 edges, NULLs (Arrow validity) map to ``PACKED_NULL_CODE`` and
-    NaNs to ``PACKED_NAN_CODE`` exactly as ``encode_packed`` derives them
+    float64 edges, NULLs (Arrow validity) map to the width's NULL code and
+    NaNs to its NaN code exactly as ``encode_packed`` derives them
     from the raw blob's reserved bit patterns — asserted by
     ``tests/test_wide_fit.py``."""
     import pyarrow as pa
 
-    if any(len(e) > _MAX_PACKED_EDGES for e in bin_edges.values()):
+    np_code, nan_code, null_code, max_edges_cap = _code_info(code_dtype)
+    if any(len(e) > max_edges_cap for e in bin_edges.values()):
         raise ValueError(
-            f"pack_encode_features supports at most {_MAX_PACKED_EDGES} "
-            "edges per feature"
+            f"pack_encode_features supports at most {max_edges_cap} "
+            f"edges per feature with code_dtype={code_dtype!r}"
         )
     names = list(feature_names)
     tcol = target_idx_col
@@ -808,17 +837,17 @@ def pack_encode_features(
             mat = vals.reshape(n, n_feat)
             nullm = nullf.reshape(n, n_feat)
             nanm = nanf.reshape(n, n_feat)
-            codes = np.empty((n, n_feat), dtype=np.uint8)
+            codes = np.empty((n, n_feat), dtype=np_code)
             for j in range(n_feat):
                 ej = edges_list[j]
                 if ej.size:
                     cj = np.searchsorted(ej, mat[:, j], side="left")
                     np.minimum(cj, ej.size - 1, out=cj)
-                    col_codes = cj.astype(np.uint8)
-                    col_codes[nanm[:, j]] = PACKED_NAN_CODE
+                    col_codes = cj.astype(np_code)
+                    col_codes[nanm[:, j]] = nan_code
                 else:  # all-NULL/NaN feature: no candidates at all
-                    col_codes = np.full(n, PACKED_NULL_CODE, dtype=np.uint8)
-                col_codes[nullm[:, j]] = PACKED_NULL_CODE
+                    col_codes = np.full(n, null_code, dtype=np_code)
+                col_codes[nullm[:, j]] = null_code
                 codes[:, j] = col_codes
             target = (
                 b.column(tcol).to_numpy(zero_copy_only=False).astype(np.int32)
@@ -1030,17 +1059,21 @@ def encode_packed(
     target_idx_col: str,
     dtype: str = "f4",
     packed_col: str = PACKED_COL,
+    code_dtype: str = "u1",
 ) -> DataFrame:
-    """Packed raw floats -> packed uint8 bin codes (1 byte/cell persisted,
+    """Packed raw floats -> packed bin codes (1 byte/cell at u1, 2 at u2;
     no per-level ``searchsorted``).  Codes are ORDER-ISOMORPHIC to values:
     ``v <= edge_j <=> code(v) <= j`` (the first edge >= v sits at or before
     j iff v <= edge_j), so routing on codes is bit-equivalent to routing on
-    raw values; NaN -> 254, NULL -> 255 (see module notes)."""
+    raw values; NaN/NULL take the width's reserved top codes (see module
+    notes)."""
     import pyarrow as pa
 
-    if any(len(e) > _MAX_PACKED_EDGES for e in bin_edges.values()):
+    np_code, nan_code, null_code, max_edges_cap = _code_info(code_dtype)
+    if any(len(e) > max_edges_cap for e in bin_edges.values()):
         raise ValueError(
-            f"encode_packed supports at most {_MAX_PACKED_EDGES} edges per feature"
+            f"encode_packed supports at most {max_edges_cap} edges per "
+            f"feature with code_dtype={code_dtype!r}"
         )
     names = list(feature_names)
     tcol = target_idx_col
@@ -1054,7 +1087,7 @@ def encode_packed(
             if n == 0:
                 continue
             mat = _unpack_binary(b.column(packed_col), n_feat, np_dtype)
-            codes = np.empty((n, n_feat), dtype=np.uint8)
+            codes = np.empty((n, n_feat), dtype=np_code)
             for j in range(n_feat):
                 vals = mat[:, j]
                 nullm = vals.view(bits_dtype) == null_bits
@@ -1063,11 +1096,11 @@ def encode_packed(
                 if ej.size:
                     cj = np.searchsorted(ej, vals, side="left")
                     np.minimum(cj, ej.size - 1, out=cj)
-                    col_codes = cj.astype(np.uint8)
-                    col_codes[nanm] = PACKED_NAN_CODE
+                    col_codes = cj.astype(np_code)
+                    col_codes[nanm] = nan_code
                 else:  # all-NULL/NaN feature: no candidates at all
-                    col_codes = np.full(n, PACKED_NULL_CODE, dtype=np.uint8)
-                col_codes[nullm] = PACKED_NULL_CODE
+                    col_codes = np.full(n, null_code, dtype=np_code)
+                col_codes[nullm] = null_code
                 codes[:, j] = col_codes
             target = b.column(tcol)
             yield pa.RecordBatch.from_arrays(
@@ -1081,8 +1114,11 @@ def encode_packed(
     )
 
 
-def route_codes(mat: "np.ndarray", splits: list[tuple]) -> "np.ndarray":
-    """Vectorized tree routing over the (rows x features) uint8 code matrix.
+def route_codes(
+    mat: "np.ndarray", splits: list[tuple], null_code: int = PACKED_NULL_CODE
+) -> "np.ndarray":
+    """Vectorized tree routing over the (rows x features) bin-code matrix
+    (uint8 or uint16 — ``null_code`` names the width's NULL sentinel).
 
     ``splits`` lists internal nodes in parent-before-child order:
     ``(node_id, feature_pos, code_threshold, left_id, right_id)`` with -1
@@ -1096,7 +1132,7 @@ def route_codes(mat: "np.ndarray", splits: list[tuple]) -> "np.ndarray":
             continue
         c = mat[idx, fpos]
         lm = c <= code_t
-        rm = (c > code_t) & (c != PACKED_NULL_CODE)
+        rm = (c > code_t) & (c != null_code)
         node[idx[lm]] = left_id
         node[idx[rm]] = right_id
         node[idx[~lm & ~rm]] = -1
@@ -1121,8 +1157,10 @@ def packed_histogram_counts(
     feature_positions: list[int] | None = None,
     matrix_width: int | None = None,
     emit_node_totals: bool = False,
+    code_dtype: str = "u1",
 ) -> DataFrame:
-    """:func:`binned_histogram_counts` over the packed uint8 code matrix,
+    """:func:`binned_histogram_counts` over the packed bin-code matrix
+    (uint8 or uint16 per ``code_dtype``, matching the encode),
     with tree routing fused into the same numpy pass (``route_codes``) —
     the per-level cost is one 2-column transfer of the cached code relation
     plus bincounts; the emitted relation is identical.
@@ -1140,7 +1178,9 @@ def packed_histogram_counts(
     job racing it to materialize the code cache."""
     import pyarrow as pa
 
-    names = list(feature_names)
+    names, lens, slot_off, flat_slots, edges_flat, edge_off = _cube_geometry(
+        feature_names, bin_edges
+    )
     tcol = target_idx_col
     ncol = node_col
     n_feat = len(names)
@@ -1150,13 +1190,6 @@ def packed_histogram_counts(
         if feature_positions is not None
         else np.arange(n_feat, dtype=np.int64)
     )
-    lens = np.array([len(bin_edges.get(f, ())) for f in names], dtype=np.int64)
-    max_edges = int(lens.max()) if n_feat else 0
-    slots = max_edges + 1  # +1 NaN bucket
-    edges_mat = np.full((n_feat, max_edges), np.inf, dtype=np.float64)
-    for j, f in enumerate(names):
-        e = bin_edges.get(f, ())
-        edges_mat[j, : len(e)] = np.asarray(e, dtype=np.float64)
 
     count_fields = [pa.field(class_count_col(i), pa.int64()) for i in range(n_classes)]
     out_schema = pa.schema(
@@ -1170,17 +1203,16 @@ def packed_histogram_counts(
         + ", ".join(f"{class_count_col(i)} long" for i in range(n_classes))
         + ", count_examples long"
     )
-    cap = np.maximum(lens - 1, 0)[None, :]
-    has_edges = (lens > 0)[None, :]
 
     def histogram(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         acc, dist_acc = _accumulate_cubes(
             batches, packed_col, tcol, routing_splits, width, n_feat, pos,
-            slots, cap, has_edges, n_classes, emit_node_totals,
-            feature_positions is not None,
+            lens, slot_off, flat_slots, n_classes, emit_node_totals,
+            feature_positions is not None, code_dtype,
         )
         sparse = _sparsify_cubes(
-            acc, dist_acc, names, lens, slots, edges_mat, n_classes
+            acc, dist_acc, names, lens, slot_off, edges_flat, edge_off,
+            n_classes,
         )
         if sparse is None:
             _trim_malloc()
@@ -1205,24 +1237,31 @@ def packed_histogram_counts(
 
 
 def _accumulate_cubes(
-    batches, packed_col, tcol, routing_splits, width, n_feat, pos, slots,
-    cap, has_edges, n_classes, emit_node_totals, subset,
+    batches, packed_col, tcol, routing_splits, width, n_feat, pos,
+    lens, slot_off, flat_slots, n_classes, emit_node_totals, subset,
+    code_dtype="u1",
 ) -> tuple[dict[int, "np.ndarray"], dict[int, "np.ndarray"]]:
     """Route + bincount one partition's Arrow batches into per-node flat
     count cubes (and per-node class totals when requested) — the numeric
-    core shared by the sparse-row and dense-cube emitters."""
+    core shared by the sparse-row and dense-cube emitters.  Slot addressing
+    is RAGGED (``_cube_geometry``): feature j's counts land at
+    ``slot_off[j] + bin``, its NaN bucket at ``slot_off[j] + lens[j]``."""
+    np_code, nan_code, null_code, _ = _code_info(code_dtype)
     acc: dict[int, np.ndarray] = {}
     dist_acc: dict[int, np.ndarray] = {}
-    flat_size = n_feat * slots * n_classes
-    feat_base = (np.arange(n_feat, dtype=np.int64) * slots)[None, :]
+    flat_size = flat_slots * n_classes
+    feat_base = slot_off[:-1][None, :]
+    cap = np.maximum(lens - 1, 0)[None, :]
+    has_edges = (lens > 0)[None, :]
+    nan_slot = lens[None, :]  # within-feature NaN slot index
 
     for batch in batches:
         n_rows = batch.num_rows
         if n_rows == 0:
             continue
-        mat = _unpack_binary(batch.column(packed_col), width, np.uint8)
+        mat = _unpack_binary(batch.column(packed_col), width, np_code)
         target = batch.column(tcol).to_numpy(zero_copy_only=False).astype(np.int64)
-        nodes = route_codes(mat, routing_splits)
+        nodes = route_codes(mat, routing_splits, null_code=null_code)
         keep = nodes >= 0
         if not keep.any():
             continue
@@ -1231,8 +1270,8 @@ def _accumulate_cubes(
         if width != n_feat or subset:
             mat = mat[:, pos]  # histogram only the subset's columns
         m64 = mat.astype(np.int64)
-        idx = np.where(m64 == PACKED_NAN_CODE, slots - 1, np.minimum(m64, cap))
-        valid = (m64 != PACKED_NULL_CODE) & has_edges
+        idx = np.where(m64 == nan_code, nan_slot, np.minimum(m64, cap))
+        valid = (m64 != null_code) & has_edges
         flat = (feat_base + idx) * n_classes + target[:, None]
         for nv in np.unique(nodes):
             a = acc.get(int(nv))
@@ -1250,29 +1289,35 @@ def _accumulate_cubes(
     return acc, dist_acc
 
 
-def _sparsify_cubes(acc, dist_acc, names, lens, slots, edges_mat, n_classes):
+def _sparsify_cubes(
+    acc, dist_acc, names, lens, slot_off, edges_flat, edge_off, n_classes
+):
     """Per-node flat cubes -> the sparse histogram row arrays (node,
     feature, value, class counts, total).  Shared by the worker-side sparse
     emitter and the driver-side dense-cube merge so both produce the exact
-    same rows."""
+    same rows.  Ragged layout: a nonzero flat slot maps back to its feature
+    by searchsorted over ``slot_off`` (features with zero edges own one
+    always-empty NaN slot and can never surface here)."""
     node_out, feat_out, value_out, total_out = [], [], [], []
     class_out: list[list[np.ndarray]] = [[] for _ in range(n_classes)]
     name_arr = np.asarray(names, dtype=object)
-    n_feat = len(names)
+    flat_slots = int(slot_off[-1])
     for nv, a in acc.items():
-        cube = a.reshape(n_feat, slots, n_classes)
-        totals = cube.sum(axis=2)
-        fj, sj = np.nonzero(totals)
-        if fj.size == 0:
+        cube = a.reshape(flat_slots, n_classes)
+        totals = cube.sum(axis=1)
+        nz = np.flatnonzero(totals)
+        if nz.size == 0:
             continue
-        vals = edges_mat[fj, np.minimum(sj, lens[fj] - 1)]
-        vals = np.where(sj == slots - 1, np.nan, vals)
-        node_out.append(np.full(fj.size, nv, dtype=np.int32))
+        fj = np.searchsorted(slot_off, nz, side="right") - 1
+        sj = nz - slot_off[fj]
+        vals = edges_flat[edge_off[fj] + np.minimum(sj, lens[fj] - 1)]
+        vals = np.where(sj == lens[fj], np.nan, vals)
+        node_out.append(np.full(nz.size, nv, dtype=np.int32))
         feat_out.append(name_arr[fj])
         value_out.append(vals)
         for i in range(n_classes):
-            class_out[i].append(cube[fj, sj, i])
-        total_out.append(totals[fj, sj])
+            class_out[i].append(cube[nz, i])
+        total_out.append(totals[nz])
     for nv, d in dist_acc.items():
         node_out.append(np.full(1, nv, dtype=np.int32))
         feat_out.append(np.asarray([DIST_FEATURE], dtype=object))
@@ -1292,15 +1337,32 @@ def _sparsify_cubes(acc, dist_acc, names, lens, slots, edges_mat, n_classes):
 
 
 def _cube_geometry(feature_names, bin_edges):
+    """RAGGED per-feature slot layout shared by every cube producer and
+    consumer: feature j owns flat slots ``[slot_off[j], slot_off[j+1])`` —
+    its ``lens[j]`` edge slots plus ONE NaN slot — so a single wide feature
+    (uint16 exact mode: up to 65 533 edges) costs only its own edges in the
+    cube, never max-edges × width.  ``edges_flat``/``edge_off`` hold the
+    concatenated candidate edges for value lookup on the way back out.
+    Producers (worker accumulate) and consumers (driver merge) derive this
+    from the same (feature_names, bin_edges), so blob layouts agree by
+    construction."""
     names = list(feature_names)
     lens = np.array([len(bin_edges.get(f, ())) for f in names], dtype=np.int64)
-    max_edges = int(lens.max()) if names else 0
-    slots = max_edges + 1  # +1 NaN bucket
-    edges_mat = np.full((len(names), max_edges), np.inf, dtype=np.float64)
-    for j, f in enumerate(names):
-        e = bin_edges.get(f, ())
-        edges_mat[j, : len(e)] = np.asarray(e, dtype=np.float64)
-    return names, lens, slots, edges_mat
+    slot_off = np.zeros(len(names) + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=slot_off[1:])
+    flat_slots = int(slot_off[-1])
+    edge_off = np.zeros(len(names) + 1, dtype=np.int64)
+    np.cumsum(lens, out=edge_off[1:])
+    if names:
+        edges_flat = np.concatenate(
+            [
+                np.asarray(bin_edges.get(f, ()), dtype=np.float64).reshape(-1)
+                for f in names
+            ]
+        )
+    else:
+        edges_flat = np.zeros(0, dtype=np.float64)
+    return names, lens, slot_off, flat_slots, edges_flat, edge_off
 
 
 def packed_histogram_cubes(
@@ -1315,6 +1377,7 @@ def packed_histogram_cubes(
     feature_positions: list[int] | None = None,
     matrix_width: int | None = None,
     emit_node_totals: bool = False,
+    code_dtype: str = "u1",
 ) -> DataFrame:
     """:func:`packed_histogram_counts` with DENSE per-node output: one row
     per (partition, node) carrying the whole flat count cube as int64
@@ -1329,7 +1392,9 @@ def packed_histogram_cubes(
     remains the path when partitions × nodes grows (the caller guards)."""
     import pyarrow as pa
 
-    names, lens, slots, edges_mat = _cube_geometry(feature_names, bin_edges)
+    names, lens, slot_off, flat_slots, _, _ = _cube_geometry(
+        feature_names, bin_edges
+    )
     tcol = target_idx_col
     n_feat = len(names)
     width = matrix_width if matrix_width is not None else n_feat
@@ -1338,14 +1403,12 @@ def packed_histogram_cubes(
         if feature_positions is not None
         else np.arange(n_feat, dtype=np.int64)
     )
-    cap = np.maximum(lens - 1, 0)[None, :]
-    has_edges = (lens > 0)[None, :]
 
     def cubes(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         acc, dist_acc = _accumulate_cubes(
             batches, packed_col, tcol, routing_splits, width, n_feat, pos,
-            slots, cap, has_edges, n_classes, emit_node_totals,
-            feature_positions is not None,
+            lens, slot_off, flat_slots, n_classes, emit_node_totals,
+            feature_positions is not None, code_dtype,
         )
         if not acc:
             return
@@ -1389,9 +1452,10 @@ def merge_cubes_to_counts_pdf(
     class-ascending) or None when not requested."""
     import pandas as pd
 
-    names, lens, slots, edges_mat = _cube_geometry(feature_names, bin_edges)
-    n_feat = len(names)
-    flat_size = n_feat * slots * n_classes
+    names, lens, slot_off, flat_slots, edges_flat, edge_off = _cube_geometry(
+        feature_names, bin_edges
+    )
+    flat_size = flat_slots * n_classes
     merged: dict[int, np.ndarray] = {}
     for r in rows:
         nv = int(r[0])
@@ -1415,7 +1479,9 @@ def merge_cubes_to_counts_pdf(
             ]
             for nv, v in merged.items()
         }
-    sparse = _sparsify_cubes(acc, {}, names, lens, slots, edges_mat, n_classes)
+    sparse = _sparsify_cubes(
+        acc, {}, names, lens, slot_off, edges_flat, edge_off, n_classes
+    )
     if sparse is None:
         return None, distributions
     node_out, feat_out, value_out, class_out, total_out = sparse

@@ -424,9 +424,12 @@ def find_best_splits_packed(
     all_feature_names: list[str] | None = None,
     n_pending_nodes: int | None = None,
     want_distributions: bool = False,
+    code_dtype: str = "u1",
 ) -> list[dict[str, Any]] | tuple[list[dict[str, Any]], dict[int, list] | None]:
-    """:func:`find_best_splits_per_node` over the packed uint8 code matrix
-    (``operators/histogram.py`` packed path): tree routing runs vectorized
+    """:func:`find_best_splits_per_node` over the packed bin-code matrix
+    (uint8, or uint16 when a feature needs more than 253 edges —
+    ``code_dtype`` must match the encode;
+    ``operators/histogram.py`` packed path): tree routing runs vectorized
     inside the histogram pass instead of as a JVM routing column, so each
     level costs one 2-column Arrow transfer of the cached code relation.
 
@@ -469,7 +472,6 @@ def find_best_splits_packed(
         width = len(all_feature_names)
     else:
         positions, width = None, None
-    max_edges = max((len(bin_edges.get(f, ())) for f in feature_names), default=0)
     slots = sum(len(bin_edges.get(f, ())) + 1 for f in feature_names)
     est_rows = max(1, n_pending_nodes or 1) * slots
     local_path = est_rows <= _LOCAL_GAINS_MAX_ROWS
@@ -479,8 +481,12 @@ def find_best_splits_packed(
         # driver merge — no shuffle at all.  Volume grows with the input's
         # partition count, so past the budget (big clusters, deep trees)
         # the sparse rows + distributed SUM form below takes over.
+        # `slots` is already the RAGGED flat slot total (per-feature edges
+        # + NaN slot), which is exactly the dense cube's int64 cell count
+        # per node — one wide feature no longer inflates the estimate (or
+        # the cube) by max-edges x width.
         cube_bytes = (
-            len(feature_names) * (max_edges + 1) * n_classes * 8
+            slots * n_classes * 8
             + (n_classes * 8 if want_distributions else 0)
         )
         n_parts = packed_df.rdd.getNumPartitions()
@@ -507,6 +513,7 @@ def find_best_splits_packed(
                 feature_positions=positions,
                 matrix_width=width,
                 emit_node_totals=want_distributions,
+                code_dtype=code_dtype,
             )
             # Arrow transport for the cube partials: a depth-d level collects
             # partitions x nodes ~100 KB binary cubes (hundreds of MB at
@@ -547,6 +554,7 @@ def find_best_splits_packed(
                 feature_positions=positions,
                 matrix_width=width,
                 emit_node_totals=want_distributions,
+                code_dtype=code_dtype,
             )
             pdf = counts.toPandas()
             if want_distributions:
@@ -582,6 +590,7 @@ def find_best_splits_packed(
         node_col,
         feature_positions=positions,
         matrix_width=width,
+        code_dtype=code_dtype,
     )
     gains = candidate_split_gains(
         packed_df,

@@ -125,7 +125,7 @@ def _packed_partition_target(
 
 
 def _coalesce_for_pack(
-    prepared: DataFrame, n_rows: int | None, width: int
+    prepared: DataFrame, n_rows: int | None, width: int, bytes_per_cell: int = 1
 ) -> DataFrame:
     """Right-size the partitioning the pack+encode pass — and therefore the
     PERSISTED code cache every per-level histogram job re-reads — inherits.
@@ -150,7 +150,7 @@ def _coalesce_for_pack(
     sc = prepared.sparkSession.sparkContext
     n_parts = prepared.rdd.getNumPartitions()
     want = _packed_partition_target(
-        n_parts, n_rows, width, sc.defaultParallelism
+        n_parts, n_rows, width * bytes_per_cell, sc.defaultParallelism
     )
     if want < n_parts:
         return prepared.coalesce(want)
@@ -400,7 +400,7 @@ class DecisionTreeClassifier:
             warnings.warn(
                 f"exact-mode melt split search over {len(feature_names)} "
                 "features Expands every row per feature; prefer "
-                "hist_method='arrow' (packed exact, needs <= 253 distinct "
+                "hist_method='arrow' (packed exact, needs <= 65533 distinct "
                 "values per feature) or max_bins for quantile candidates",
                 stacklevel=2,
             )
@@ -428,9 +428,11 @@ class DecisionTreeClassifier:
 
         bin_edges: dict[str, list[float]] | None = None
         packed_mode = False
+        packed_code_dtype = "u1"
         if hist_method == "arrow":
             from efficient_trees_spark.operators.histogram import (
                 _MAX_PACKED_EDGES,
+                _MAX_PACKED16_EDGES,
                 arrow_stat_rows,
                 distinct_edges_packed,
                 merge_edge_stats_rows,
@@ -492,22 +494,35 @@ class DecisionTreeClassifier:
                 _trim_malloc()
                 n_rows_est = max(feat_counts.values(), default=0)
                 self.bin_edges_ = bin_edges
-                if (
-                    max((len(e) for e in bin_edges.values()), default=0)
-                    <= _MAX_PACKED_EDGES
-                ):
-                    # The persisted training relation becomes uint8 bin codes
-                    # (1 byte/cell); routing and histograms run on codes —
+                max_card = max(
+                    (len(e) for e in bin_edges.values()), default=0
+                )
+                if max_card <= _MAX_PACKED16_EDGES:
+                    # The persisted training relation becomes packed bin
+                    # codes — uint8 (1 byte/cell) when every feature fits
+                    # 253 edges, uint16 (2 bytes/cell, <= 65 533 edges)
+                    # past that; routing and histograms run on codes —
                     # order-isomorphic to raw values, bit-identical trees.
+                    packed_code_dtype = (
+                        "u1" if max_card <= _MAX_PACKED_EDGES else "u2"
+                    )
                     prepared = _coalesce_for_pack(
-                        prepared, n_rows_est, len(feature_names)
+                        prepared,
+                        n_rows_est,
+                        len(feature_names),
+                        bytes_per_cell=1 if packed_code_dtype == "u1" else 2,
                     )
                     prepared = pack_encode_features(
-                        prepared, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
+                        prepared,
+                        feature_names,
+                        bin_edges,
+                        _TARGET_IDX,
+                        dtype=dtype,
+                        code_dtype=packed_code_dtype,
                     )
                     packed_mode = True
-                # beyond uint8 code space: `prepared` stays columnar and the
-                # per-level searchsorted histogram path takes over below.
+                # beyond uint16 code space: `prepared` stays columnar and
+                # the per-level searchsorted histogram path takes over below.
             else:
                 # EXACT mode on the packed path: candidates = every distinct
                 # value (the reference's tree.py:244 semantics).  Snapping to
@@ -524,6 +539,7 @@ class DecisionTreeClassifier:
                     bin_edges, n_rows_est = distinct_edges_packed(
                         prepared,
                         feature_names,
+                        max_distinct=_MAX_PACKED16_EDGES,
                         dtype=dtype,
                         packed=False,
                         with_counts=True,
@@ -532,10 +548,10 @@ class DecisionTreeClassifier:
                     if not exact_auto_fallback:
                         raise
                     warnings.warn(
-                        "auto exact fit: a feature exceeds uint8 code space "
-                        "(> 253 distinct values) — falling back to the melt "
-                        "split search; consider max_bins for the bounded "
-                        "scale path",
+                        "auto exact fit: a feature exceeds uint16 code space "
+                        "(> 65533 distinct values) — falling back to the "
+                        "melt split search; consider max_bins for the "
+                        "bounded scale path",
                         stacklevel=2,
                     )
                     hist_method = "expand"
@@ -543,11 +559,29 @@ class DecisionTreeClassifier:
                     prepared = prepared_base
                 else:
                     self.bin_edges_ = bin_edges
+                    # uint8 codes whenever every feature fits 253 distinct
+                    # values; uint16 (2 bytes/cell) up to 65 533 — virtually
+                    # every real exact fit, without ever taking the melt's
+                    # rows x width Expand.
+                    max_card = max(
+                        (len(e) for e in bin_edges.values()), default=0
+                    )
+                    packed_code_dtype = (
+                        "u1" if max_card <= _MAX_PACKED_EDGES else "u2"
+                    )
                     prepared = _coalesce_for_pack(
-                        prepared, n_rows_est, len(feature_names)
+                        prepared,
+                        n_rows_est,
+                        len(feature_names),
+                        bytes_per_cell=1 if packed_code_dtype == "u1" else 2,
                     )
                     prepared = pack_encode_features(
-                        prepared, feature_names, bin_edges, _TARGET_IDX, dtype=dtype
+                        prepared,
+                        feature_names,
+                        bin_edges,
+                        _TARGET_IDX,
+                        dtype=dtype,
+                        code_dtype=packed_code_dtype,
                     )
                     packed_mode = True
         elif self.max_bins is not None:
@@ -570,6 +604,7 @@ class DecisionTreeClassifier:
                 hist_method=hist_method,
                 bin_edges=bin_edges if hist_method == "arrow" else None,
                 packed=packed_mode,
+                packed_code_dtype=packed_code_dtype,
             )
         elif strategy == "node":
             self.tree = self._build_tree(
@@ -823,6 +858,7 @@ class DecisionTreeClassifier:
         bin_edges: dict[str, list[float]] | None = None,
         packed: bool = False,
         packed_all_features: list[str] | None = None,
+        packed_code_dtype: str = "u1",
     ) -> dict[str, Any]:
         """PLANET-style breadth-first growth (the published strategy behind
         MLlib's trees, here with exact distinct-value splits): each level runs
@@ -879,6 +915,7 @@ class DecisionTreeClassifier:
                                 all_feature_names=all_names,
                                 n_pending_nodes=len(frontier),
                                 want_distributions=need_root_dist,
+                                code_dtype=packed_code_dtype,
                             )
 
                     else:

@@ -164,13 +164,40 @@ def test_exact_arrow_matches_exact_expand(spark):
 
 
 def test_exact_arrow_overflow_raises_with_guidance(spark):
-    """A feature with more distinct values than uint8 code space must fail
-    loudly in exact arrow mode, pointing at max_bins / expand."""
-    data = spark.createDataFrame(
-        [(float(i), i % 2) for i in range(400)], "a double, target int"
+    """A feature with more distinct values than uint16 code space must fail
+    loudly in exact arrow mode, pointing at max_bins / expand.  (Up to
+    65 533 distinct values the packed path now handles it via uint16 codes
+    — see test_exact_uint16_parity_past_253_distinct.)"""
+    data = spark.range(66_000).selectExpr(
+        "CAST(id AS DOUBLE) AS a", "CAST(id % 2 AS INT) AS target"
     )
     with pytest.raises(ValueError, match="distinct values per feature"):
         DecisionTreeClassifier(max_depth=2, hist_method="arrow").fit(data, "target")
+
+
+def test_exact_uint16_parity_past_253_distinct(spark):
+    """EXACT mode with a >253-distinct feature takes the packed uint16 path
+    (no melt Expand, no fallback warning) and produces the IDENTICAL tree
+    to the melt exact search."""
+    import warnings
+
+    data = spark.createDataFrame(
+        [
+            (float(i) * 0.5, float(i % 23), float((i * 7) % 11), i % 3)
+            for i in range(900)
+        ],
+        "a double, b double, c double, target int",
+    )
+    m_packed = DecisionTreeClassifier(max_depth=3, hist_method="arrow")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning fails the test
+        m_packed.fit(data, "target")
+    # the wide feature really went through packed codes: its full distinct
+    # set became the candidate edges (the u2 selection precondition)
+    assert len(m_packed.bin_edges_["a"]) == 900  # > 253 -> uint16 codes
+    m_melt = DecisionTreeClassifier(max_depth=3, hist_method="expand")
+    m_melt.fit(data, "target")
+    assert m_packed.tree == m_melt.tree
 
 
 def test_wide_exact_melt_warns(spark):
@@ -199,18 +226,40 @@ def test_auto_wide_exact_uses_packed_when_cardinality_fits(spark):
 
 
 def test_auto_wide_exact_falls_back_to_melt_on_overflow(spark):
-    """auto + exact + wide, but one feature has > 253 distinct values: the
-    packed probe falls back to the melt with a warning and the fit still
-    completes."""
+    """auto + exact + wide, but one feature has > 65 533 distinct values
+    (uint16 code space): the packed probe falls back to the melt with a
+    warning and the fit still completes."""
     cols = [
         ((F.col("id") * (j + 3)) % 11).cast("double").alias(f"f{j}")
         for j in range(63)
-    ] + [F.col("id").cast("double").alias("f_hi")]  # 2000 distinct values
-    data = spark.range(2000).select(*cols, (F.col("id") % 2).cast("int").alias("target"))
+    ] + [F.col("id").cast("double").alias("f_hi")]  # 66 000 distinct values
+    data = spark.range(66_000).select(
+        *cols, (F.col("id") % 2).cast("int").alias("target")
+    )
     m = DecisionTreeClassifier(max_depth=1)
     with pytest.warns(UserWarning, match="falling back to the melt"):
         m.fit(data, "target")
     assert m.bin_edges_ is None
+    assert m.tree is not None
+
+
+def test_auto_wide_exact_uses_uint16_between_253_and_65533(spark):
+    """auto + exact + wide with one mid-cardinality feature (254..65533
+    distinct): NO fallback — the uint16 packed path engages silently."""
+    import warnings
+
+    cols = [
+        ((F.col("id") * (j + 3)) % 11).cast("double").alias(f"f{j}")
+        for j in range(63)
+    ] + [F.col("id").cast("double").alias("f_hi")]  # 2000 distinct values
+    data = spark.range(2000).select(
+        *cols, (F.col("id") % 2).cast("int").alias("target")
+    )
+    m = DecisionTreeClassifier(max_depth=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m.fit(data, "target")
+    assert len(m.bin_edges_["f_hi"]) == 2000
     assert m.tree is not None
 
 
