@@ -801,6 +801,7 @@ def ivf_pq_topk(
     nprobe: int = 2,
     round_to: int = 6,
     residual: bool = False,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF + PQ composed — the classic two-level ANN index (FAISS IVFPQ
     shape): the coarse quantizer restricts each query to its ``nprobe``
@@ -808,6 +809,16 @@ def ivf_pq_topk(
     those cells.  Per-query work drops from |corpus| × M code rows to
     |probed cells| × M, with PQ's 32×-or-more compression on what
     remains — the combination that serves billion-vector indexes.
+
+    ``rerank=k'`` (k' >= k) adds the production third stage: the ADC pass
+    shortlists each query's top k' candidates, then the final top-``k``
+    comes from EXACT cosine over the shortlist's raw vectors — quantization
+    error stops costing recall beyond the shortlist boundary, for the price
+    of k' exact dot products per query.  Scale shape: the shortlist
+    (queries × k' ids) is BROADCAST onto the corpus, so the raw-vector
+    lookup is a map-only semi-join — the corpus still never shuffles.
+    Re-ranked ``cos`` is the true cosine (comparable to :func:`cosine_topk`
+    output), not an ADC reconstruction.
 
     ``residual=False`` PQ-encodes raw unit vectors — a neighbor scored by
     both this and :func:`pq_adc_topk` gets the bit-identical score.
@@ -870,7 +881,37 @@ def ivf_pq_topk(
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    if rerank < k:
+        raise ValueError(f"rerank must be >= k ({k}), got {rerank}")
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c = _with_norm(corpus, id_col, vec_col, "neighbor")
+    q = _with_norm(queries, id_col, vec_col, "query")
+    exact = (
+        c.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("query_vec"), F.col("neighbor_vec"))
+                / (F.col("query_norm") * F.col("neighbor_norm")),
+                round_to,
+            ).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
 
 
 # ------------------------------------------------------------------ SemDeDup

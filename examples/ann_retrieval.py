@@ -66,6 +66,13 @@ results = {
         emb, queries, centroids, res_books, "vec_id", "embedding",
         k=K, nprobe=2, residual=True,
     ),
+    # production third stage: ADC shortlists 8x the final k, exact cosine
+    # re-ranks the shortlist — quantization error stops costing recall
+    # beyond the shortlist boundary
+    "ivf_pq_rr": similarity.ivf_pq_topk(
+        emb, queries, centroids, res_books, "vec_id", "embedding",
+        k=K, nprobe=2, residual=True, rerank=8 * K,
+    ),
 }
 
 truth = {
@@ -131,6 +138,10 @@ for method, df in {
     "ivf_pq_res": similarity.ivf_pq_topk(
         clustered, c_queries, c_centroids, resid_books,
         "vec_id", "embedding", k=K, nprobe=2, residual=True,
+    ),
+    "ivf_pq_rr": similarity.ivf_pq_topk(
+        clustered, c_queries, c_centroids, resid_books,
+        "vec_id", "embedding", k=K, nprobe=2, residual=True, rerank=8 * K,
     ),
 }.items():
     got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}

@@ -249,6 +249,116 @@ def test_ivf_pq_residual_matches_numpy_oracle(spark, corpus):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_ivf_pq_rerank_is_exact_cosine_over_the_adc_shortlist(spark, corpus):
+    """rerank=k' pins to: take the ADC top-k' pairs (exactly what
+    ivf_pq_topk(k=k') returns), score THOSE pairs with true cosine, rank
+    (cos desc, id asc), cut at k.  Derived here from the engine's own
+    un-reranked output plus a numpy exact-cosine oracle — so the test pins
+    both the shortlist identity and the re-ranked scores."""
+    seeds = corpus.filter("vid % 10 = 1")
+    centroids = seeds.select(F.col("vid").alias("cid"), F.col("vec").alias("cvec"))
+    books = similarity.train_pq_residual_codebooks(
+        corpus, centroids, "vid", "vec", m=4, ksub=4, n_iters=5, sample_n=1000
+    )
+    queries = corpus.filter("vid % 7 = 0")
+    K, KP, NPROBE = 3, 8, 2
+    got = similarity.ivf_pq_topk(
+        corpus, queries, centroids, books, "vid", "vec",
+        k=K, nprobe=NPROBE, residual=True, rerank=KP,
+    ).collect()
+    assert got, "re-ranked composition returned nothing"
+
+    shortlist = similarity.ivf_pq_topk(
+        corpus, queries, centroids, books, "vid", "vec",
+        k=KP, nprobe=NPROBE, residual=True,
+    ).collect()
+    vecs = {r["vid"]: np.asarray(r["vec"], dtype=np.float64) for r in corpus.collect()}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    expect = {}
+    by_query: dict = {}
+    for r in shortlist:
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid, nids in by_query.items():
+        ranked = sorted(
+            ((-cos(vecs[qid], vecs[nid]), nid) for nid in nids)
+        )[:K]
+        for rank, (neg, nid) in enumerate(ranked, start=1):
+            expect[(qid, nid)] = (-neg, rank)
+    assert {
+        (r["query_id"], r["neighbor_id"]): (r["cos"], r["rank"]) for r in got
+    } == expect
+
+    with pytest.raises(ValueError, match="rerank must be >= k"):
+        similarity.ivf_pq_topk(
+            corpus, queries, centroids, books, "vid", "vec",
+            k=5, nprobe=2, residual=True, rerank=3,
+        )
+
+
+def test_ivf_pq_rerank_recall_at_least_unreranked(spark):
+    """On clustered data, exact re-rank of a 4k shortlist must recover at
+    least the recall of the plain ADC cut — quantization error can demote a
+    true neighbor below rank k but re-ranking restores any that made the
+    shortlist."""
+    rng = np.random.default_rng(23)
+    anchors = rng.normal(size=(8, 8))
+    anchors /= np.linalg.norm(anchors, axis=1)[:, None]
+    rows = [
+        (i, (anchors[i % 8] + 0.15 * rng.normal(size=8)).tolist())
+        for i in range(240)
+    ]
+    corpus = _vec_df(spark, rows)
+    queries = _vec_df(
+        spark,
+        [(1000 + j, (anchors[j % 8] + 0.15 * rng.normal(size=8)).tolist())
+         for j in range(8)],
+    )
+    centroids = spark.createDataFrame(
+        [(c, a.tolist()) for c, a in enumerate(anchors)],
+        "cid long, cvec array<double>",
+    )
+    K, NPROBE = 5, 1
+    books = similarity.train_pq_residual_codebooks(
+        corpus, centroids, "vid", "vec", m=4, ksub=4, n_iters=5, sample_n=1000
+    )
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    cvecs = {r[0]: unit(r[1]) for r in rows}
+    truth = {}
+    for qid, qv in [(1000 + j, q[1]) for j, q in enumerate(queries.collect())]:
+        qu = unit(qv)
+        scored = sorted(
+            ((float(qu @ dv), did) for did, dv in cvecs.items()),
+            key=lambda t: (-round(t[0], 6), t[1]),
+        )
+        truth[qid] = {did for _, did in scored[:K]}
+
+    def recall(result_df):
+        got = {}
+        for r in result_df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items())
+
+    base = similarity.ivf_pq_topk(
+        corpus, queries, centroids, books, "vid", "vec",
+        k=K, nprobe=NPROBE, residual=True,
+    )
+    reranked = similarity.ivf_pq_topk(
+        corpus, queries, centroids, books, "vid", "vec",
+        k=K, nprobe=NPROBE, residual=True, rerank=4 * K,
+    )
+    r_base, r_rerank = recall(base), recall(reranked)
+    assert r_rerank >= r_base
+    assert r_rerank > 0
+
+
 def test_residual_codebooks_reduce_reconstruction_error(spark):
     """The point of residual encoding: quantizing x − c(x) with the same
     codebook budget reconstructs x (as c + r̂) with LESS error than
