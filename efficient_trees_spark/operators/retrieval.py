@@ -145,6 +145,41 @@ def bm25_index(
     return Bm25Index(postings=postings, dfreq=dfreq, stats=stats)
 
 
+def bm25_index_merge(
+    old: Bm25Index,
+    new_docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> Bm25Index:
+    """Incrementally extend an index with an APPEND batch — real corpora
+    grow; rebuilding from scratch would rescan the (100 TB) old corpus for
+    every append.
+
+    Only ``new_docs`` is scanned: its postings are built fresh (one
+    new-batch-sized shuffle) and unioned with the old POSTINGS RELATION;
+    dfreq and the corpus stats then re-derive from the unioned postings
+    with the exact expressions :func:`bm25_index` uses — the (doc, term,
+    tf, dl) set is identical to a full rebuild's (append ids must be
+    DISJOINT from the old corpus — this is an append, not an upsert), the
+    df counts and N are exact integers, and avgdl is one exact int64 sum
+    over distinct doc lengths divided by N, so every BM25 score is
+    bit-identical to the full rebuild (test-asserted).  The old index can
+    come from :func:`read_bm25_index` — merging never needs the original
+    corpus files."""
+    new = bm25_index(new_docs, doc_id=doc_id, text_col=text_col)
+    postings = old.postings.unionByName(new.postings)
+    dfreq = postings.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    stats = (
+        postings.select("__doc", "__dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+        )
+    )
+    return Bm25Index(postings=postings, dfreq=dfreq, stats=stats)
+
+
 def bm25_search(
     index: Bm25Index,
     queries: DataFrame,

@@ -179,3 +179,67 @@ def test_bm25_on_real_documents_is_deterministic_across_partitionings(spark, sf_
     b = bm25_topk(docs.repartition(13), qdf, k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 5
+
+
+def test_index_merge_matches_full_rebuild(spark, sf_small):
+    """bm25_index_merge(old, append) must score bit-identically to a full
+    rebuild over the concatenated corpus — dfreq/stats re-derive from the
+    unioned postings with the same exact-integer expressions."""
+    from efficient_trees_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_merge,
+        bm25_search,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    old_docs = docs.filter("doc_id % 3 != 0")
+    new_docs = docs.filter("doc_id % 3 = 0")  # disjoint append batch
+    queries = spark.createDataFrame(
+        [(0, "spark window agg"), (7, "shuffle join broadcast")],
+        "query_id long, query_text string",
+    )
+    merged = bm25_index_merge(bm25_index(old_docs), new_docs)
+    rebuilt = bm25_index(docs)
+    got = sorted(tuple(r) for r in bm25_search(merged, queries, k=10).collect())
+    want = sorted(tuple(r) for r in bm25_search(rebuilt, queries, k=10).collect())
+    assert got == want and got
+
+
+def test_index_merge_never_needs_old_corpus(spark, sf_small, tmp_path):
+    """Appending to a persisted-and-reloaded index works after the ORIGINAL
+    corpus files are deleted — the merge reads the old postings relation,
+    never the old docs."""
+    import os
+    import shutil
+
+    from efficient_trees_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_merge,
+        bm25_search,
+        read_bm25_index,
+    )
+
+    corpus_dir = str(tmp_path / "docs.parquet")
+    shutil.copy(f"{sf_small}/documents.parquet", corpus_dir)
+    docs = spark.read.parquet(corpus_dir)
+    old_docs = docs.filter("doc_id % 3 != 0")
+    # the append batch is materialized independently of the old corpus file
+    new_rows = docs.filter("doc_id % 3 = 0").collect()
+    out = str(tmp_path / "bm25_idx")
+    bm25_index(old_docs).write(out)
+
+    os.remove(corpus_dir)  # old corpus gone — a rescan would fail here
+    new_docs = spark.createDataFrame(new_rows, docs.schema)
+    merged = bm25_index_merge(read_bm25_index(spark, out), new_docs)
+    queries = spark.createDataFrame(
+        [(0, "spark window agg")], "query_id long, query_text string"
+    )
+    res = bm25_search(merged, queries, k=5).collect()
+    assert len(res) == 5
+    # appended docs are genuinely searchable through the merged index
+    appended_ids = {r["doc_id"] for r in new_rows}
+    all_hits = {
+        r["neighbor_id"]
+        for r in bm25_search(merged, queries, k=10_000).collect()
+    }
+    assert all_hits & appended_ids
