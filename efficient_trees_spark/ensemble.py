@@ -19,9 +19,11 @@ engine's existing dataflow pieces:
 At cluster scale the incremental cost of a tree is its level-wise split
 searches on a cached sample — the scan and preparation are amortized across
 the forest, and ``max_bins`` bounds each search's shuffle volume.  Binned
-forests share ONE packed uint8 code relation (``operators/histogram.py``):
-the wide Arrow conversion and encode run once, each tree's bootstrap samples
-the 2-column coded cache, and per-tree feature bagging histograms only its
+forests share ONE packed bin-code relation (``operators/histogram.py``),
+built by the same two-scan flow as the single-tree fit (edge sketch pass +
+fused pack→encode — 2 source scans total for ANY n_trees, no raw float
+cache); each tree's bootstrap samples the 2-column coded cache, and
+per-tree feature bagging histograms only its
 subset's matrix columns — AMEX-width forests pay the same per-level cost as
 the single packed tree, times trees.
 """
@@ -97,12 +99,11 @@ class RandomForestClassifier:
         )
         packed = False
         bin_edges: dict[str, list[float]] | None = None
-        packed_raw = None
         packed_code_dtype = "u1"
         if self.max_bins is not None:
             from efficient_trees_spark.tree import (
                 _fan_out_small_input,
-                _raw_cache_level,
+                _two_scan_binned_edges,
             )
 
             # Same fan-out as the single-tree binned fit (see
@@ -113,23 +114,29 @@ class RandomForestClassifier:
             from efficient_trees_spark.operators.histogram import (
                 _MAX_PACKED_EDGES,
                 _MAX_PACKED16_EDGES,
-                encode_packed,
-                pack_raw_features,
+                pack_encode_features,
             )
 
-            # Same packed flow as the single tree (tree.py fit), amortized
-            # across the forest: ONE wide Arrow conversion + ONE uint8 code
-            # relation shared by every tree's bootstrap sample.  The
-            # mapInArrow passes are 1:1 row maps, so seeded `sample` picks
-            # the same logical rows off the coded relation as it would off
-            # the snapped one.
+            # Same TWO-SCAN flow as the single tree (tree.py fit), amortized
+            # across the forest: pass 1 sketches edges off the columnar
+            # relation (nothing persisted), pass 2 fuse-packs straight to
+            # bin codes — and that ONE code relation is shared by every
+            # tree's bootstrap sample.  A forest therefore scans the source
+            # exactly TWICE regardless of n_trees, with NO raw float cache
+            # at all (the pre-round-7 flow persisted a DISK_ONLY raw blob —
+            # 4/8 bytes/cell of dead weight once codes existed; per-tree
+            # two-scan would instead pay 2·T source scans — the shared
+            # two-scan dominates both, see SCALE.md).  The mapInArrow pass
+            # is a 1:1 row map preserving the source partitioning, so
+            # seeded `sample` picks the same logical rows off the coded
+            # relation as it would off the snapped one — the pinned forest
+            # oracle values are unchanged.
             dtype = "f4" if shrink_features else "f8"
-            packed_raw = pack_raw_features(
-                prepared, feature_names, _TARGET_IDX, dtype=dtype
-            ).persist(_raw_cache_level())
-            bin_edges = proto._compute_bin_edges(
-                packed_raw, feature_names, packed_dtype=dtype
+            n_bins, stats = proto._binned_edge_params()
+            bin_edges, _ = _two_scan_binned_edges(
+                prepared, feature_names, n_bins, stats, dtype
             )
+            proto.bin_edges_ = bin_edges
             max_card = max((len(e) for e in bin_edges.values()), default=0)
             if max_card <= _MAX_PACKED16_EDGES:
                 # Same u1/u2 selection as the single-tree fit: 1 byte/cell
@@ -137,8 +144,8 @@ class RandomForestClassifier:
                 packed_code_dtype = (
                     "u1" if max_card <= _MAX_PACKED_EDGES else "u2"
                 )
-                prepared = encode_packed(
-                    packed_raw,
+                prepared = pack_encode_features(
+                    prepared,
                     feature_names,
                     bin_edges,
                     _TARGET_IDX,
@@ -147,8 +154,6 @@ class RandomForestClassifier:
                 )
                 packed = True
             else:
-                packed_raw.unpersist()
-                packed_raw = None
                 prepared = proto._snap_to_edges(prepared, feature_names)
         self.categorical_mappings = proto.categorical_mappings
         self._unique_targets = unique_targets
@@ -191,8 +196,6 @@ class RandomForestClassifier:
                 )
         finally:
             prepared.unpersist()
-            if packed_raw is not None:
-                packed_raw.unpersist()
 
     # ------------------------------------------------------------- predict
 

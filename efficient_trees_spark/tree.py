@@ -54,29 +54,6 @@ from efficient_trees_spark.plans.case_compiler import compile_tree
 
 _TARGET_IDX = split_finder.TARGET_IDX
 
-
-def _raw_cache_level():
-    """Storage level for the raw packed-float relation (4/8 bytes per cell
-    — the single biggest transient of a wide fit).  It is written once and
-    read exactly once (binned: level 0's encode) or twice (exact: distinct
-    edges + encode), so DISK_ONLY is the default: keeping it on-heap was
-    the measured data-proportional chunk of the local[32] memory over-floor
-    (~4.1 GB at the reference's 5.4M x 190 f32 benchmark shape) and the
-    reason smaller heaps OOM'd, while the disk round-trip is sequential
-    columnar I/O an executor's local disk absorbs.  The uint8 CODE cache
-    (1 byte/cell) that lives for the whole fit stays in memory.  Override
-    with SPARK_GRAFT_RAW_CACHE_LEVEL=MEMORY_AND_DISK to pin it on-heap
-    (e.g. memory-rich executors over slow disks)."""
-    import os
-
-    from pyspark import StorageLevel
-
-    name = os.environ.get("SPARK_GRAFT_RAW_CACHE_LEVEL", "DISK_ONLY")
-    level = getattr(StorageLevel, name, None)
-    if level is None:
-        raise ValueError(f"unknown SPARK_GRAFT_RAW_CACHE_LEVEL: {name!r}")
-    return level
-
 # Above this cardinality, categorical codes are applied via a broadcast-join
 # mapping table instead of a literal CASE map (SURVEY.md §2.8).
 _LITERAL_MAP_MAX = 256
@@ -155,6 +132,57 @@ def _coalesce_for_pack(
     if want < n_parts:
         return prepared.coalesce(want)
     return prepared
+
+
+def _two_scan_binned_edges(
+    prepared: DataFrame,
+    feature_names: list[str],
+    n_bins: int,
+    stats: int,
+    dtype: str,
+) -> tuple[dict[str, list[float]], int]:
+    """Pass 1 of the binned two-scan flow, shared by the single-tree fit
+    and the forest: per-partition order statistics over the COLUMNAR
+    relation (nothing persisted, rows-independent output) merged into
+    quantile edges + the per-feature row counts.  Returns
+    ``(bin_edges, n_rows_est)``.
+
+    The raw stats volume is partitions × features × 2·stats doubles —
+    row-count-independent but PARTITION-proportional, and a many-partition
+    input (wide ladder ×9: 532 parquet splits) serializes past
+    ``spark.driver.maxResultSize``.  Under budget, collect + driver merge
+    (skips a whole Spark job); over it, the feature-keyed distributed merge
+    collects only F edge rows.  Edges are bit-identical either way."""
+    from efficient_trees_spark.operators.histogram import (
+        _trim_malloc,
+        arrow_stat_rows,
+        merge_edge_stats_rows,
+        merge_order_stats_distributed,
+        partition_order_stats,
+        stats_collect_budget,
+    )
+
+    stats_df = partition_order_stats(prepared, feature_names, stats, dtype=dtype)
+    n_parts = prepared.rdd.getNumPartitions()
+    est_stats_bytes = n_parts * len(feature_names) * (2 * stats * 8 + 48)
+    if est_stats_bytes > stats_collect_budget(prepared.sparkSession):
+        bin_edges, feat_counts = merge_order_stats_distributed(
+            stats_df, feature_names, n_bins, with_counts=True
+        )
+    else:
+        if hasattr(stats_df, "toArrow"):
+            # partitions x features rows of double-lists: Arrow IPC
+            # transport + zero-copy numpy views instead of py4j row
+            # pickling (tuple-indexed either way).
+            stat_rows = arrow_stat_rows(stats_df.toArrow())
+        else:  # pragma: no cover - pre-Arrow-collect Spark
+            stat_rows = stats_df.collect()
+        bin_edges, feat_counts = merge_edge_stats_rows(
+            stat_rows, feature_names, n_bins, with_counts=True
+        )
+        del stat_rows
+    _trim_malloc()
+    return bin_edges, max(feat_counts.values(), default=0)
 
 
 class DecisionTreeClassifier:
@@ -433,11 +461,8 @@ class DecisionTreeClassifier:
             from efficient_trees_spark.operators.histogram import (
                 _MAX_PACKED_EDGES,
                 _MAX_PACKED16_EDGES,
-                arrow_stat_rows,
                 distinct_edges_packed,
-                merge_edge_stats_rows,
                 pack_encode_features,
-                partition_order_stats,
             )
 
             dtype = "f4" if shrink_features else "f8"
@@ -455,44 +480,9 @@ class DecisionTreeClassifier:
                 # writing AND reading back a 4/8-byte-per-cell cache — the
                 # measured data-proportional chunk of peak executor memory.
                 n_bins, stats = self._binned_edge_params()
-                stats_df = partition_order_stats(
-                    prepared, feature_names, stats, dtype=dtype
+                bin_edges, n_rows_est = _two_scan_binned_edges(
+                    prepared, feature_names, n_bins, stats, dtype
                 )
-                # The raw stats volume is partitions × features × 2·stats
-                # doubles — row-count-independent but PARTITION-proportional,
-                # and a many-partition input (wide ladder x9: 532 parquet
-                # splits) serializes past spark.driver.maxResultSize.  Under
-                # budget, collect + driver merge (skips a whole Spark job);
-                # over it, the feature-keyed distributed merge collects only
-                # F edge rows.  Edges are bit-identical either way.
-                from efficient_trees_spark.operators.histogram import (
-                    _trim_malloc,
-                    merge_order_stats_distributed,
-                    stats_collect_budget,
-                )
-
-                n_parts = prepared.rdd.getNumPartitions()
-                est_stats_bytes = (
-                    n_parts * len(feature_names) * (2 * stats * 8 + 48)
-                )
-                if est_stats_bytes > stats_collect_budget(prepared.sparkSession):
-                    bin_edges, feat_counts = merge_order_stats_distributed(
-                        stats_df, feature_names, n_bins, with_counts=True
-                    )
-                else:
-                    if hasattr(stats_df, "toArrow"):
-                        # partitions x features rows of double-lists: Arrow
-                        # IPC transport + zero-copy numpy views instead of
-                        # py4j row pickling (tuple-indexed either way).
-                        stat_rows = arrow_stat_rows(stats_df.toArrow())
-                    else:  # pragma: no cover - pre-Arrow-collect Spark
-                        stat_rows = stats_df.collect()
-                    bin_edges, feat_counts = merge_edge_stats_rows(
-                        stat_rows, feature_names, n_bins, with_counts=True
-                    )
-                    del stat_rows
-                _trim_malloc()
-                n_rows_est = max(feat_counts.values(), default=0)
                 self.bin_edges_ = bin_edges
                 max_card = max(
                     (len(e) for e in bin_edges.values()), default=0
@@ -699,7 +689,6 @@ class DecisionTreeClassifier:
         self,
         prepared: DataFrame,
         feature_names: list[str],
-        packed_dtype: str | None = None,
     ) -> dict[str, list[float]]:
         """Place ≤ ``max_bins`` equi-depth candidate edges per feature.
 
@@ -730,18 +719,12 @@ class DecisionTreeClassifier:
         """
         from efficient_trees_spark.operators.histogram import (
             partition_quantile_edges,
-            quantile_edges_packed,
         )
 
         n_bins, stats = self._binned_edge_params()
-        if packed_dtype is not None:  # `prepared` is the packed raw relation
-            edges_by_feature = quantile_edges_packed(
-                prepared, feature_names, n_bins, stats, dtype=packed_dtype
-            )
-        else:
-            edges_by_feature = partition_quantile_edges(
-                prepared, feature_names, n_bins, stats
-            )
+        edges_by_feature = partition_quantile_edges(
+            prepared, feature_names, n_bins, stats
+        )
         self.bin_edges_ = edges_by_feature
         return edges_by_feature
 

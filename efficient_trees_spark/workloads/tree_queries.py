@@ -284,7 +284,12 @@ def forest_fit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the new edges agree with the expand path's _compute_bin_edges on this
 # data, which the previous fused-pack stats did NOT (arrow/expand gave
 # 6032/6028 'R' rows at r5 HEAD) — the re-pin records the now-converged
-# value, verified identical under tuned and vanilla sessions.
+# value, verified identical under tuned and vanilla sessions.  forest
+# re-pinned in round 7 for the same migration: the forest now shares the
+# single-tree two-scan flow (no raw float cache), whose stats pass sees
+# the column-pruned exchange placement rather than the frozen raw-cache
+# placement — same deterministic edges as the single-tree binned fit,
+# verified identical under tuned and vanilla sessions.
 _FIT_DISTRIBUTIONS_SF0_01 = """
     SELECT model, prediction, CAST(n AS BIGINT) AS n FROM (VALUES
         ('tree', 'A', 1688), ('tree', 'N', 52976), ('tree', 'R', 5336),
@@ -292,7 +297,7 @@ _FIT_DISTRIBUTIONS_SF0_01 = """
         ('tree_binned', 'R', 6028),
         ('tree_exact_arrow', 'A', 35537), ('tree_exact_arrow', 'N', 23814),
         ('tree_exact_arrow', 'R', 649),
-        ('forest', 'A', 36449), ('forest', 'N', 23404), ('forest', 'R', 147)
+        ('forest', 'A', 36590), ('forest', 'N', 23287), ('forest', 'R', 123)
     ) AS t(model, prediction, n)
 """
 
