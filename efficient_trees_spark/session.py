@@ -99,6 +99,13 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MALLOC_MMAP_THRESHOLD", "131072"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Extra driver-JVM flags (local mode: driver == executors), e.g.
+        # -XX:G1PeriodicGCInterval for the measured high-heap GC-laziness
+        # transient — SCALE.md memory notes.  Empty default = Spark's own.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         # Generated-class cache (STATIC conf; Spark default 100 entries).
         # A long-lived session running many distinct plans — exactly what a
