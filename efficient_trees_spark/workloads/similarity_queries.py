@@ -283,6 +283,26 @@ _IVF_PQ_TOPK_ORACLE = f"""
     SELECT query_id, neighbor_id, cos, rank FROM ivfpq_ranked WHERE rank <= 5
 """
 
+# Re-ranked IVFPQ: the SAME ADC pipeline shortlists each query's top 10,
+# then the final top-5 is EXACT cosine over the shortlist's raw vectors —
+# the production third stage (quantization error stops costing recall
+# beyond the shortlist boundary).  The exact-cosine expression is the same
+# sequential fold the brute leg uses, so scores are bit-identical to
+# cosine_topk output on shared pairs.
+_IVF_PQ_RR_ORACLE = _IVF_PQ_TOPK_ORACLE.replace(
+    "SELECT query_id, neighbor_id, cos, rank FROM ivfpq_ranked WHERE rank <= 5",
+    f"""SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT s.query_id, s.neighbor_id,
+               round({_cos("qe.embedding", "ne.embedding")}, 6) AS cos,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY round({_cos("qe.embedding", "ne.embedding")}, 6) DESC,
+                                           s.neighbor_id ASC) AS rank
+        FROM (SELECT query_id, neighbor_id FROM ivfpq_ranked WHERE rank <= 10) s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+    ) WHERE rank <= 5""",
+)
+
 
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ composed (the FAISS-IVFPQ two-level shape, no residuals):
@@ -314,6 +334,25 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.pq_codebooks_from_seeds(seeds, "vec_id", "embedding", m=_PQ_M)
     queries = emb.filter(F.expr(_Q_FILTER))
     return similarity.pq_adc_topk(emb, queries, books, "vec_id", "embedding", k=5)
+
+
+def ann_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with the production third stage: ADC shortlists each query's
+    top 10, exact cosine over the shortlist's raw vectors ranks the final
+    top 5 (shortlist broadcast onto the corpus — map-only semi-join, the
+    corpus never shuffles).  Registered via ``ann_topk_suite``
+    (method='ivf_pq_rr')."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.expr(_CENTROID_FILTER))
+    centroids = seeds.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    books = similarity.pq_codebooks_from_seeds(seeds, "vec_id", "embedding", m=_PQ_M)
+    queries = emb.filter(F.expr(_Q_FILTER))
+    return similarity.ivf_pq_topk(
+        emb, queries, centroids, books, "vec_id", "embedding",
+        k=5, nprobe=2, rerank=10,
+    )
 
 
 @workload(
@@ -438,6 +477,34 @@ def ann_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_bm25_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-index twin of :func:`ann_bm25_topk`: the corpus is split
+    into a base index (doc_id % 3 != 0) and an APPEND batch, merged with
+    ``bm25_index_merge`` (only the append batch is re-scanned), and the
+    same queries run against the merged index.  The oracle is the FULL
+    REBUILD's SQL — merge == rebuild is the correctness contract, proven
+    here against an independent engine.  Registered via ``ann_topk_suite``
+    (method='bm25_merged')."""
+    from efficient_trees_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_merge,
+        bm25_search,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merged = bm25_index_merge(
+        bm25_index(docs.filter("doc_id % 3 != 0")),
+        docs.filter("doc_id % 3 = 0"),
+    )
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    return bm25_search(
+        merged, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+        broadcast_queries=True,
+    )
+
+
 @workload(
     "ann_topk_suite",
     oracle=f"""
@@ -462,7 +529,13 @@ def ann_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'ivf_pq', query_id, neighbor_id, cos AS score, rank
         FROM ({_IVF_PQ_TOPK_ORACLE})
         UNION ALL
+        SELECT 'ivf_pq_rr', query_id, neighbor_id, cos AS score, rank
+        FROM ({_IVF_PQ_RR_ORACLE})
+        UNION ALL
         SELECT 'bm25', query_id, neighbor_id, score, rank
+        FROM ({_BM25_TOPK_ORACLE})
+        UNION ALL
+        SELECT 'bm25_merged', query_id, neighbor_id, score, rank
         FROM ({_BM25_TOPK_ORACLE})
     """,
     description="Retrieval top-5 suite: method='brute' is exact ranked "
@@ -478,7 +551,13 @@ def ann_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shared pairs); method='bm25' is lexical BM25 over the documents table "
     "(operators/retrieval.py: postings in one shuffle, broadcast query "
     "weights, Lucene +1 idf) — the exact-term path for decontamination "
-    "sweeps and quality mining",
+    "sweeps and quality mining; method='ivf_pq_rr' adds the production "
+    "third stage to ivf_pq (ADC shortlists top-10, exact cosine over the "
+    "shortlist's raw vectors ranks the final top-5 — broadcast semi-join, "
+    "corpus never shuffles); method='bm25_merged' serves the same queries "
+    "from an INCREMENTALLY MERGED index (base 2/3 of the corpus + append "
+    "batch via bm25_index_merge) against the full-rebuild oracle — "
+    "merge == rebuild proven against an independent engine",
     tags=("similarity", "suite"),
 )
 def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,12 +573,18 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25 = ann_bm25_topk(spark, sf_dir).select(
         F.lit("bm25").alias("method"), "query_id", "neighbor_id", "score", "rank"
     )
+    bm25_merged = ann_bm25_merged_topk(spark, sf_dir).select(
+        F.lit("bm25_merged").alias("method"),
+        "query_id", "neighbor_id", "score", "rank",
+    )
     return (
         as_score(ann_cosine_topk(spark, sf_dir), "brute")
         .unionByName(as_score(ann_ivf_topk(spark, sf_dir), "ivf"))
         .unionByName(as_score(ann_pq_topk(spark, sf_dir), "pq"))
         .unionByName(as_score(ann_ivf_pq_topk(spark, sf_dir), "ivf_pq"))
+        .unionByName(as_score(ann_ivf_pq_rerank_topk(spark, sf_dir), "ivf_pq_rr"))
         .unionByName(bm25)
+        .unionByName(bm25_merged)
     )
 
 

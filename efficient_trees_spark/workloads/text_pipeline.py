@@ -171,7 +171,11 @@ def _bpe_oracle_parts() -> tuple[str, str]:
               GROUP BY sym)
         WHERE rn <= {_BPE_TOP_TOKENS}
     """
-    legs = f"{merges_leg} UNION ALL {pairs_leg} UNION ALL {vocab_leg}"
+    joined_leg = vocab_leg.replace("'bpe_token'", "'bpe_token_joined'")
+    legs = (
+        f"{merges_leg} UNION ALL {pairs_leg} UNION ALL {vocab_leg} "
+        f"UNION ALL {joined_leg}"
+    )
     return ", ".join(ctes), legs
 
 
@@ -199,7 +203,7 @@ _BPE_CTES, _BPE_LEGS = _bpe_oracle_parts()
     "signal (operators/lm.py, CCNet-style bucketing first pass: corpus-fit "
     "add-alpha unigram, per-doc mean token log-prob) averaged per predicted "
     "language — the full fit + score re-derived in SQL; "
-    "kind='bpe_pair'/'bpe_merge'/'bpe_token' are distributed BPE tokenizer "
+    "kind='bpe_pair'/'bpe_merge'/'bpe_token'/'bpe_token_joined' are distributed BPE tokenizer "
     "training (operators/bpe.py — word-frequency-compressed, one corpus "
     "shuffle, vocabulary-sized merge rounds): the initial top pair counts, "
     f"the full {_BPE_MERGES}-round merge table, and the trained subword "
@@ -274,11 +278,32 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_lp,
         )
     )
+    # Corpus-encode leg through bpe_encode_joined (distinct-word broadcast
+    # join + per-doc reassembly — the large-merge-table production path):
+    # per-symbol occurrence counts over the encoded corpus equal the
+    # freq-weighted vocabulary totals, so the SQL twin is the vocab leg's —
+    # but the Spark execution path is entirely different, oracle-checking
+    # the join encode end-to-end on real documents.
+    joined_vocab_leg = (
+        bpe.bpe_encode_joined(docs, merges, chunk=3)  # force multi-chunk
+        .select(F.explode("bpe_tokens").alias("sym"))
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).cast("long").alias("total"))
+        .orderBy(F.desc("total"), F.asc("sym"))
+        .limit(_BPE_TOP_TOKENS)
+        .select(
+            F.lit("bpe_token_joined").alias("kind"),
+            F.col("sym").alias("key"),
+            F.col("total").alias("n"),
+            null_lp,
+        )
+    )
     return (
         lang.unionByName(lm_leg)
         .unionByName(pairs_leg)
         .unionByName(merges_leg)
         .unionByName(vocab_leg)
+        .unionByName(joined_vocab_leg)
     )
 
 
