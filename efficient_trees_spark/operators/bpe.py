@@ -248,6 +248,7 @@ def bpe_encode_joined(
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
     chunk: int = 64,
+    broadcast: bool = True,
 ) -> DataFrame:
     """:func:`bpe_encode` for LARGE merge tables — bit-identical output.
 
@@ -261,9 +262,11 @@ def bpe_encode_joined(
     doc id — vs the expression form's zero shuffles but
     O(corpus tokens × merges) replace evaluations.  At a 30k-merge
     production tokenizer the join form wins by orders of magnitude; the
-    segmentation relation is vocabulary-sized (the thing BPE keeps small
-    by construction), so the broadcast is safe where a corpus-sized
-    broadcast would not be."""
+    segmentation relation is DISTINCT-WORD-sized, so the default broadcast
+    is safe for curated corpora — but a raw web crawl's distinct-word set
+    (typos, ids, urls: easily 100 M+) can exceed executor memory, so
+    ``broadcast=False`` opts into a shuffled hash join on the word (one
+    extra token-relation shuffle, identical output)."""
     toks = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode_outer(text.tokens(text_col)).alias("__pos", "__word"),
@@ -275,9 +278,8 @@ def bpe_encode_joined(
         merges,
         chunk=chunk,
     )
-    joined = toks.join(
-        F.broadcast(seg), toks["__word"] == seg["word"], "left"
-    )
+    seg_side = F.broadcast(seg) if broadcast else seg.hint("shuffle_hash")
+    joined = toks.join(seg_side, toks["__word"] == seg["word"], "left")
     # collect_list skips nulls, so a zero-token document (posexplode_outer's
     # single null row) folds to an empty array — matching the expression
     # form's flatten over an empty token array.

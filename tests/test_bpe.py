@@ -199,6 +199,12 @@ def test_encode_joined_matches_expression_form(spark):
         }
         assert got == want, f"chunk={chunk}"
     assert want[5] == [] and want[6] == []
+    # the shuffled-join opt-out (web-crawl-sized vocabularies) is identical
+    shuffled = bpe.bpe_encode_joined(docs, merges, broadcast=False)
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    got = {r["doc_id"]: r["bpe_tokens"] for r in shuffled.collect()}
+    assert got == want
 
 
 def test_encode_joined_plan_gate(spark):
