@@ -33,22 +33,6 @@ def hash32(col: Column, salt: str | None = None) -> Column:
     return F.conv(F.substring(F.md5(F.encode(salted, "utf-8")), 1, 8), 16, 10).cast("bigint")
 
 
-def hash32_family(col: Column, num_hashes: int) -> list[Column]:
-    """k independent 32-bit hashes using ceil(k/4) md5 invocations: each
-    128-bit digest yields four 32-bit slots.  md5 dominates MinHash cost, so
-    this is a ~4x cut on the signature stage."""
-    out: list[Column] = []
-    for salt in range((num_hashes + 3) // 4):
-        digest = F.md5(F.encode(F.concat(F.lit(f"{salt}:"), col), "utf-8"))
-        for slot in range(4):
-            if len(out) == num_hashes:
-                break
-            out.append(
-                F.conv(F.substring(digest, slot * 8 + 1, 8), 16, 10).cast("bigint")
-            )
-    return out
-
-
 # Universal-hash MinHash family: ONE md5 digest per shingle supplies a 32-bit
 # base value h; hash i is (a_i*h + b_i) mod (2^31-1) — the classic
 # Carter-Wegman construction.  One cryptographic hash instead of ceil(k/4),

@@ -115,13 +115,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "suite"),
 )
 def mm_payload_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    binary = multimodal.to_binary_table(docs, "doc_id", "text")
-    meta = binary.select(
-        "doc_id",
-        F.col("meta.n_bytes").alias("n_bytes"),
-        F.col("meta.content_md5").alias("content_md5"),
-    )
+    # Composed from the two leg functions (not re-derived inline) so the
+    # suite and the standalone legs can never drift apart.
+    meta = mm_binary_metadata(spark, sf_dir)
     # The metadata side is tiny relative to the fan-out side at corpus scale
     # and keyed identically — broadcast keeps the join shuffle-free.
-    return multimodal.frame_sample(binary).join(F.broadcast(meta), "doc_id")
+    return mm_frame_sample(spark, sf_dir).join(F.broadcast(meta), "doc_id")

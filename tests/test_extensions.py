@@ -30,9 +30,14 @@ def test_text_expressions_edge_cases(spark):
             text.distinct_token_ratio("t").alias("ttr"),
             text.lang_id("t").alias("lang"),
             text.quality_score("t").alias("q"),
+            text.mean_token_length("t").alias("mtl"),
         ).collect()
     }
     assert rows[1]["n"] == 8
+    # "the quick brown fox and the lazy dog" = 29 chars over 8 tokens
+    assert rows[1]["mtl"] == pytest.approx(29 / 8)
+    assert rows[2]["mtl"] == 0.0 and rows[3]["mtl"] == 0.0
+    assert rows[4]["mtl"] == 4.0
     assert rows[1]["lang"] == "en"  # 'the' and 'and' hit the en stopwords
     assert rows[2]["n"] == 0 and rows[2]["lang"] == "und" and rows[2]["ttr"] == 0.0
     assert rows[3]["n"] == 0

@@ -1,0 +1,49 @@
+"""Source/sink parity helpers (sources/io.py): the S2/S3/S5 reference
+surface — CSV scan, in-memory pandas table, result -> list — plus the
+temp-view registration used for spark.sql access."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.sources import io
+
+
+def test_read_csv_infers_header_and_schema(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("a,b,c\n1,2.5,x\n3,4.5,y\n")
+    df = io.read_csv(spark, p)
+    assert df.columns == ["a", "b", "c"]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, 2.5, "x"), (3, 4.5, "y")]  # typed, not strings
+    # explicit-schema escape hatch: inference off keeps strings
+    raw = io.read_csv(spark, p, infer_schema=False)
+    assert [f.dataType.typeName() for f in raw.schema.fields] == ["string"] * 3
+
+
+def test_from_pandas_round_trip(spark):
+    pdf = pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    df = io.from_pandas(spark, pdf)
+    assert df.count() == 3
+    back = df.toPandas().sort_values("x").reset_index(drop=True)
+    assert back.equals(pdf)
+
+
+def test_to_list_default_and_named_column(spark):
+    df = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "n int, s string")
+    ordered = df.orderBy("n")
+    assert io.to_list(ordered) == [1, 2, 3]  # first column by default
+    assert io.to_list(ordered, "s") == ["a", "b", "c"]
+
+
+def test_register_views_serves_spark_sql(spark, sf_small):
+    io.register_views(spark, sf_small)
+    got = spark.sql(
+        "SELECT r_name FROM region ORDER BY r_name LIMIT 2"
+    ).collect()
+    assert [r[0] for r in got] == ["AFRICA", "AMERICA"]
+    # joins across registered views work end-to-end
+    n = spark.sql(
+        "SELECT count(*) FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
+    ).first()[0]
+    assert n == 25
