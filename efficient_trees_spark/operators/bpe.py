@@ -36,12 +36,21 @@ training-data-pipeline extension surface (SURVEY.md §7.1 step 8).
 
 from __future__ import annotations
 
+import json
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from efficient_trees_spark.functions import text
 
 END_OF_WORD = "</w>"
+
+# encode() strategy='auto' switch-over: below this merge count the compiled
+# expression form (zero shuffle) wins; at and above it the distinct-word
+# join form does (the per-token replace chain grows with the merge count
+# while the join form's corpus-side work stays constant).
+_EXPR_MERGE_MAX = 128
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -298,5 +307,109 @@ def bpe_encode_joined(
         .select(
             F.col("__id").alias(id_col),
             F.flatten(F.transform("__a", lambda s: s["syms"])).alias(out_col),
+        )
+    )
+
+
+@dataclass(frozen=True)
+class BpeTokenizer:
+    """Trained BPE merge table as a persistable driver-side artifact — the
+    same discipline as the tree model (pickle/JSON of a plain object,
+    independent of Spark) and :class:`~efficient_trees_spark.operators.\
+retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
+
+    ``encode(strategy='auto')`` picks the execution shape by merge count:
+    the compiled-expression form (zero shuffle) below ``_EXPR_MERGE_MAX``
+    merges, the distinct-word join form (:func:`bpe_encode_joined`) at and
+    above it — both bit-identical."""
+
+    merges: tuple[tuple[str, str], ...]
+
+    def encode(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        out_col: str = "bpe_tokens",
+        strategy: str = "auto",
+        chunk: int = 64,
+        broadcast: bool = True,
+    ) -> DataFrame:
+        if strategy == "auto":
+            strategy = (
+                "expression" if len(self.merges) < _EXPR_MERGE_MAX else "joined"
+            )
+        merges = [tuple(m) for m in self.merges]
+        if strategy == "expression":
+            return bpe_encode(
+                docs, merges, text_col=text_col, id_col=id_col, out_col=out_col
+            )
+        if strategy == "joined":
+            return bpe_encode_joined(
+                docs,
+                merges,
+                text_col=text_col,
+                id_col=id_col,
+                out_col=out_col,
+                chunk=chunk,
+                broadcast=broadcast,
+            )
+        raise ValueError(
+            f"strategy must be 'auto', 'expression', or 'joined'; got {strategy!r}"
+        )
+
+    def vocab(self) -> list[str]:
+        """Subword vocabulary implied by the merge table: base symbols plus
+        one merged symbol per rank, in merge order after the (sorted) base
+        characters — the id assignment real BPE tokenizers publish."""
+        base: set[str] = {END_OF_WORD}
+        for left, right in self.merges:
+            base.update(_base_chars(left))
+            base.update(_base_chars(right))
+        out = sorted(base)
+        out.extend(left + right for left, right in self.merges)
+        return out
+
+    def save(self, path: str) -> None:
+        """JSON artifact (version + merge list) — engine-independent."""
+        with open(path, "w") as f:
+            json.dump(
+                {"format": "bpe-merges", "version": 1,
+                 "merges": [list(m) for m in self.merges]},
+                f,
+            )
+
+    @staticmethod
+    def load(path: str) -> "BpeTokenizer":
+        with open(path) as f:
+            obj = json.load(f)
+        if obj.get("format") != "bpe-merges":
+            raise ValueError(f"not a BPE merge artifact: {path}")
+        return BpeTokenizer(tuple(tuple(m) for m in obj["merges"]))
+
+
+def _base_chars(sym: str) -> list[str]:
+    """Base characters of a (possibly merged) symbol, treating the
+    end-of-word marker as atomic."""
+    body = sym[: -len(END_OF_WORD)] if sym.endswith(END_OF_WORD) else sym
+    out = list(body)
+    if sym.endswith(END_OF_WORD):
+        out.append(END_OF_WORD)
+    return out
+
+
+def fit_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    rematerialize_every: int = 24,
+) -> BpeTokenizer:
+    """Train and wrap: :func:`train_bpe` -> :class:`BpeTokenizer`."""
+    return BpeTokenizer(
+        tuple(
+            train_bpe(
+                docs, n_merges, text_col=text_col,
+                rematerialize_every=rematerialize_every,
+            )
         )
     )

@@ -237,3 +237,43 @@ def test_encode_round_trips_text(spark):
     originals = dict(CORPUS)
     for r in back:
         assert r["rejoined"].strip() == originals[r["doc_id"]]
+
+
+def test_tokenizer_artifact_round_trip_and_dispatch(spark, tmp_path):
+    """BpeTokenizer: save/load round-trip, strategy dispatch (expression vs
+    joined, both bit-identical to the raw functions), vocab contract."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    tok = bpe.fit_bpe(docs, 10)
+    assert len(tok.merges) == 10
+    assert list(tok.merges) == bpe.train_bpe(docs, 10)
+
+    p = str(tmp_path / "bpe.json")
+    tok.save(p)
+    loaded = bpe.BpeTokenizer.load(p)
+    assert loaded == tok
+
+    want = {r["doc_id"]: r["bpe_tokens"] for r in bpe.bpe_encode(docs, list(tok.merges)).collect()}
+    for strategy in ("auto", "expression", "joined"):
+        got = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in loaded.encode(docs, strategy=strategy).collect()
+        }
+        assert got == want, strategy
+    # auto dispatch: small merge table stays expression-only (no join)
+    plan = loaded.encode(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # large merge table switches to the join form
+    big = bpe.BpeTokenizer(tuple(tok.merges) * 20)  # >= _EXPR_MERGE_MAX
+    plan = big.encode(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # vocab: every merged symbol present, base chars first and sorted
+    v = tok.vocab()
+    for left, right in tok.merges:
+        assert left + right in v
+    assert "</w>" in v
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        tok.encode(docs, strategy="nope")
