@@ -1012,27 +1012,42 @@ def distinct_edges_packed(
         partition_distinct,
         f"{FEATURE} string, vals array<double>, overflow boolean, n long",
     )
-    merged = (
-        partials.select(
-            FEATURE,
-            "overflow",
-            "n",
-            F.posexplode_outer("vals").alias("__pos", "__v"),
+    try:
+        merged = (
+            partials.select(
+                FEATURE,
+                "overflow",
+                "n",
+                F.posexplode_outer("vals").alias("__pos", "__v"),
+            )
+            .groupBy(FEATURE)
+            .agg(
+                F.max("overflow").alias("overflow"),
+                F.count_distinct("__v").alias("__nd"),
+                F.slice(F.sort_array(F.collect_set("__v")), 1, cap + 1).alias("vals"),
+                # each (feature, partition) stats row explodes into one row per
+                # distinct value, every copy carrying that partition's row count
+                # — counting n only at __pos == 0 sums each partition ONCE.
+                F.sum(
+                    F.when(F.col("__pos") == 0, F.col("n")).otherwise(F.lit(0))
+                ).alias("__tn"),
+            )
+            .collect()
         )
-        .groupBy(FEATURE)
-        .agg(
-            F.max("overflow").alias("overflow"),
-            F.count_distinct("__v").alias("__nd"),
-            F.slice(F.sort_array(F.collect_set("__v")), 1, cap + 1).alias("vals"),
-            # each (feature, partition) stats row explodes into one row per
-            # distinct value, every copy carrying that partition's row count
-            # — counting n only at __pos == 0 sums each partition ONCE.
-            F.sum(
-                F.when(F.col("__pos") == 0, F.col("n")).otherwise(F.lit(0))
-            ).alias("__tn"),
-        )
-        .collect()
-    )
+    except Exception as exc:  # pragma: no cover - needs a tiny maxResultSize
+        # The per-feature edge rows are bounded at (cap+1) doubles each, so
+        # this collect can only breach spark.driver.maxResultSize at extreme
+        # width x cardinality (e.g. thousands of 65k-distinct features under
+        # the uint16 cap).  Spark's error names the conf but not the cure —
+        # re-raise with the operator-level one.
+        if "maxResultSize" not in str(exc):
+            raise
+        raise ValueError(
+            "exact-mode distinct-edge collect exceeded "
+            "spark.driver.maxResultSize (width x distinct values per "
+            "feature too large) — set max_bins for bounded quantile "
+            "candidates, or raise spark.driver.maxResultSize"
+        ) from exc
     too_wide = sorted(
         r[FEATURE] for r in merged if r["overflow"] or r["__nd"] > cap
     )
