@@ -23,7 +23,11 @@ Layout:
                           benchmark decontamination, substring-span dedup
     operators/similarity.py    Embedding ANN (brute/LSH/IVF/PQ), SemDeDup,
                           k-means training, int8 quantization
-    operators/retrieval.py     BM25 lexical top-k retrieval
+    operators/retrieval.py     BM25 lexical top-k retrieval (persistable
+                          index, incremental append merge)
+    operators/bpe.py      Distributed BPE tokenizer training + encoding
+                          (BpeTokenizer artifact)
+    operators/lm.py       Statistical LM quality scoring (CCNet-style)
     operators/asof.py / rangejoin.py / skew.py / sampling.py / multimodal.py
                           as-of & range joins, salted agg/join, corpus
                           sampling & mixture, multimodal plumbing
