@@ -48,3 +48,41 @@ def test_compiled_case_equals_driver_walk_and_strategies_agree(spark, rows):
     batch = model.predict_many(df)
     walked = model.predict([{"f1": f1, "f2": f2} for f1, f2, _ in rows])
     assert batch == walked
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_distinct=st.integers(min_value=250, max_value=260),
+    seed=st.integers(min_value=0, max_value=5),
+    depth=st.integers(min_value=1, max_value=3),
+)
+def test_packed_exact_parity_across_code_width_boundary(
+    spark, n_distinct, seed, depth
+):
+    """The uint8/uint16 switch-over sits at 253 distinct values: draws that
+    straddle it must produce packed-exact trees identical to the melt on
+    BOTH sides of the boundary (and the choice of code width must never be
+    observable in the model)."""
+    import random
+
+    rng = random.Random(seed)
+    vals = [round(rng.uniform(0, 50), 3) for _ in range(n_distinct)]
+    rows = [
+        (float(vals[i % n_distinct]), float(i % 7), i % 2)
+        for i in range(n_distinct * 2)
+    ]
+    df = spark.createDataFrame(rows, ["wide", "narrow", "target"])
+    packed = DecisionTreeClassifier(
+        max_depth=depth, criterion=Criterion.GINI, hist_method="arrow"
+    )
+    packed.fit(df, "target")
+    melt = DecisionTreeClassifier(
+        max_depth=depth, criterion=Criterion.GINI, hist_method="expand"
+    )
+    melt.fit(df, "target")
+    assert packed.tree == melt.tree
+    assert len(packed.bin_edges_["wide"]) == len(set(vals))
