@@ -105,3 +105,31 @@ def interval_join_batch(
         "l_ts",
         "r_ts",
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-STATIC enrichment join — the workhorse streaming op: attach
+    dimension attributes (user segment, document metadata, experiment arm)
+    to an event stream before windowing or routing.
+
+    The static side is joined per micro-batch and BROADCAST (dimension
+    tables are small by contract), so the stream side never shuffles for
+    the join and no streaming state is created — unlike stream-stream
+    joins, no watermark is needed because the static side cannot be late.
+    Left join by default: an event with no dimension row survives with
+    NULL attributes rather than silently dropping (inner is opt-in).
+    Composes with downstream watermarked aggregations — the enriched
+    columns are ordinary columns to the window operator
+    (parity-tested stream == batch in ``tests/test_streaming_joins.py``).
+
+    At 100 TB-stream scale: a dimension too large to broadcast should be
+    pre-bucketed storage joined via ``how`` with the broadcast hint dropped
+    — but at that point the right design is usually enrichment BEFORE the
+    stream (upstream producer) or a state-store lookup, not a per-batch
+    shuffle."""
+    return events.join(F.broadcast(dim), key, how)

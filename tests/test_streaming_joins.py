@@ -81,3 +81,72 @@ def test_stream_interval_join_state_is_watermark_bounded(spark, sf_small):
     )
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_enrich_stream_matches_batch_and_composes_with_windows(spark, sf_small):
+    """Stream-static enrichment: (1) enriched stream rows == the batch join
+    row-for-row; (2) the enriched column drives a watermarked tumbling
+    aggregation whose streaming result equals the batch twin — the full
+    enrich -> window production composition."""
+    events_batch = load(spark, sf_small, "events")
+    dim = (
+        events_batch.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(F.lit("seg_"), (F.col("user_id") % 3)).alias("segment"),
+        )
+    ).cache()
+
+    stream = windows.read_events_stream(spark, sf_small)
+    enriched = joins.enrich_stream(stream, dim)
+
+    # (1) row parity with the batch join
+    _run_append_to_memory(
+        enriched.select("event_id", "segment"), "enriched_rows"
+    )
+    got = {
+        (int(r.event_id), r.segment)
+        for r in spark.table("enriched_rows").toPandas().itertuples()
+    }
+    want = {
+        (int(r.event_id), r.segment)
+        for r in joins.enrich_stream(events_batch, dim)
+        .select("event_id", "segment")
+        .toPandas()
+        .itertuples()
+    }
+    assert got == want and got
+
+    # (2) composition: watermark + tumbling count per enriched segment
+    agg = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "segment", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enriched_windows")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.ws, r.segment): int(r.n)
+        for r in spark.table("enriched_windows").toPandas().itertuples()
+    }
+    want = {
+        (r.ws, r.segment): int(r.n)
+        for r in joins.enrich_stream(events_batch, dim)
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "segment", "n")
+        .toPandas()
+        .itertuples()
+    }
+    assert got == want and got
+    dim.unpersist()
