@@ -77,3 +77,40 @@ def fan_out_small_input(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
+
+
+def write_parquet_for_wide_readers(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    row_group_bytes: int = 32 << 20,
+    rows_per_file: int | None = 85_000,
+) -> None:
+    """Parquet writer sized for WIDE readers — the 100 TB writer's rule.
+
+    A row group is the parquet scan's atomic unit: every scan task buffers
+    one whole group's column chunks, so per-task scan memory is
+    ``row_group_bytes`` × (reader concurrency), REGARDLESS of how few
+    columns the query projects from a wide table's group.  Spark's 128 MB
+    ``parquet.block.size`` default is a writer-side convenience; at 190
+    columns it produced ~134 MB groups whose 32-way concurrent scan
+    transiently held 300–400 MB PER TASK and OOM'd a 6 GB local heap
+    (measured — SCALE.md memory notes), while 32 MB groups bound the same
+    scan ~4× lower and parallelize a small table across every core.
+
+    ``rows_per_file`` additionally bounds file size so the file count
+    feeds the reader's parallelism (None skips the repartition — e.g. when
+    the caller already partitioned for a downstream bucketing scheme).
+    The repartition is a round-robin shuffle of the written data — the
+    one-time write cost that buys every future scan's memory bound."""
+    out = df
+    if rows_per_file:
+        n_rows = df.count()
+        sc = df.sparkSession.sparkContext
+        n_files = max(sc.defaultParallelism, -(-n_rows // int(rows_per_file)))
+        out = df.repartition(n_files)
+    (
+        out.write.mode(mode)
+        .option("parquet.block.size", int(row_group_bytes))
+        .parquet(path)
+    )

@@ -47,3 +47,37 @@ def test_register_views_serves_spark_sql(spark, sf_small):
         "SELECT count(*) FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
     ).first()[0]
     assert n == 25
+
+
+def test_write_parquet_for_wide_readers_bounds_row_groups(spark, tmp_path):
+    """The wide-reader writer's contract: every written row group stays
+    near the requested byte bound (the reader's per-task buffering unit),
+    and the file count feeds the session's parallelism."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    cols = [
+        (F.rand(seed=j) * 1000).alias(f"c{j}") for j in range(40)
+    ]
+    df = spark.range(120_000).select("id", *cols)
+    out = str(tmp_path / "wide.parquet")
+    bound = 1 << 20  # 1 MB groups to force several per file
+    io.write_parquet_for_wide_readers(
+        df, out, row_group_bytes=bound, rows_per_file=30_000
+    )
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= spark.sparkContext.defaultParallelism
+    total_groups = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for g in range(meta.num_row_groups):
+            # the UNCOMPRESSED group size is what block.size bounds (the
+            # writer flushes when the buffered estimate crosses it — allow
+            # 2x for estimation slack on the last buffered page set), and
+            # it is also what the reader buffers per task
+            assert meta.row_group(g).total_byte_size <= 2 * bound
+        total_groups += meta.num_row_groups
+    # the bound actually engaged: far more groups than files
+    assert total_groups > len(files)
