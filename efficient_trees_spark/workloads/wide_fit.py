@@ -135,18 +135,12 @@ def ensure_wide_table(
         # genuine no-op — the same rule a 100 TB writer should follow:
         # size row groups for the READER's width x concurrency budget,
         # not the writer's convenience.
-        n_rows = (
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet").count() * row_mult
+        from efficient_trees_spark.sources.io import (
+            write_parquet_for_wide_readers,
         )
-        n_files = max(
-            spark.sparkContext.defaultParallelism, -(-n_rows // 85_000)
-        )
-        (
-            build_wide_table(spark, sf_dir, n_features, row_mult)
-            .repartition(n_files)
-            .write.mode("overwrite")
-            .option("parquet.block.size", 32 * 1024 * 1024)
-            .parquet(path)
+
+        write_parquet_for_wide_readers(
+            build_wide_table(spark, sf_dir, n_features, row_mult), path
         )
     return path
 
