@@ -129,8 +129,11 @@ class RandomForestClassifier:
             # two-scan dominates both, see SCALE.md).  The mapInArrow pass
             # is a 1:1 row map preserving the source partitioning, so
             # seeded `sample` picks the same logical rows off the coded
-            # relation as it would off the snapped one — the pinned forest
-            # oracle values are unchanged.
+            # relation as it would off the snapped one GIVEN identical
+            # edges — but the edge-stats pass itself sees different
+            # partition placement than the old raw-cache flow, so the
+            # pinned forest oracle was re-pinned in round 7 (see the note
+            # in workloads/tree_queries.py).
             dtype = "f4" if shrink_features else "f8"
             n_bins, stats = proto._binned_edge_params()
             bin_edges, _ = _two_scan_binned_edges(

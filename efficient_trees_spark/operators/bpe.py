@@ -239,8 +239,10 @@ def segment_words(
     30k-merge table becomes ~470 modest stages over a words-sized relation
     instead of one codegen-hostile 30k-deep expression.  Total work is
     linear in ``len(merges)`` × distinct words."""
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
     cur = words.withColumn(out_col, initial_symbols(word_col))
-    for i in range(0, len(merges), max(1, chunk)):
+    for i in range(0, len(merges), chunk):
         for left, right in merges[i : i + chunk]:
             cur = cur.withColumn(out_col, merge_expr(out_col, left, right))
         if i + chunk < len(merges):
@@ -276,8 +278,13 @@ def bpe_encode_joined(
     (typos, ids, urls: easily 100 M+) can exceed executor memory, so
     ``broadcast=False`` opts into a shuffled hash join on the word (one
     extra token-relation shuffle, identical output)."""
+    # A NULL text column tokenizes to a NULL array (the expression form then
+    # emits NULL, not []); posexplode_outer collapses NULL and empty arrays
+    # to the same single null row, so the array's nullness rides along as a
+    # flag to keep the two forms bit-identical on NULL-text documents.
     toks = docs.select(
         F.col(id_col).alias("__id"),
+        text.tokens(text_col).isNull().alias("__null_text"),
         F.posexplode_outer(text.tokens(text_col)).alias("__pos", "__word"),
     )
     seg = segment_words(
@@ -302,11 +309,14 @@ def bpe_encode_joined(
                         F.struct(F.col("__pos"), F.col("syms")),
                     )
                 )
-            ).alias("__a")
+            ).alias("__a"),
+            F.max("__null_text").alias("__null_text"),
         )
         .select(
             F.col("__id").alias(id_col),
-            F.flatten(F.transform("__a", lambda s: s["syms"])).alias(out_col),
+            F.when(F.col("__null_text"), F.lit(None))
+            .otherwise(F.flatten(F.transform("__a", lambda s: s["syms"])))
+            .alias(out_col),
         )
     )
 

@@ -128,21 +128,11 @@ def bm25_index(
         .groupBy("__doc", "__dl", "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    dfreq = postings.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
-
     # Corpus stats derive from the postings relation (distinct doc lengths
     # are doc-sized, far below token volume) so the corpus is scanned ONCE
     # total.  N therefore counts docs with >= 1 token — zero-token docs can
     # match no term anyway.
-    stats = (
-        postings.select("__doc", "__dl")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
-        )
-    )
-    return Bm25Index(postings=postings, dfreq=dfreq, stats=stats)
+    return _index_from_postings(postings)
 
 
 def bm25_index_merge(
@@ -150,6 +140,7 @@ def bm25_index_merge(
     new_docs: DataFrame,
     doc_id: str = "doc_id",
     text_col: str = "text",
+    validate: bool = False,
 ) -> Bm25Index:
     """Incrementally extend an index with an APPEND batch — real corpora
     grow; rebuilding from scratch would rescan the (100 TB) old corpus for
@@ -165,9 +156,61 @@ def bm25_index_merge(
     over distinct doc lengths divided by N, so every BM25 score is
     bit-identical to the full rebuild (test-asserted).  The old index can
     come from :func:`read_bm25_index` — merging never needs the original
-    corpus files."""
+    corpus files.
+
+    By default the disjointness contract is NOT checked: an overlapping
+    doc id silently yields duplicate (doc, term) postings rows, inflating
+    df/N/tf and corrupting every score.  ``validate=True`` opts into an
+    eager guard — one semi-join of the new batch's ids against the old
+    postings' doc ids (new-batch-sized driver job at merge time, no extra
+    old-corpus scan beyond the postings relation itself) that raises on
+    any overlap.  For an upsert, remove the stale ids first with
+    :func:`bm25_index_remove`."""
+    if validate:
+        new_ids = new_docs.select(F.col(doc_id).alias("__doc")).distinct()
+        overlap = old.postings.select("__doc").join(new_ids, "__doc").limit(1)
+        if not overlap.isEmpty():
+            raise ValueError(
+                "bm25_index_merge is an APPEND: new_docs contains doc ids "
+                "already present in the old index (e.g. "
+                f"{overlap.first()['__doc']!r}); merging them would double-"
+                "count postings and corrupt scores.  Remove them first "
+                "(bm25_index_remove) or rebuild."
+            )
     new = bm25_index(new_docs, doc_id=doc_id, text_col=text_col)
-    postings = old.postings.unionByName(new.postings)
+    return _index_from_postings(old.postings.unionByName(new.postings))
+
+
+def bm25_index_remove(old: Bm25Index, doc_ids: DataFrame) -> Bm25Index:
+    """Drop documents from an index — the other half of the incremental
+    story (:func:`bm25_index_merge` appends): dedup reruns, takedowns, and
+    quality-filter sweeps all REMOVE docs from a live corpus, and
+    rebuilding from scratch would rescan the 100 TB survivors for every
+    deletion batch.
+
+    ``doc_ids`` is a one-column relation of ids to remove (any column
+    name).  The removal is a broadcast anti-join on the postings' doc id —
+    deletion batches are small by contract, so the postings relation never
+    shuffles for it — and dfreq/stats re-derive from the surviving
+    postings with the exact :func:`bm25_index` expressions, making every
+    score bit-identical to a full rebuild on the surviving corpus
+    (test-asserted).  Ids absent from the index are ignored (removal is
+    idempotent).  Like merge, this works on an index loaded via
+    :func:`read_bm25_index` — the original corpus files are never needed.
+
+    At scale, compact after a deletion burst by ``.write()``-ing the
+    returned index: the anti-join filter is carried in the plan until
+    then, and a write materializes the survivors once."""
+    ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("__doc")).distinct()
+    surviving = old.postings.join(F.broadcast(ids), "__doc", "left_anti")
+    return _index_from_postings(surviving)
+
+
+def _index_from_postings(postings: DataFrame) -> Bm25Index:
+    """Re-derive the vocabulary- and corpus-level relations from a postings
+    relation — the exact expressions :func:`bm25_index` uses, shared by the
+    incremental merge/remove paths so their results are bit-identical to a
+    rebuild by construction."""
     dfreq = postings.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     stats = (
         postings.select("__doc", "__dl")

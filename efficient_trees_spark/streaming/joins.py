@@ -71,16 +71,45 @@ def interval_join_batch(
     right: DataFrame,
     key: str = "user_id",
     horizon_minutes: int = 5,
+    max_pairs_per_key: int | None = 5_000_000,
 ) -> DataFrame:
     """Batch twin of :func:`interval_join_stream` — identical pairing
     semantics over bounded inputs, for parity testing and backfills.
 
-    A plain range-condition join here would cartesian within each key
-    group; at corpus scale prefer the bin-bucketed
-    :func:`~efficient_trees_spark.operators.rangejoin.range_join` which
-    bounds comparisons to adjacent time buckets.  For the parity gate the
-    direct form IS the semantics, stated without an intermediary.
-    """
+    A plain range-condition join CARTESIANS within each key group — this
+    form exists as the parity gate (the semantics stated without an
+    intermediary), not the scale path; at corpus scale use the
+    bin-bucketed :func:`~efficient_trees_spark.operators.rangejoin.\
+range_join`, which bounds comparisons to adjacent time buckets.  To keep
+    that footgun loud rather than latent, the default runs an EAGER guard
+    before building the join: per-key counts on both sides (two keys-sized
+    aggregations, one small driver job) and a ``ValueError`` if any single
+    key's left x right pair count exceeds ``max_pairs_per_key``.  Pass
+    ``None`` to skip the guard (and its job) when the inputs are known
+    small — e.g. inside tight parity loops."""
+    if max_pairs_per_key is not None:
+        lc = left.groupBy(F.col(key).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__lc")
+        )
+        rc = right.groupBy(F.col(key).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__rc")
+        )
+        worst = (
+            lc.join(rc, "__k")
+            .select((F.col("__lc") * F.col("__rc")).alias("__pairs"))
+            .agg(F.max("__pairs").alias("__max"))
+            .first()["__max"]
+        )
+        if worst is not None and worst > max_pairs_per_key:
+            raise ValueError(
+                f"interval_join_batch: a single {key!r} group would compare "
+                f"{worst:,} left x right pairs (> max_pairs_per_key="
+                f"{max_pairs_per_key:,}).  This form cartesians within each "
+                "key group and is meant for parity gates and small "
+                "backfills — use operators.rangejoin.range_join (bin-"
+                "bucketed, bounded fan-out) at this scale, or raise/disable "
+                "the guard explicitly."
+            )
     lhs = left.select(
         F.col(key).alias("l_key"),
         F.col("ts").alias("l_ts"),

@@ -184,8 +184,10 @@ def test_train_rematerialize_boundary_invariance(spark):
 
 def test_encode_joined_matches_expression_form(spark):
     """bpe_encode_joined is bit-identical to the compiled-expression form,
-    including multi-chunk segmentation and zero-token documents."""
-    rows = CORPUS + [(5, ""), (6, "   "), (7, "low low low unseen")]
+    including multi-chunk segmentation, zero-token documents, and NULL
+    text (expression form yields NULL, not [] — the joined form must
+    preserve that instead of folding the null row to an empty array)."""
+    rows = CORPUS + [(5, ""), (6, "   "), (7, "low low low unseen"), (8, None)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     merges = bpe.train_bpe(docs, 40)
     want = {
@@ -199,6 +201,7 @@ def test_encode_joined_matches_expression_form(spark):
         }
         assert got == want, f"chunk={chunk}"
     assert want[5] == [] and want[6] == []
+    assert want[8] is None
     # the shuffled-join opt-out (web-crawl-sized vocabularies) is identical
     shuffled = bpe.bpe_encode_joined(docs, merges, broadcast=False)
     plan = shuffled._jdf.queryExecution().executedPlan().toString()
@@ -277,3 +280,14 @@ def test_tokenizer_artifact_round_trip_and_dispatch(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="strategy"):
         tok.encode(docs, strategy="nope")
+
+
+def test_segment_words_rejects_nonpositive_chunk(spark):
+    """chunk <= 0 used to silently skip every merge (empty slice) — it must
+    raise instead."""
+    import pytest as _pytest
+
+    words = spark.createDataFrame([("low",)], "word string")
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="chunk"):
+            bpe.segment_words(words, [("l", "o")], chunk=bad)

@@ -243,3 +243,67 @@ def test_index_merge_never_needs_old_corpus(spark, sf_small, tmp_path):
         for r in bm25_search(merged, queries, k=10_000).collect()
     }
     assert all_hits & appended_ids
+
+
+def test_index_merge_validate_rejects_overlapping_ids(spark, sf_small):
+    """validate=True catches an overlapping append batch (which would
+    double-count postings and silently corrupt scores); disjoint batches
+    pass the same check."""
+    import pytest
+
+    from efficient_trees_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_merge,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    old = bm25_index(docs.filter("doc_id % 3 != 0"))
+    overlapping = docs.filter("doc_id % 3 != 2")  # shares % 3 == 1 with old
+    with pytest.raises(ValueError, match="already present"):
+        bm25_index_merge(old, overlapping, validate=True)
+    disjoint = docs.filter("doc_id % 3 = 0")
+    merged = bm25_index_merge(old, disjoint, validate=True)
+    assert merged.stats.first()["__n"] == bm25_index(docs).stats.first()["__n"]
+
+
+def test_index_remove_matches_rebuild_on_survivors(spark, sf_small):
+    """bm25_index_remove must score bit-identically to a full rebuild on
+    the surviving corpus; removal of absent ids is a no-op; and
+    remove-then-merge supports the upsert composition."""
+    from efficient_trees_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_merge,
+        bm25_index_remove,
+        bm25_search,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    queries = spark.createDataFrame(
+        [(0, "spark window agg"), (7, "shuffle join broadcast")],
+        "query_id long, query_text string",
+    )
+    full = bm25_index(docs)
+    gone = docs.filter("doc_id % 5 = 0").select("doc_id")
+    removed = bm25_index_remove(full, gone)
+    rebuilt = bm25_index(docs.filter("doc_id % 5 != 0"))
+    got = sorted(tuple(r) for r in bm25_search(removed, queries, k=10).collect())
+    want = sorted(tuple(r) for r in bm25_search(rebuilt, queries, k=10).collect())
+    assert got == want and got
+    # removed docs can no longer be retrieved
+    hits = {
+        r["neighbor_id"]
+        for r in bm25_search(removed, queries, k=10_000).collect()
+    }
+    assert not {r["doc_id"] for r in gone.collect()} & hits
+
+    # idempotent: removing ids that are absent changes nothing
+    again = bm25_index_remove(removed, gone)
+    got2 = sorted(tuple(r) for r in bm25_search(again, queries, k=10).collect())
+    assert got2 == got
+
+    # upsert = remove stale ids, then merge the fresh versions (validated)
+    fresh = docs.filter("doc_id % 5 = 0")
+    upserted = bm25_index_merge(removed, fresh, validate=True)
+    want_full = sorted(tuple(r) for r in bm25_search(full, queries, k=10).collect())
+    got_up = sorted(tuple(r) for r in bm25_search(upserted, queries, k=10).collect())
+    assert got_up == want_full

@@ -150,3 +150,23 @@ def test_enrich_stream_matches_batch_and_composes_with_windows(spark, sf_small):
     }
     assert got == want and got
     dim.unpersist()
+
+
+def test_interval_join_batch_guards_against_whale_key_groups(spark):
+    """The batch twin cartesians within key groups — the default eager
+    guard must raise on a group whose pair count exceeds the cap, point at
+    the scale path, and stay silent for small groups / when disabled."""
+    import pytest
+
+    from efficient_trees_spark.streaming.joins import interval_join_batch
+
+    rows = [(1, f"2024-01-01 00:00:{s:02d}", i) for i, s in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    with pytest.raises(ValueError, match="range_join"):
+        interval_join_batch(df, df, max_pairs_per_key=10)
+    # small groups pass the default guard; disabling skips the job entirely
+    assert interval_join_batch(df, df).count() == 6  # strictly-after pairs
+    assert interval_join_batch(df, df, max_pairs_per_key=None).count() == 6
