@@ -917,6 +917,64 @@ def ivf_pq_topk(
 # ------------------------------------------------------------------ SemDeDup
 
 
+def _semdedup_assignments(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+    max_cell_size: int | None,
+    dim: int | None,
+    sub_planes: int | None,
+) -> DataFrame:
+    """``(a_id, a_vec, a_norm, cell, sub)`` — each vector's compare bucket
+    for :func:`semantic_dedup`.  ``sub`` is 0 everywhere on the unguarded
+    path; with ``max_cell_size`` set, members of oversized cells get a
+    hyperplane-LSH sub-bucket instead (see :func:`semantic_dedup` for the
+    recall contract).  Split out so tests can bound the per-bucket sizes
+    the pairwise join will actually see."""
+    cells = nearest_centroids(
+        corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
+    )
+    assigned = _with_norm(corpus, id_col, vec_col, "a").join(
+        cells.select(F.col(id_col).alias("a_id"), "cell"), "a_id"
+    )
+    if max_cell_size is None:
+        return assigned.withColumn("sub", F.lit(0))
+    if max_cell_size < 1:
+        raise ValueError(f"max_cell_size must be >= 1, got {max_cell_size}")
+    if dim is None:
+        raise ValueError("max_cell_size requires dim (the embedding width)")
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__cnt"))
+    if sub_planes is None:
+        # Adaptive plane count from the worst cell: one cells-sized agg
+        # collected to the driver (cells relation <= |centroids| rows, but
+        # computing it does cost one extra assignment pass over the
+        # corpus).  Pass sub_planes explicitly to keep the plan fully lazy.
+        import math
+
+        top = counts.agg(F.max("__cnt")).first()[0] or 0
+        if top <= max_cell_size:
+            return assigned.withColumn("sub", F.lit(0))
+        sub_planes = min(16, max(1, math.ceil(math.log2(top / max_cell_size))))
+    if sub_planes < 1:
+        raise ValueError(f"sub_planes must be >= 1, got {sub_planes}")
+    big = counts.filter(F.col("__cnt") > max_cell_size).select(
+        "cell", F.lit(True).alias("__big")
+    )
+    return (
+        assigned.join(F.broadcast(big), "cell", "left")
+        .withColumn(
+            "sub",
+            F.when(
+                F.col("__big").isNotNull(),
+                bucket_id(F.col("a_vec"), dim, sub_planes),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__big")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -924,6 +982,9 @@ def semantic_dedup(
     vec_col: str,
     threshold: float,
     round_to: int = 6,
+    max_cell_size: int | None = None,
+    dim: int | None = None,
+    sub_planes: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al., "SemDeDup", 2023): cluster the
     corpus by nearest centroid, then canonicalize near-duplicates WITHIN
@@ -936,21 +997,45 @@ def semantic_dedup(
     self-join keys on the cell id), so total work is Σ|cell|² instead of
     N² — the paper's point is that true semantic duplicates share a cluster
     at high probability, making in-cell compare a near-lossless pruning.
-    Skew guard at corpus scale: cap or re-split oversized cells (same
-    ``df_capped`` discipline as the shingle dedups) before the self-join."""
-    cells = nearest_centroids(corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to)
-    a = _with_norm(corpus, id_col, vec_col, "a").join(
-        cells.select(F.col(id_col).alias("a_id"), "cell"), "a_id"
+
+    **Skew guard** (``max_cell_size``): real embedding corpora are
+    heavy-tailed — one boilerplate/template cluster holding 1% of a 10 B-doc
+    corpus is 10^16 in-cell pairs on its own, a quadratic wall the cell
+    join would hit as-is.  With ``max_cell_size`` set (requires ``dim``),
+    cells above it are RE-SPLIT before the self-join: their members get a
+    deterministic hyperplane-LSH sub-bucket (:func:`bucket_id` over the
+    module's fixed integer planes) and the pairwise join keys on
+    ``(cell, sub)``, bounding each bucket to ~|cell| / 2^planes in
+    expectation.  ``sub_planes`` fixes the plane count (keeps the plan
+    lazy and lets an external oracle re-derive the split); when ``None``
+    it adapts to the worst cell via one tiny driver agg,
+    ``ceil(log2(max_cnt / max_cell_size))`` capped at 16.
+
+    Recall trade-off, stated: sub-bucketing near-duplicates is the LSH
+    collision bound — a pair at cosine ≥ t lands in the same sub-bucket
+    with probability (1 - arccos(t)/π)^planes (t=0.95, 4 planes: ≈0.65;
+    2 planes: ≈0.81), and IDENTICAL vectors always collide, so exact
+    duplicates are never lost.  That is the documented price for removing
+    the quadratic whale — same df-cap discipline as
+    ``dedup.df_capped`` on the shingle side.  Small cells stay on the
+    exact in-cell path ((cell, 0) buckets, zero recall loss)."""
+    assigned = _semdedup_assignments(
+        corpus, centroids, id_col, vec_col, round_to,
+        max_cell_size, dim, sub_planes,
     )
-    b = _with_norm(corpus, id_col, vec_col, "b").join(
-        cells.select(F.col(id_col).alias("b_id"), "cell"), "b_id"
+    b = assigned.select(
+        F.col("a_id").alias("b_id"),
+        F.col("a_vec").alias("b_vec"),
+        F.col("a_norm").alias("b_norm"),
+        "cell",
+        "sub",
     )
     cos = F.round(
         dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")),
         round_to,
     )
     neighbors = (
-        a.join(b, "cell")
+        assigned.join(b, ["cell", "sub"])
         .filter(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)

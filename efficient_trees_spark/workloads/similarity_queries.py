@@ -60,9 +60,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, n_planes: int = similarity.N_PLANES) -> str:
     terms = []
-    for p in range(similarity.N_PLANES):
+    for p in range(n_planes):
         weights = ", ".join(str(similarity.plane_weight(p, d)) for d in range(DIM))
         dot = (
             f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
@@ -590,6 +590,13 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- embedding dedup suite
 
+# Guarded-semdedup leg parameters: small enough that several seed cells
+# exceed the cap on the ~500-vector sf0.01 corpus (so the LSH re-split
+# genuinely engages under the oracle), fixed sub_planes so the plan stays
+# lazy and DuckDB can re-derive the exact sub-bucket assignment.
+_SEMDEDUP_MAX_CELL = 20
+_SEMDEDUP_SUB_PLANES = 2
+
 _DEDUP_EMB_ORACLE = f"""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -612,6 +619,22 @@ _DEDUP_EMB_ORACLE = f"""
         FROM pairs p
         JOIN cells ca ON ca.vec_id = p.id_a
         JOIN cells cb ON cb.vec_id = p.id_b AND cb.cell = ca.cell
+    ),
+    cell_counts AS (SELECT cell, count(*) AS cnt FROM cells GROUP BY cell),
+    subs AS (
+        SELECT c.vec_id, c.cell,
+               CASE WHEN cc.cnt > {_SEMDEDUP_MAX_CELL}
+                    THEN {{BUCKET2}} ELSE 0 END AS sub
+        FROM cells c
+        JOIN cell_counts cc USING (cell)
+        JOIN embeddings e ON e.vec_id = c.vec_id
+    ),
+    guarded_pairs AS (
+        SELECT p.id_a, p.id_b, p.cos
+        FROM pairs p
+        JOIN subs sa ON sa.vec_id = p.id_a
+        JOIN subs sb ON sb.vec_id = p.id_b
+                    AND sb.cell = sa.cell AND sb.sub = sa.sub
     )
     SELECT 'brute' AS method, v.vec_id,
            least(v.vec_id, coalesce(min(p.id_b), v.vec_id)) AS canonical_id
@@ -624,7 +647,13 @@ _DEDUP_EMB_ORACLE = f"""
     FROM v
     LEFT JOIN cell_pairs p ON p.id_a = v.vec_id AND p.cos >= 0.95
     GROUP BY v.vec_id
-"""
+    UNION ALL
+    SELECT 'semdedup_guarded' AS method, v.vec_id,
+           least(v.vec_id, coalesce(min(p.id_b), v.vec_id)) AS canonical_id
+    FROM v
+    LEFT JOIN guarded_pairs p ON p.id_a = v.vec_id AND p.cos >= 0.95
+    GROUP BY v.vec_id
+""".replace("{BUCKET2}", _bucket_sql("e.embedding", _SEMDEDUP_SUB_PLANES))
 
 
 @workload(
@@ -635,7 +664,11 @@ _DEDUP_EMB_ORACLE = f"""
     "the all-pairs exactness baseline (one broadcast, no shuffle before the "
     "agg); method='semdedup' is the SemDeDup scale path (Abbas et al. 2023): "
     "cluster by nearest seed centroid — a broadcast map-only pass — and "
-    "compare only WITHIN cells, so pairwise work is sum(|cell|^2) not N^2. "
+    "compare only WITHIN cells, so pairwise work is sum(|cell|^2) not N^2; "
+    "method='semdedup_guarded' adds the heavy-tail skew guard (cells above "
+    f"{_SEMDEDUP_MAX_CELL} members re-split into {2**_SEMDEDUP_SUB_PLANES} "
+    "deterministic hyperplane-LSH sub-buckets before the pairwise join — "
+    "the quadratic-whale bound, with the documented LSH recall trade-off). "
     "Each path keeps its own exact DuckDB re-derivation",
     tags=("similarity", "dedup", "suite"),
 )
@@ -664,5 +697,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = similarity.semantic_dedup(
         emb, centroids, "vec_id", "embedding", threshold=0.95
     )
+    guarded = similarity.semantic_dedup(
+        emb, centroids, "vec_id", "embedding", threshold=0.95,
+        max_cell_size=_SEMDEDUP_MAX_CELL, dim=DIM,
+        sub_planes=_SEMDEDUP_SUB_PLANES,
+    )
     cols = ["vec_id", "canonical_id"]
-    return _tagged(brute, "brute", cols).unionByName(_tagged(sem, "semdedup", cols))
+    return (
+        _tagged(brute, "brute", cols)
+        .unionByName(_tagged(sem, "semdedup", cols))
+        .unionByName(_tagged(guarded, "semdedup_guarded", cols))
+    )

@@ -524,3 +524,92 @@ def test_residual_ivfpq_recall_beats_plain_at_equal_budget(spark):
     r_plain, r_resid = recall(plain), recall(resid)
     assert r_resid >= r_plain
     assert r_resid > 0
+
+
+def test_semantic_dedup_whale_cell_guard_bounds_pairwise_work(spark):
+    """The skew guard's contract: with one whale cell holding the whole
+    corpus, max_cell_size re-splits it into LSH sub-buckets so the
+    pairwise join compares far fewer than n² rows — while identical
+    vectors (true exact duplicates) always share a sub-bucket and still
+    canonicalize together."""
+    rng = np.random.default_rng(7)
+    dim = 8
+    n = 60
+    vecs = rng.normal(size=(n, dim)).tolist()
+    # plant an exact-duplicate pair inside the whale
+    vecs[41] = list(vecs[17])
+    corpus = _vec_df(spark, list(enumerate(vecs)))
+    # one centroid -> every vector lands in the same (whale) cell
+    cents = spark.createDataFrame(
+        [(0, [1.0] * dim)], "cid long, cvec array<double>"
+    )
+
+    assigned = similarity._semdedup_assignments(
+        corpus, cents, "vid", "vec", round_to=6,
+        max_cell_size=10, dim=dim, sub_planes=3,
+    )
+    sizes = [
+        r["c"]
+        for r in assigned.groupBy("cell", "sub")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert sum(sizes) == n
+    assert len(sizes) > 1, "whale cell was not re-split"
+    pairs_guarded = sum(c * (c - 1) for c in sizes)
+    assert pairs_guarded < n * (n - 1) / 2, (
+        "guard did not materially bound the pairwise join"
+    )
+
+    got = {
+        r["vid"]: r["canonical_id"]
+        for r in similarity.semantic_dedup(
+            corpus, cents, "vid", "vec", threshold=0.999,
+            max_cell_size=10, dim=dim, sub_planes=3,
+        ).collect()
+    }
+    assert len(got) == n
+    # the exact duplicate pair survives sub-bucketing (identical vectors
+    # always collide in every hyperplane bucket)
+    assert got[41] == 17 and got[17] == 17
+
+    # adaptive plane count (sub_planes=None) also engages on the whale ...
+    adaptive = similarity._semdedup_assignments(
+        corpus, cents, "vid", "vec", round_to=6,
+        max_cell_size=10, dim=dim, sub_planes=None,
+    )
+    assert adaptive.select("sub").distinct().count() > 1
+    # ... and is a no-op when nothing is oversized (sub stays all-zero,
+    # result identical to the unguarded path)
+    unguarded = {
+        r["vid"]: r["canonical_id"]
+        for r in similarity.semantic_dedup(
+            corpus, cents, "vid", "vec", threshold=0.999,
+        ).collect()
+    }
+    relaxed = {
+        r["vid"]: r["canonical_id"]
+        for r in similarity.semantic_dedup(
+            corpus, cents, "vid", "vec", threshold=0.999,
+            max_cell_size=n + 1, dim=dim,
+        ).collect()
+    }
+    assert relaxed == unguarded
+
+
+def test_semantic_dedup_guard_validates_arguments(spark):
+    corpus = _vec_df(spark, [(0, [1.0, 0.0])])
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], "cid long, cvec array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        similarity.semantic_dedup(
+            corpus, cents, "vid", "vec", threshold=0.9, max_cell_size=5
+        )
+    with pytest.raises(ValueError, match="max_cell_size"):
+        similarity.semantic_dedup(
+            corpus, cents, "vid", "vec", threshold=0.9, max_cell_size=0, dim=2
+        )
+    with pytest.raises(ValueError, match="sub_planes"):
+        similarity.semantic_dedup(
+            corpus, cents, "vid", "vec", threshold=0.9,
+            max_cell_size=1, dim=2, sub_planes=0,
+        )
