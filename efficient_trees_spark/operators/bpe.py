@@ -368,6 +368,58 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
             f"strategy must be 'auto', 'expression', or 'joined'; got {strategy!r}"
         )
 
+    def encode_ids(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        out_col: str = "bpe_ids",
+        strategy: str = "auto",
+        chunk: int = 64,
+        broadcast: bool = True,
+        unknown_id: int = -1,
+    ) -> DataFrame:
+        """Encode each document to INT TOKEN IDS per :meth:`vocab` order —
+        what a pretraining pipeline actually shards (int arrays, not symbol
+        strings).
+
+        The execution shape is :meth:`encode`'s (same ``strategy``
+        dispatch), then the symbol array maps through the vocabulary as a
+        broadcast plan-literal map inside ``F.transform`` — zero extra
+        shuffle, zero Python workers.  Symbols outside the vocabulary
+        (characters that never appear in any merge pair — possible for
+        rare characters under a small merge table) get ``unknown_id``
+        (default -1), the explicit UNK contract; ids round-trip to symbols
+        via ``vocab()[id]`` for every id >= 0 (test-asserted).  NULL text
+        stays NULL, matching :meth:`encode`.
+
+        Plan note: the literal map is vocabulary-sized and looked up once
+        per token occurrence; at production vocabularies (30k+) prefer
+        ``strategy='joined'`` so the per-word segmentation cost is already
+        amortized over DISTINCT words — the map lookup then dominates and
+        is a candidate for the same distinct-word amortization if it ever
+        shows up in profiles."""
+        vocab = self.vocab()
+        sym_encoded = self.encode(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            out_col="__syms",
+            strategy=strategy,
+            chunk=chunk,
+            broadcast=broadcast,
+        )
+        id_map = F.create_map(
+            *[F.lit(x) for i, s in enumerate(vocab) for x in (s, i)]
+        )
+        return sym_encoded.select(
+            id_col,
+            F.transform(
+                "__syms",
+                lambda s: F.coalesce(id_map[s], F.lit(unknown_id)).cast("int"),
+            ).alias(out_col),
+        )
+
     def vocab(self) -> list[str]:
         """Subword vocabulary implied by the merge table: base symbols plus
         one merged symbol per rank, in merge order after the (sorted) base

@@ -172,9 +172,51 @@ def _bpe_oracle_parts() -> tuple[str, str]:
         WHERE rn <= {_BPE_TOP_TOKENS}
     """
     joined_leg = vocab_leg.replace("'bpe_token'", "'bpe_token_joined'")
+    # Token-ID leg: re-derive the BpeTokenizer.vocab() id assignment —
+    # base symbols (every character of any merge-pair symbol, '</w>'
+    # atomic, plus '</w>' itself) sorted binary-collation first, then one
+    # merged symbol per round in merge order — and count corpus token ids
+    # under it.  Symbols outside the vocabulary (characters never touched
+    # by a merge) take the UNK id -1, exactly encode_ids' contract.
+    pairs_union = " UNION ALL ".join(
+        f"SELECT pair, {k} AS k FROM bpe_b{k}" for k in range(_BPE_MERGES)
+    )
+    ctes.append(
+        "bpe_msyms AS MATERIALIZED (SELECT string_split(pair, ' ')[1] || "
+        f"string_split(pair, ' ')[2] AS sym, k FROM ({pairs_union}))"
+    )
+    ctes.append(
+        "bpe_base AS MATERIALIZED (SELECT DISTINCT c AS sym FROM ("
+        "SELECT unnest(string_split(CASE WHEN s LIKE '%</w>' "
+        "THEN s[1:len(s)-4] ELSE s END, '')) AS c "
+        f"FROM (SELECT unnest(string_split(pair, ' ')) AS s "
+        f"FROM ({pairs_union})) "
+        "UNION ALL SELECT '</w>') WHERE c != '')"
+    )
+    ctes.append(
+        "bpe_vocab AS MATERIALIZED ("
+        "SELECT sym, row_number() OVER (ORDER BY grp, k, sym) - 1 AS id "
+        "FROM (SELECT sym, 0 AS grp, 0 AS k FROM bpe_base "
+        "UNION ALL SELECT sym, 1 AS grp, k FROM bpe_msyms))"
+    )
+    ids_leg = f"""
+        SELECT 'bpe_id' AS kind, CAST(id AS VARCHAR) AS key,
+               CAST(sum(total) AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS avg_logprob
+        FROM (
+            SELECT coalesce(v.id, -1) AS id, t.total
+            FROM (SELECT sym, CAST(sum(freq) AS BIGINT) AS total
+                  FROM (SELECT unnest(list_filter(string_split(s, '  '),
+                                                  x -> x != '')) AS sym, freq
+                        FROM bpe_m{_BPE_MERGES})
+                  GROUP BY sym) t
+            LEFT JOIN bpe_vocab v USING (sym)
+        )
+        GROUP BY id
+    """
     legs = (
         f"{merges_leg} UNION ALL {pairs_leg} UNION ALL {vocab_leg} "
-        f"UNION ALL {joined_leg}"
+        f"UNION ALL {joined_leg} UNION ALL {ids_leg}"
     )
     return ", ".join(ctes), legs
 
@@ -203,12 +245,14 @@ _BPE_CTES, _BPE_LEGS = _bpe_oracle_parts()
     "signal (operators/lm.py, CCNet-style bucketing first pass: corpus-fit "
     "add-alpha unigram, per-doc mean token log-prob) averaged per predicted "
     "language — the full fit + score re-derived in SQL; "
-    "kind='bpe_pair'/'bpe_merge'/'bpe_token'/'bpe_token_joined' are distributed BPE tokenizer "
+    "kind='bpe_pair'/'bpe_merge'/'bpe_token'/'bpe_token_joined'/'bpe_id' "
+    "are distributed BPE tokenizer "
     "training (operators/bpe.py — word-frequency-compressed, one corpus "
     "shuffle, vocabulary-sized merge rounds): the initial top pair counts, "
-    f"the full {_BPE_MERGES}-round merge table, and the trained subword "
-    "vocabulary's top token frequencies — every merge round re-derived in "
-    "SQL via a materialized CTE chain",
+    f"the full {_BPE_MERGES}-round merge table, the trained subword "
+    "vocabulary's top token frequencies, and the int-token-id distribution "
+    "under BpeTokenizer.vocab() order (UNK=-1) — every merge round AND the "
+    "id assignment re-derived in SQL via a materialized CTE chain",
     tags=("text", "suite", "bpe"),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,12 +342,30 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_lp,
         )
     )
+    # Token-ID leg: the pretraining deliverable (int ids per vocab() order,
+    # UNK = -1 for symbols outside the merge-derived vocabulary), counted
+    # over the encoded corpus; the SQL twin re-derives the full id
+    # assignment from the merge CTEs.
+    ids_leg = (
+        bpe.BpeTokenizer(tuple(merges))
+        .encode_ids(docs)
+        .select(F.explode("bpe_ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.lit("bpe_id").alias("kind"),
+            F.col("id").cast("string").alias("key"),
+            "n",
+            null_lp,
+        )
+    )
     return (
         lang.unionByName(lm_leg)
         .unionByName(pairs_leg)
         .unionByName(merges_leg)
         .unionByName(vocab_leg)
         .unionByName(joined_vocab_leg)
+        .unionByName(ids_leg)
     )
 
 

@@ -291,3 +291,46 @@ def test_segment_words_rejects_nonpositive_chunk(spark):
     for bad in (0, -3):
         with _pytest.raises(ValueError, match="chunk"):
             bpe.segment_words(words, [("l", "o")], chunk=bad)
+
+
+def test_encode_ids_round_trip_vocab_and_unknowns(spark):
+    """encode_ids emits int ids per vocab() order: every id >= 0 maps back
+    to exactly the symbol encode's output (ids <-> symbols round-trip);
+    symbols outside the vocabulary get the unknown id; NULL text stays
+    NULL; both dispatch strategies agree bit-for-bit."""
+    rows = CORPUS + [(8, None), (9, "zq zq low")]  # 'z'/'q' never in a merge
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = bpe.fit_bpe(docs, 10)
+    v = tok.vocab()
+
+    syms = {
+        r["doc_id"]: r["bpe_tokens"] for r in tok.encode(docs).collect()
+    }
+    ids = {
+        r["doc_id"]: r["bpe_ids"] for r in tok.encode_ids(docs).collect()
+    }
+    assert set(syms) == set(ids)
+    assert ids[8] is None
+    unk_seen = False
+    for d, sym_seq in syms.items():
+        if sym_seq is None:
+            assert ids[d] is None
+            continue
+        assert len(ids[d]) == len(sym_seq)
+        for i, s in zip(ids[d], sym_seq):
+            if i == -1:
+                assert s not in v
+                unk_seen = True
+            else:
+                assert v[i] == s  # the round-trip contract
+    assert unk_seen, "fixture no longer exercises the UNK path"
+
+    # joined dispatch produces identical ids
+    ids_joined = {
+        r["doc_id"]: r["bpe_ids"]
+        for r in tok.encode_ids(docs, strategy="joined", chunk=4).collect()
+    }
+    assert ids_joined == ids
+
+    # vocab has no duplicate symbols — the id space is well-defined
+    assert len(set(v)) == len(v)

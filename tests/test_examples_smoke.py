@@ -28,6 +28,7 @@ EXAMPLES = [
     "memory_profiling.py",
     "quality_filter.py",
     "ann_retrieval.py",
+    "pretraining_shards.py",
 ]
 
 
