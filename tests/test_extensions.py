@@ -544,3 +544,34 @@ def test_decontaminate_bloom_min_hits_and_plan(spark):
     # one-row bitmap broadcast; no corpus-sized shuffle for the check
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_approx_percentile_swap_in_is_within_declared_error(spark):
+    """events_rollup_percentiles documents approx_percentile as the 100 TB
+    drop-in for the exact percentile.  Evidence, not assertion: run the
+    SAME rollup with approx_percentile (default accuracy 10000, rank error
+    <= 1e-4) at sf0.1 and bound every group's p50/p90 within 1% relative
+    of the exact value — far looser than the rank bound implies on this
+    distribution, so flakiness-free while still catching a broken swap."""
+    sf_dir = "/root/testdata/sf0.1"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def rollup(expr_fmt):
+        return {
+            r["event_type"]: (r["p50"], r["p90"])
+            for r in ev.rollup("event_type")
+            .agg(
+                F.expr(expr_fmt.format(p=0.5)).alias("p50"),
+                F.expr(expr_fmt.format(p=0.9)).alias("p90"),
+            )
+            .withColumn("event_type", F.coalesce("event_type", F.lit("ALL")))
+            .collect()
+        }
+
+    exact = rollup("percentile(value, {p})")
+    approx = rollup("approx_percentile(value, {p}, 10000)")
+    assert set(exact) == set(approx) and len(exact) > 2
+    for etype, (e50, e90) in exact.items():
+        a50, a90 = approx[etype]
+        assert abs(a50 - e50) <= 0.01 * abs(e50), (etype, a50, e50)
+        assert abs(a90 - e90) <= 0.01 * abs(e90), (etype, a90, e90)

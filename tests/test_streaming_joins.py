@@ -170,3 +170,67 @@ def test_interval_join_batch_guards_against_whale_key_groups(spark):
     # small groups pass the default guard; disabling skips the job entirely
     assert interval_join_batch(df, df).count() == 6  # strictly-after pairs
     assert interval_join_batch(df, df, max_pairs_per_key=None).count() == 6
+
+
+def test_stream_enrich_model_score_window_composition(spark, sf_small):
+    """The full streaming scoring story (r7 verdict item 5): a model
+    TRAINED THIS SESSION on batch events is applied unchanged to a stream
+    — enrich (broadcast dim) -> compiled-CASE transform (stateless, so it
+    must compose into a streaming plan as a pure projection) -> watermark
+    -> tumbling window count per prediction — and the streaming result
+    equals the batch twin exactly.  Zero new operators: a composition gate."""
+    from efficient_trees_spark import Criterion, DecisionTreeClassifier
+
+    events_batch = load(spark, sf_small, "events")
+    dim = (
+        events_batch.select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 3).cast("double").alias("seg"))
+    ).cache()
+
+    # train on the enriched BATCH features; the stream will see the same
+    # columns post-enrichment, so the compiled CASE applies verbatim
+    train = joins.enrich_stream(events_batch, dim).select(
+        "value", "seg", F.col("event_type").alias("target")
+    )
+    model = DecisionTreeClassifier(max_depth=3, criterion=Criterion.GINI)
+    model.fit(train, "target")
+
+    def scored_windows(df):
+        enriched = joins.enrich_stream(df, dim)
+        scored = model.transform(enriched, null_policy="keep")
+        return (
+            scored.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "prediction")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "prediction", "n")
+        )
+
+    stream = windows.read_events_stream(spark, sf_small)
+    sdf = scored_windows(stream)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("scored_windows")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.ws, r.prediction): int(r.n)
+        for r in spark.table("scored_windows").toPandas().itertuples()
+    }
+    want = {
+        (r.ws, r.prediction): int(r.n)
+        for r in scored_windows(events_batch)
+        .toPandas()
+        .itertuples()
+    }
+    assert got == want and got
+    # the model genuinely discriminates on this fixture (not one constant
+    # leaf) — otherwise the parity above would be vacuous
+    assert len({p for _, p in got}) > 1
+    dim.unpersist()
