@@ -46,11 +46,23 @@ from efficient_trees_spark.functions import text
 
 END_OF_WORD = "</w>"
 
-# encode() strategy='auto' switch-over: below this merge count the compiled
-# expression form (zero shuffle) wins; at and above it the distinct-word
-# join form does (the per-token replace chain grows with the merge count
-# while the join form's corpus-side work stays constant).
+# encode() strategy='auto' switch-over, MEASURED (tools/bpe_crossover.py,
+# SCALE.md round 8): on a 277k-token / 1728-distinct-word corpus the
+# expression form is FASTER at every merge count it can run (0.3-0.6 s
+# through 256 merges vs the join form's 1.7-2.7 s fixed overhead) — but
+# its plan construction dies at ~512 merges (JVM StackOverflowError
+# converting the merges-deep nested replace column), while the join form
+# keeps working (4.0 s at 512, chunked projections).  So this constant is
+# a plan-VIABILITY guard with 2-4x margin below the measured cliff, not a
+# throughput crossover; the join form's win at production merge counts is
+# that it runs at all (and its corpus-side work stays O(tokens) while the
+# expression form's is O(tokens x merges)).
 _EXPR_MERGE_MAX = 128
+# Measured plan-construction cliff for the expression form on a default
+# JVM stack: 256 merges builds and runs, 512 stack-overflows.  bpe_encode
+# warns above this so direct callers get a pointer instead of an opaque
+# JVM error.
+_EXPR_MERGE_HARD = 256
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -212,9 +224,23 @@ def bpe_encode(
     replaces inside ``F.transform``): zero shuffle, zero Python, linear
     scan.  Right for SMALL merge tables (dozens-hundreds): past that the
     compiled projection grows with the merge count and is re-evaluated per
-    token occurrence — use :func:`bpe_encode_joined`, which segments each
-    DISTINCT word once and joins the segmentation back (bit-identical
-    output, the production shape for 30k-merge tokenizers)."""
+    token occurrence — and past ~``_EXPR_MERGE_HARD`` merges the plan
+    cannot be CONSTRUCTED at all on a default JVM stack (measured
+    StackOverflowError at 512, tools/bpe_crossover.py) — use
+    :func:`bpe_encode_joined`, which segments each DISTINCT word once in
+    chunked bounded projections and joins the segmentation back
+    (bit-identical output, the production shape for 30k-merge
+    tokenizers)."""
+    if len(merges) > _EXPR_MERGE_HARD:
+        import warnings
+
+        warnings.warn(
+            f"bpe_encode with {len(merges)} merges exceeds the measured "
+            f"expression-plan viability cliff (~{_EXPR_MERGE_HARD} on a "
+            "default JVM stack — construction stack-overflows past it); "
+            "use bpe_encode_joined / BpeTokenizer.encode(strategy='auto').",
+            stacklevel=2,
+        )
     return docs.select(
         id_col,
         F.flatten(
@@ -260,6 +286,7 @@ def bpe_encode_joined(
     out_col: str = "bpe_tokens",
     chunk: int = 64,
     broadcast: bool = True,
+    syms_transform=None,
 ) -> DataFrame:
     """:func:`bpe_encode` for LARGE merge tables — bit-identical output.
 
@@ -277,7 +304,13 @@ def bpe_encode_joined(
     is safe for curated corpora — but a raw web crawl's distinct-word set
     (typos, ids, urls: easily 100 M+) can exceed executor memory, so
     ``broadcast=False`` opts into a shuffled hash join on the word (one
-    extra token-relation shuffle, identical output)."""
+    extra token-relation shuffle, identical output).
+
+    ``syms_transform`` (Column -> Column), when given, rewrites each
+    word's symbol array RIGHT AFTER segmentation — i.e. once per DISTINCT
+    word, before the join back — so per-symbol post-processing (the
+    token-id mapping in :meth:`BpeTokenizer.encode_ids`) costs
+    vocabulary-sized work instead of once per token occurrence."""
     # A NULL text column tokenizes to a NULL array (the expression form then
     # emits NULL, not []); posexplode_outer collapses NULL and empty arrays
     # to the same single null row, so the array's nullness rides along as a
@@ -294,6 +327,8 @@ def bpe_encode_joined(
         merges,
         chunk=chunk,
     )
+    if syms_transform is not None:
+        seg = seg.withColumn("syms", syms_transform(F.col("syms")))
     seg_side = F.broadcast(seg) if broadcast else seg.hint("shuffle_hash")
     joined = toks.join(seg_side, toks["__word"] == seg["word"], "left")
     # collect_list skips nulls, so a zero-token document (posexplode_outer's
@@ -393,13 +428,38 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
         via ``vocab()[id]`` for every id >= 0 (test-asserted).  NULL text
         stays NULL, matching :meth:`encode`.
 
-        Plan note: the literal map is vocabulary-sized and looked up once
-        per token occurrence; at production vocabularies (30k+) prefer
-        ``strategy='joined'`` so the per-word segmentation cost is already
-        amortized over DISTINCT words — the map lookup then dominates and
-        is a candidate for the same distinct-word amortization if it ever
-        shows up in profiles."""
+        Plan note: on the joined path the map applies via
+        ``syms_transform`` RIGHT AFTER segmentation — once per DISTINCT
+        word, vocabulary-sized work regardless of corpus token volume; on
+        the expression path (small merge tables by dispatch) it applies
+        per token occurrence, matching that form's O(tokens) shape."""
         vocab = self.vocab()
+        id_map = F.create_map(
+            *[F.lit(x) for i, s in enumerate(vocab) for x in (s, i)]
+        )
+
+        def to_ids(syms: Column) -> Column:
+            return F.transform(
+                syms,
+                lambda s: F.coalesce(id_map[s], F.lit(unknown_id)).cast("int"),
+            )
+
+        if strategy == "auto":
+            strategy = (
+                "expression" if len(self.merges) < _EXPR_MERGE_MAX else "joined"
+            )
+        merges = [tuple(m) for m in self.merges]
+        if strategy == "joined":
+            return bpe_encode_joined(
+                docs,
+                merges,
+                text_col=text_col,
+                id_col=id_col,
+                out_col=out_col,
+                chunk=chunk,
+                broadcast=broadcast,
+                syms_transform=to_ids,
+            )
         sym_encoded = self.encode(
             docs,
             text_col=text_col,
@@ -409,15 +469,9 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
             chunk=chunk,
             broadcast=broadcast,
         )
-        id_map = F.create_map(
-            *[F.lit(x) for i, s in enumerate(vocab) for x in (s, i)]
-        )
         return sym_encoded.select(
             id_col,
-            F.transform(
-                "__syms",
-                lambda s: F.coalesce(id_map[s], F.lit(unknown_id)).cast("int"),
-            ).alias(out_col),
+            to_ids(F.col("__syms")).alias(out_col),
         )
 
     def vocab(self) -> list[str]:

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from efficient_trees_spark.operators import bpe  # noqa: E402
 from efficient_trees_spark.session import get_spark  # noqa: E402
 
-MERGE_COUNTS = [16, 32, 64, 128, 256, 512, 1024]
+MERGE_COUNTS = [16, 32, 64, 128, 256, 512]
 
 
 def wide_corpus(repeat: int):
@@ -78,11 +78,23 @@ def main() -> None:
             ("joined", lambda: bpe.bpe_encode_joined(docs, sub)),
         ):
             t0 = time.monotonic()
-            fn().select(F.sum(F.size("bpe_tokens"))).first()
-            out[name][m] = round(time.monotonic() - t0, 2)
+            try:
+                fn().select(F.sum(F.size("bpe_tokens"))).first()
+            except Exception as exc:  # noqa: BLE001 — record the cliff
+                # the expression form's plan CONSTRUCTION dies
+                # (java.lang.StackOverflowError converting the
+                # merges-deep nested replace column) past a few hundred
+                # merges — that cliff IS the measurement
+                out[name][m] = f"FAILED: {type(exc).__name__}: " + (
+                    "StackOverflowError (plan construction)"
+                    if "StackOverflowError" in str(exc)
+                    else str(exc)[:120]
+                )
+            else:
+                out[name][m] = round(time.monotonic() - t0, 2)
         print(
-            f"merges={m}: expression {out['expression'][m]} s, "
-            f"joined {out['joined'][m]} s",
+            f"merges={m}: expression {out['expression'][m]}, "
+            f"joined {out['joined'][m]}",
             file=sys.stderr,
         )
     print(json.dumps(out))
