@@ -421,10 +421,14 @@ _BM25_QTERM_VALUES = ", ".join(
 # the same order — per-term weights are bit-identical across engines, and
 # the per-doc sum goes through DECIMAL(28,12) (exact, associative) so even
 # the aggregation is bit-reproducible, not just within rounding noise.
-_BM25_TOPK_ORACLE = f"""
+# Parametrized over a corpus filter so the incremental-index legs (merge ==
+# rebuild-on-all, remove == rebuild-on-survivors) share one re-derivation.
+def _bm25_topk_oracle(doc_filter: str = "TRUE") -> str:
+    return f"""
     WITH dl AS (
         SELECT doc_id, len(toks) AS dl, toks
-        FROM (SELECT doc_id, {_BM25_TOKS} AS toks FROM documents)
+        FROM (SELECT doc_id, {_BM25_TOKS} AS toks FROM documents
+              WHERE {doc_filter})
     ),
     postings AS (
         SELECT doc_id, dl, term, count(*) AS tf
@@ -456,6 +460,10 @@ _BM25_TOPK_ORACLE = f"""
     SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id, score, rank
     FROM ranked WHERE rank <= {_BM25_K}
 """
+
+
+_BM25_REMOVE_FILTER = "doc_id % 5 != 0"  # survivors after the deletion batch
+_BM25_TOPK_ORACLE = _bm25_topk_oracle()
 
 
 def ann_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,6 +513,33 @@ def ann_bm25_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_bm25_removed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion twin of :func:`ann_bm25_merged_topk`: build on the full
+    corpus, REMOVE a batch (doc_id % 5 = 0) with ``bm25_index_remove``
+    (broadcast anti-join on the postings — the retained corpus is never
+    rescanned), and serve the same queries.  The oracle is a full rebuild
+    on the SURVIVING corpus — remove == rebuild-on-survivors proven
+    against an independent engine.  Registered via ``ann_topk_suite``
+    (method='bm25_removed')."""
+    from efficient_trees_spark.operators.retrieval import (
+        bm25_index,
+        bm25_index_remove,
+        bm25_search,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    removed = bm25_index_remove(
+        bm25_index(docs), docs.filter("doc_id % 5 = 0").select("doc_id")
+    )
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    return bm25_search(
+        removed, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+        broadcast_queries=True,
+    )
+
+
 @workload(
     "ann_topk_suite",
     oracle=f"""
@@ -537,6 +572,9 @@ def ann_bm25_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'bm25_merged', query_id, neighbor_id, score, rank
         FROM ({_BM25_TOPK_ORACLE})
+        UNION ALL
+        SELECT 'bm25_removed', query_id, neighbor_id, score, rank
+        FROM ({_bm25_topk_oracle(_BM25_REMOVE_FILTER)})
     """,
     description="Retrieval top-5 suite: method='brute' is exact ranked "
     "cosine retrieval (total order on rounded score + id tie-break); "
@@ -557,7 +595,11 @@ def ann_bm25_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus never shuffles); method='bm25_merged' serves the same queries "
     "from an INCREMENTALLY MERGED index (base 2/3 of the corpus + append "
     "batch via bm25_index_merge) against the full-rebuild oracle — "
-    "merge == rebuild proven against an independent engine",
+    "merge == rebuild proven against an independent engine; "
+    "method='bm25_removed' serves them from an index with a DELETION batch "
+    "applied (bm25_index_remove: broadcast anti-join, survivors re-derive "
+    "dfreq/stats) against a rebuild-on-survivors oracle — the other half "
+    "of the incremental-index contract",
     tags=("similarity", "suite"),
 )
 def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,6 +619,10 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("bm25_merged").alias("method"),
         "query_id", "neighbor_id", "score", "rank",
     )
+    bm25_removed = ann_bm25_removed_topk(spark, sf_dir).select(
+        F.lit("bm25_removed").alias("method"),
+        "query_id", "neighbor_id", "score", "rank",
+    )
     return (
         as_score(ann_cosine_topk(spark, sf_dir), "brute")
         .unionByName(as_score(ann_ivf_topk(spark, sf_dir), "ivf"))
@@ -585,6 +631,7 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(as_score(ann_ivf_pq_rerank_topk(spark, sf_dir), "ivf_pq_rr"))
         .unionByName(bm25)
         .unionByName(bm25_merged)
+        .unionByName(bm25_removed)
     )
 
 
