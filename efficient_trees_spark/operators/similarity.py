@@ -227,6 +227,38 @@ def nearest_centroids(
     )
 
 
+# Past this many centroids the plan-literal assignment form would bloat
+# the expression tree (k x dim inline literals); the lazy join+window form
+# takes over.  256 x 64-dim = 16k literals — comfortably inside codegen.
+_LITERAL_ASSIGN_MAX_K = 256
+
+
+def inline_cell_column(
+    centroids: DataFrame, vec: Column, round_to: int = 6
+) -> Column | None:
+    """The nearest-centroid cell as a COLUMN over ``vec`` — the map-only
+    corpus-side assignment primitive — or ``None`` when the centroid set
+    is not inlineable (empty, or past ``_LITERAL_ASSIGN_MAX_K``).
+
+    The window form (:func:`nearest_centroids`) is honest about the query
+    side but NOT map-only on the corpus: its ``Window.partitionBy(id)``
+    forces a corpus-sized exchange of the k-per-vector scored relation,
+    and callers then pay a second corpus-sized join to attach the cell
+    back.  Here the centroids relation is collected instead (k rows —
+    tiny by the IVF/SemDeDup contract; ONE eager driver action,
+    documented) and the returned column compiles to
+    :func:`assign_literal_centroid` — k inline dot products per row in
+    whole-stage codegen — so the cell is born IN the caller's own
+    projection: zero shuffle, zero join, no re-attachment.  Same rounding
+    + lowest-cid tie-break as the window form (oracle-checked), so the
+    two are interchangeable."""
+    rows = centroids.select("cid", "cvec").collect()
+    if not 0 < len(rows) <= _LITERAL_ASSIGN_MAX_K:
+        return None
+    cents = [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
+    return assign_literal_centroid(vec, cents, round_to)
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -243,17 +275,34 @@ def ivf_cosine_topk(
     cells (any centroid set works — k-means iterations or a fixed seed
     sample) and an explicit recall knob (nprobe).
 
-    Scale shape: centroid assignment is broadcast-map-only; the candidate
-    join keys on the cell id (bounded fan-out = cell size); per-query work
-    is |probed cells| not |corpus|.  A query touching nprobe/n_cells of the
-    data replaces the brute-force full scan.
+    Scale shape: corpus-side centroid assignment is genuinely MAP-ONLY for
+    inlineable centroid sets (``inline_cell_column``: the cell is a
+    literal-expression column born in the corpus's own projection — no
+    window exchange, no re-attachment join); the query side keeps the
+    lazy join+window form (queries are small, and nprobe>1 needs ranked
+    probes).  The candidate join keys on the cell id (bounded fan-out =
+    cell size); per-query work is |probed cells| not |corpus|.  A query
+    touching nprobe/n_cells of the data replaces the brute-force full scan.
     """
-    corpus_cells = nearest_centroids(corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to)
     query_cells = nearest_centroids(queries, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to)
 
-    c = _with_norm(corpus, id_col, vec_col, "neighbor").join(
-        corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cell"), "neighbor_id"
-    )
+    vec = as_double_array(vec_col)
+    cell = inline_cell_column(centroids, vec, round_to)
+    if cell is not None:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            vec.alias("neighbor_vec"),
+            norm(vec).alias("neighbor_norm"),
+            cell,
+        )
+    else:
+        corpus_cells = nearest_centroids(
+            corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
+        )
+        c = _with_norm(corpus, id_col, vec_col, "neighbor").join(
+            corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
+            "neighbor_id",
+        )
     q = _with_norm(queries, id_col, vec_col, "query").join(
         query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
     )
@@ -932,13 +981,30 @@ def _semdedup_assignments(
     path; with ``max_cell_size`` set, members of oversized cells get a
     hyperplane-LSH sub-bucket instead (see :func:`semantic_dedup` for the
     recall contract).  Split out so tests can bound the per-bucket sizes
-    the pairwise join will actually see."""
-    cells = nearest_centroids(
-        corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
-    )
-    assigned = _with_norm(corpus, id_col, vec_col, "a").join(
-        cells.select(F.col(id_col).alias("a_id"), "cell"), "a_id"
-    )
+    the pairwise join will actually see.
+
+    Assignment is MAP-ONLY for inlineable centroid sets: id, vector,
+    norm, cell (and the guard's sub-bucket) are all columns of ONE
+    projection over the corpus scan — zero shuffles before the pairwise
+    join itself (plan-gated in tests).  Collecting the centroids (k rows)
+    is the one eager driver action; past ``_LITERAL_ASSIGN_MAX_K``
+    centroids the lazy join+window assignment takes over."""
+    vec = as_double_array(vec_col)
+    cell = inline_cell_column(centroids, vec, round_to)
+    if cell is not None:
+        assigned = corpus.select(
+            F.col(id_col).alias("a_id"),
+            vec.alias("a_vec"),
+            norm(vec).alias("a_norm"),
+            cell,
+        )
+    else:
+        cells = nearest_centroids(
+            corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
+        )
+        assigned = _with_norm(corpus, id_col, vec_col, "a").join(
+            cells.select(F.col(id_col).alias("a_id"), "cell"), "a_id"
+        )
     if max_cell_size is None:
         return assigned.withColumn("sub", F.lit(0))
     if max_cell_size < 1:
@@ -997,6 +1063,11 @@ def semantic_dedup(
     self-join keys on the cell id), so total work is Σ|cell|² instead of
     N² — the paper's point is that true semantic duplicates share a cluster
     at high probability, making in-cell compare a near-lossless pruning.
+    For inlineable centroid sets (≤ ``_LITERAL_ASSIGN_MAX_K``; SemDeDup's
+    k is small by construction) the assignment is a LITERAL-expression
+    projection — id/vector/norm/cell in one map-only pass, no window
+    exchange, no cells re-join; the centroids relation is collected at
+    plan-construction time (one tiny eager driver action).
 
     **Skew guard** (``max_cell_size``): real embedding corpora are
     heavy-tailed — one boilerplate/template cluster holding 1% of a 10 B-doc

@@ -613,3 +613,30 @@ def test_semantic_dedup_guard_validates_arguments(spark):
             corpus, cents, "vid", "vec", threshold=0.9,
             max_cell_size=1, dim=2, sub_planes=0,
         )
+
+
+def test_semdedup_assignment_is_map_only_for_inline_centroids(spark, corpus):
+    """The assignment relation (id, vec, norm, cell, sub) must be ONE
+    map-only projection over the corpus for inlineable centroid sets —
+    no Exchange anywhere in its plan (the window form would shuffle the
+    corpus, and a cells re-join would shuffle it again)."""
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8)], "cid long, cvec array<double>"
+    )
+    assigned = similarity._semdedup_assignments(
+        corpus, cents, "vid", "vec", round_to=6,
+        max_cell_size=None, dim=None, sub_planes=None,
+    )
+    plan = plan_of(assigned)
+    assert "Exchange" not in plan, "assignment is not map-only"
+    assert "Join" not in plan
+
+    # parity: the inline assignment equals the join+window form cell-for-cell
+    want = {
+        r["vid"]: r["cell"]
+        for r in similarity.nearest_centroids(
+            corpus, cents, "vid", "vec", nprobe=1
+        ).collect()
+    }
+    got = {r["a_id"]: r["cell"] for r in assigned.collect()}
+    assert got == want and got
