@@ -736,25 +736,36 @@ def residual_vectors(
     instead of ``x``.  Residual magnitudes are a fraction of vector
     magnitudes, so the same codebook budget (M × K_sub entries) covers
     them with far less quantization error — the recall-at-equal-nprobe
-    win over the non-residual composition.  Map-only at scale: cell
-    assignment broadcasts the centroid set (``nearest_centroids``) and
-    the subtraction is a ``zip_with`` projection against the broadcast
-    centroid vectors — the corpus never shuffles."""
-    cells = nearest_centroids(
-        vectors, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
-    )
+    win over the non-residual composition.  Map-only at scale: for the
+    corpus side (``nprobe=1``, inlineable centroid set) the cell is a
+    literal-expression column in the same projection as the unit vector
+    (``inline_cell_column`` — no window exchange, no id re-join) and only
+    the centroid-vector lookup remains a BROADCAST join (the corpus never
+    shuffles for it); the query side (``nprobe>1`` needs ranked probes)
+    keeps the join+window assignment over the small query relation."""
     cvecs = centroids.select(
         F.col("cid").alias("cell"), as_double_array("cvec").alias("__cvec")
     )
-    return (
-        vectors.select(F.col(id_col), unit_vector(F.col(vec_col)).alias("__u"))
-        .join(cells.select(id_col, "cell"), id_col)
-        .join(F.broadcast(cvecs), "cell")
-        .select(
-            F.col(id_col),
-            "cell",
-            F.zip_with("__u", "__cvec", lambda x, c: x - c).alias("resid"),
+    cell = (
+        inline_cell_column(centroids, as_double_array(vec_col), round_to)
+        if nprobe == 1
+        else None
+    )
+    if cell is not None:
+        with_cell = vectors.select(
+            F.col(id_col), unit_vector(F.col(vec_col)).alias("__u"), cell
         )
+    else:
+        cells = nearest_centroids(
+            vectors, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
+        )
+        with_cell = vectors.select(
+            F.col(id_col), unit_vector(F.col(vec_col)).alias("__u")
+        ).join(cells.select(id_col, "cell"), id_col)
+    return with_cell.join(F.broadcast(cvecs), "cell").select(
+        F.col(id_col),
+        "cell",
+        F.zip_with("__u", "__cvec", lambda x, c: x - c).alias("resid"),
     )
 
 
@@ -900,22 +911,28 @@ def ivf_pq_topk(
             queries, centroids, codebooks, id_col, vec_col, nprobe, round_to
         )
     else:
-        corpus_cells = nearest_centroids(
-            corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
-        )
         query_cells = nearest_centroids(
             queries, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
         )
-        codes = (
-            pq_encode(corpus, id_col, vec_col, codebooks, round_to)
-            .select(
-                F.col(id_col).alias("neighbor_id"),
-                F.posexplode("codes").alias("j", "code"),
+        cell = inline_cell_column(centroids, as_double_array(vec_col), round_to)
+        if cell is not None:
+            # cell born in the same projection PQ encodes — one map-only
+            # pass end-to-end, no corpus-cells re-join
+            encoded = pq_encode(
+                corpus.select(F.col(id_col), F.col(vec_col), cell),
+                id_col, vec_col, codebooks, round_to, passthrough=("cell",),
             )
-            .join(
-                corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
-                "neighbor_id",
+        else:
+            corpus_cells = nearest_centroids(
+                corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
             )
+            encoded = pq_encode(corpus, id_col, vec_col, codebooks, round_to).join(
+                corpus_cells.select(F.col(id_col), "cell"), id_col
+            )
+        codes = encoded.select(
+            F.col(id_col).alias("neighbor_id"),
+            "cell",
+            F.posexplode("codes").alias("j", "code"),
         )
         table = _pq_query_table(queries, codebooks, id_col, vec_col, round_to).join(
             query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"

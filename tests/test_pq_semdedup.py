@@ -640,3 +640,39 @@ def test_semdedup_assignment_is_map_only_for_inline_centroids(spark, corpus):
     }
     got = {r["a_id"]: r["cell"] for r in assigned.collect()}
     assert got == want and got
+
+
+def test_ivfpq_corpus_sides_are_shuffle_free_and_match_fallback(spark, corpus, monkeypatch):
+    """Corpus-side assignment in residual_vectors (nprobe=1) and
+    ivf_pq_topk must be map-only for inlineable centroid sets — no
+    shuffle exchange before the scoring join — and bit-identical to the
+    join+window fallback (forced via _LITERAL_ASSIGN_MAX_K=0)."""
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8), (2, [1.0, -1.0] * 4)],
+        "cid long, cvec array<double>",
+    )
+
+    res = similarity.residual_vectors(corpus, cents, "vid", "vec", nprobe=1)
+    assert "Exchange hashpartitioning" not in plan_of(res)
+    got = {r["vid"]: (r["cell"], r["resid"]) for r in res.collect()}
+
+    books = similarity.train_pq_codebooks(corpus, "vid", "vec", m=4, ksub=4)
+    inline_topk = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk(
+            corpus, corpus.limit(5), cents, books, "vid", "vec", k=3
+        ).collect()
+    )
+
+    monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX_K", 0)
+    res_fb = similarity.residual_vectors(corpus, cents, "vid", "vec", nprobe=1)
+    want = {r["vid"]: (r["cell"], r["resid"]) for r in res_fb.collect()}
+    assert got == want and got
+
+    fallback_topk = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk(
+            corpus, corpus.limit(5), cents, books, "vid", "vec", k=3
+        ).collect()
+    )
+    assert inline_topk == fallback_topk and inline_topk
