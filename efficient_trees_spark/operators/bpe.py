@@ -64,6 +64,12 @@ _EXPR_MERGE_MAX = 128
 # JVM error.
 _EXPR_MERGE_HARD = 256
 
+# encode_ids: above this vocabulary size the symbol->id mapping switches
+# from a plan-literal create_map (2 x |vocab| literal expressions — the
+# same construction-bloat family as the expression encode's replace chain)
+# to a broadcast JOIN on the distinct-word segmentation relation.
+_ID_MAP_LITERAL_MAX = 4096
+
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``(word, freq)`` over the tokenization contract — the ONE
@@ -287,6 +293,7 @@ def bpe_encode_joined(
     chunk: int = 64,
     broadcast: bool = True,
     syms_transform=None,
+    seg_transform=None,
 ) -> DataFrame:
     """:func:`bpe_encode` for LARGE merge tables — bit-identical output.
 
@@ -310,7 +317,12 @@ def bpe_encode_joined(
     word's symbol array RIGHT AFTER segmentation — i.e. once per DISTINCT
     word, before the join back — so per-symbol post-processing (the
     token-id mapping in :meth:`BpeTokenizer.encode_ids`) costs
-    vocabulary-sized work instead of once per token occurrence."""
+    vocabulary-sized work instead of once per token occurrence.
+    ``seg_transform`` (DataFrame -> DataFrame) is the relation-level
+    equivalent for rewrites a column expression can't state (e.g. a
+    broadcast-join id mapping for vocabularies too large to inline as a
+    plan literal); it must preserve the ``(word, syms)`` schema and the
+    distinct-word row set, and applies after ``syms_transform``."""
     # A NULL text column tokenizes to a NULL array (the expression form then
     # emits NULL, not []); posexplode_outer collapses NULL and empty arrays
     # to the same single null row, so the array's nullness rides along as a
@@ -329,6 +341,8 @@ def bpe_encode_joined(
     )
     if syms_transform is not None:
         seg = seg.withColumn("syms", syms_transform(F.col("syms")))
+    if seg_transform is not None:
+        seg = seg_transform(seg)
     seg_side = F.broadcast(seg) if broadcast else seg.hint("shuffle_hash")
     joined = toks.join(seg_side, toks["__word"] == seg["word"], "left")
     # collect_list skips nulls, so a zero-token document (posexplode_outer's
@@ -428,12 +442,62 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
         via ``vocab()[id]`` for every id >= 0 (test-asserted).  NULL text
         stays NULL, matching :meth:`encode`.
 
-        Plan note: on the joined path the map applies via
-        ``syms_transform`` RIGHT AFTER segmentation — once per DISTINCT
-        word, vocabulary-sized work regardless of corpus token volume; on
-        the expression path (small merge tables by dispatch) it applies
-        per token occurrence, matching that form's O(tokens) shape."""
+        Plan note: on the joined path the map applies RIGHT AFTER
+        segmentation — once per DISTINCT word, vocabulary-sized work
+        regardless of corpus token volume — as a plan-literal map up to
+        ``_ID_MAP_LITERAL_MAX`` symbols and as a broadcast JOIN on the
+        exploded segmentation past that (a 30k-merge production
+        vocabulary would otherwise inline 60k+ literal expressions — the
+        same plan-construction-bloat family as the measured expression-
+        encode cliff, see SCALE.md).  On the expression path (small merge
+        tables by dispatch, hence small vocabularies) it applies per
+        token occurrence, matching that form's O(tokens) shape."""
         vocab = self.vocab()
+
+        if strategy == "auto":
+            strategy = (
+                "expression" if len(self.merges) < _EXPR_MERGE_MAX else "joined"
+            )
+        merges = [tuple(m) for m in self.merges]
+        if strategy == "joined" and len(vocab) > _ID_MAP_LITERAL_MAX:
+            def map_ids_rel(seg: DataFrame) -> DataFrame:
+                vocab_df = seg.sparkSession.createDataFrame(
+                    [(s, i) for i, s in enumerate(vocab)],
+                    "__sym string, __sid int",
+                )
+                return (
+                    seg.select("word", F.posexplode("syms").alias("__p", "__sym"))
+                    .join(F.broadcast(vocab_df), "__sym", "left")
+                    .groupBy("word")
+                    .agg(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "__p",
+                                    F.coalesce("__sid", F.lit(unknown_id))
+                                    .cast("int")
+                                    .alias("__sid"),
+                                )
+                            )
+                        ).alias("__a")
+                    )
+                    .select(
+                        "word",
+                        F.transform("__a", lambda x: x["__sid"]).alias("syms"),
+                    )
+                )
+
+            return bpe_encode_joined(
+                docs,
+                merges,
+                text_col=text_col,
+                id_col=id_col,
+                out_col=out_col,
+                chunk=chunk,
+                broadcast=broadcast,
+                seg_transform=map_ids_rel,
+            )
+
         id_map = F.create_map(
             *[F.lit(x) for i, s in enumerate(vocab) for x in (s, i)]
         )
@@ -444,11 +508,6 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
                 lambda s: F.coalesce(id_map[s], F.lit(unknown_id)).cast("int"),
             )
 
-        if strategy == "auto":
-            strategy = (
-                "expression" if len(self.merges) < _EXPR_MERGE_MAX else "joined"
-            )
-        merges = [tuple(m) for m in self.merges]
         if strategy == "joined":
             return bpe_encode_joined(
                 docs,

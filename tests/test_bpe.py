@@ -334,3 +334,24 @@ def test_encode_ids_round_trip_vocab_and_unknowns(spark):
 
     # vocab has no duplicate symbols — the id space is well-defined
     assert len(set(v)) == len(v)
+
+
+def test_encode_ids_join_mapping_matches_literal_map(spark, monkeypatch):
+    """Past _ID_MAP_LITERAL_MAX symbols the id mapping switches from a
+    plan-literal create_map to a broadcast join on the exploded
+    segmentation — forced here via monkeypatch, output bit-identical
+    (including UNK and NULL text)."""
+    rows = CORPUS + [(8, None), (9, "zq zq low")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = bpe.fit_bpe(docs, 10)
+    want = {
+        r["doc_id"]: r["bpe_ids"]
+        for r in tok.encode_ids(docs, strategy="joined").collect()
+    }
+    monkeypatch.setattr(bpe, "_ID_MAP_LITERAL_MAX", 0)
+    got = {
+        r["doc_id"]: r["bpe_ids"]
+        for r in tok.encode_ids(docs, strategy="joined", chunk=4).collect()
+    }
+    assert got == want and want[8] is None
+    assert any(-1 in v for v in want.values() if v)  # UNK path exercised
