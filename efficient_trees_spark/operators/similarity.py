@@ -196,8 +196,12 @@ def nearest_centroids(
 ) -> DataFrame:
     """(id, cell, probe_rank) — each vector's ``nprobe`` nearest centroids by
     cosine (rounded, centroid-id tie-break: a total order both engines agree
-    on).  ``centroids`` is (cid, cvec); it is broadcast, so assignment is a
-    map-only pass over the corpus — the IVF coarse quantizer.
+    on).  ``centroids`` is (cid, cvec) and joins in by broadcast — but the
+    ranking window (``partitionBy(id)``) still EXCHANGES the k-per-vector
+    scored relation, so this form is for the QUERY side (small, and
+    ``nprobe>1`` needs ranked probes).  For the corpus side use
+    :func:`inline_cell_column` (nprobe=1 as a literal map-only projection,
+    no exchange, no re-join) — the IVF coarse quantizer's scale path.
     """
     from pyspark.sql import Window
 
