@@ -21,7 +21,7 @@ O(sqrt); the shuffle is the unavoidable data move and the only one paid.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SHARD_COL = "shard"
@@ -74,3 +74,86 @@ def write_training_shards(
     if token_col is not None:
         aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
     return written.groupBy(F.col(SHARD_COL).cast("int").alias(SHARD_COL)).agg(*aggs)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    shard_col: str | None = None,
+    drop_last: bool = True,
+) -> DataFrame:
+    """Pack variable-length token documents into FIXED-length training
+    sequences — the step between tokenization (``BpeTokenizer.encode_ids``)
+    and shard export that every pretraining pipeline runs: trainers consume
+    constant-shape rows, so documents are concatenated back-to-back in a
+    deterministic order and the stream is cut every ``seq_len`` tokens
+    (documents span sequence boundaries; nothing is padded or lost except
+    an optional final partial sequence).
+
+    Output: ``([shard_col,] seq_id, tokens)`` where ``tokens`` is a
+    ``seq_len``-sized array (the trailing partial sequence is dropped when
+    ``drop_last``, kept shorter otherwise) and ``seq_id`` numbers
+    sequences 0.. within each shard (globally when ``shard_col`` is None).
+
+    Plan shape at 100 TB:
+
+    * **offsets** — one row per DOCUMENT (not per token) carries its
+      cumulative start offset via a prefix-sum window ordered by
+      ``id_col``.  With ``shard_col`` the window partitions by shard —
+      parallelism = shards, each a bounded slice; with ``None`` the
+      prefix sum serializes on one task (fine for a gate corpus, wrong
+      for a corpus that doesn't fit one executor — PASS A SHARD COLUMN,
+      e.g. from :func:`assign_shards`, and shard boundaries simply become
+      independent token streams).
+    * **cut** — ``posexplode`` lifts tokens with their global position
+      (map-side, no shuffle), each token's (sequence, position) is pure
+      arithmetic, and ONE shuffle groups tokens into their sequence — the
+      unavoidable data move, same volume as the shard writer's.
+    * **determinism** — document order is (``id_col``) total order and
+      positions are arithmetic, so output is identical under any input
+      partitioning (test-asserted) and re-derivable by an external engine.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    part = [F.col(shard_col)] if shard_col else [F.lit(0)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.col(tokens_col)
+    sized = docs.filter(toks.isNotNull() & (F.size(toks) > 0)).select(
+        *( [F.col(shard_col)] if shard_col else [] ),
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__sz"),
+    )
+    offs = sized.withColumn("__off", F.coalesce(F.sum("__sz").over(w), F.lit(0)))
+    exploded = offs.select(
+        *( [F.col(shard_col)] if shard_col else [] ),
+        F.col("__off"),
+        F.posexplode("__toks").alias("__pos", "__tok"),
+    ).select(
+        *( [F.col(shard_col)] if shard_col else [] ),
+        ((F.col("__off") + F.col("__pos")) / seq_len).cast("long").alias("seq_id"),
+        ((F.col("__off") + F.col("__pos")) % seq_len).alias("__sp"),
+        F.col("__tok"),
+    )
+    keys = ([shard_col] if shard_col else []) + ["seq_id"]
+    packed = (
+        exploded.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__sp"), F.col("__tok")))
+            ).alias("__a")
+        )
+        .select(
+            *keys,
+            F.transform("__a", lambda x: x["__tok"]).alias("tokens"),
+        )
+    )
+    if drop_last:
+        packed = packed.filter(F.size("tokens") == seq_len)
+    return packed

@@ -1103,6 +1103,63 @@ def _mixture_oracle() -> str:
     """
 
 
+def s14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequence packing (sources/shards.pack_sequences): the
+    documents' token streams concatenate in doc_id order WITHIN 4 shards
+    (doc_id % 4 — SQL-replicable; production uses assign_shards) and cut
+    every 256 tokens, trailing partials dropped.  Each sequence is pinned
+    by the md5 of its space-joined tokens, so the oracle checks content
+    AND order of every packed sequence.  Registered via
+    ``s_format_roundtrip_suite`` (fmt='pack')."""
+    from efficient_trees_spark.functions import text
+    from efficient_trees_spark.sources.shards import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+        text.tokens("text").alias("toks"),
+    )
+    packed = pack_sequences(docs, "doc_id", "toks", seq_len=256, shard_col="shard")
+    return packed.select(
+        F.md5(F.concat_ws(" ", "tokens")).alias("key"),
+        F.size("tokens").cast("long").alias("n"),
+        F.col("seq_id").cast("double").alias("total"),
+    )
+
+
+def _pack_oracle() -> str:
+    """DuckDB twin of s14_sequence_packing: same tokenization contract,
+    same per-shard doc_id-ordered prefix-sum offsets, same 256-token cuts
+    with trailing partials dropped, md5 over the space-joined sequence."""
+    from efficient_trees_spark.workloads.text_pipeline import _TOKS
+
+    return f"""
+        SELECT 'pack' AS fmt, md5(string_agg(tok, ' ' ORDER BY sp)) AS key,
+               count(*) AS n, CAST(seq AS DOUBLE) AS total
+        FROM (
+            SELECT shard, (off + pos - 1) // 256 AS seq,
+                   (off + pos - 1) % 256 AS sp, tok
+            FROM (
+                SELECT shard, doc_id, off, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS pos
+                FROM (
+                    SELECT shard, doc_id, toks,
+                           coalesce(sum(len(toks)) OVER (
+                               PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS off
+                    FROM (SELECT doc_id, doc_id % 4 AS shard,
+                                 {_TOKS} AS toks
+                          FROM documents)
+                    WHERE len(toks) > 0
+                )
+            )
+        )
+        GROUP BY shard, seq
+        HAVING count(*) = 256
+    """
+
+
 @workload(
     "s_format_roundtrip_suite",
     oracle=f"""
@@ -1136,6 +1193,8 @@ def _mixture_oracle() -> str:
         ) AS pinned(fmt, key, n, total)
         UNION ALL
         {_mixture_oracle()}
+        UNION ALL
+        {_pack_oracle()}
     """,
     description="Source/sink suite, tagged by fmt: nation goes parquet -> "
     "CSV (header + inferSchema — the reader must re-derive identical values "
@@ -1146,8 +1205,13 @@ def _mixture_oracle() -> str:
     "(fmt='backfill' — the daily reprocess pattern); documents export as 4 "
     "deterministic xxhash64 training shards with read-back manifest "
     "(fmt='shards') and split leakage-free by group (fmt='split') — both "
-    "pinned VALUES at sf0.01 behind the loud scale guard.  Each branch "
-    "aggregates what was actually read back and must match the oracle",
+    "pinned VALUES at sf0.01 behind the loud scale guard; fmt='pack' packs "
+    "the documents' token streams into fixed 256-token training sequences "
+    "within 4 shards (sources/shards.pack_sequences — per-shard prefix-sum "
+    "offsets, one grouping shuffle), every sequence pinned by the md5 of "
+    "its space-joined content so the oracle re-derives the full packing.  "
+    "Each branch aggregates what was actually read back and must match "
+    "the oracle",
     tags=("inventory", "sink", "suite"),
 )
 def s_format_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1193,6 +1257,9 @@ def s_format_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
     )
+    pack = s14_sequence_packing(spark, sf_dir).select(
+        F.lit("pack").alias("fmt"), "key", "n", "total"
+    )
     return (
         csv.unionByName(json_)
         .unionByName(orc)
@@ -1200,4 +1267,5 @@ def s_format_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(shards)
         .unionByName(split)
         .unionByName(mixture)
+        .unionByName(pack)
     )

@@ -84,4 +84,24 @@ assert check["toks"] == total_tokens, "manifest/token-volume mismatch"
 assert check["lo"] >= -1 and check["hi"] < len(vocab), "id out of vocab space"
 print(f"audit ok: id range [{check['lo']}, {check['hi']}], "
       f"vocab space [{-1}, {len(vocab) - 1}]")
+
+# 6. sequence packing: the trainer consumes CONSTANT-shape rows — pack the
+# per-shard token-id streams into fixed 512-token sequences (documents
+# span boundaries; the per-shard trailing partial is dropped).  Packing
+# reads the WRITTEN shards, so the shard column doubles as the packing
+# stream key — each shard stays an independent, deterministic stream.
+SEQ_LEN = 512
+seqs = shards.pack_sequences(
+    back, id_col="doc_id", tokens_col="bpe_ids",
+    seq_len=SEQ_LEN, shard_col="shard",
+)
+stats = seqs.agg(
+    F.count(F.lit(1)).alias("n_seq"),
+    F.sum(F.size("tokens")).alias("packed_toks"),
+).first()
+assert stats["packed_toks"] == stats["n_seq"] * SEQ_LEN
+dropped = total_tokens - stats["packed_toks"]
+print(f"packed {stats['n_seq']} sequences x {SEQ_LEN} tokens "
+      f"({stats['packed_toks']} of {total_tokens}; "
+      f"{dropped} tokens in dropped per-shard partials)")
 spark.stop()

@@ -66,3 +66,78 @@ def test_assign_shards_is_a_pure_projection(spark, sf_small):
         .toString()
     )
     assert "Exchange" not in plan  # assignment itself shuffles nothing
+
+
+def _py_pack(rows, seq_len, drop_last=True):
+    """Pure-Python packing reference: rows = [(id, tokens)] sorted by id,
+    concatenated, cut every seq_len."""
+    stream = [t for _, toks in sorted(rows) for t in (toks or [])]
+    seqs = [stream[i : i + seq_len] for i in range(0, len(stream), seq_len)]
+    if drop_last and seqs and len(seqs[-1]) < seq_len:
+        seqs.pop()
+    return {i: s for i, s in enumerate(seqs)}
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Docs span sequence boundaries, empty/NULL docs vanish, drop_last
+    controls the trailing partial — all against a pure-Python packer."""
+    from efficient_trees_spark.sources.shards import pack_sequences
+
+    rows = [
+        (1, ["a", "b", "c"]),
+        (2, ["d"]),
+        (3, []),          # empty doc contributes nothing
+        (4, None),        # NULL doc contributes nothing
+        (5, ["e", "f", "g", "h", "i"]),
+        (6, ["j", "k"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    for drop_last in (True, False):
+        got = {
+            r["seq_id"]: r["tokens"]
+            for r in pack_sequences(
+                docs, "doc_id", "toks", seq_len=4, drop_last=drop_last
+            ).collect()
+        }
+        want = _py_pack(rows, 4, drop_last)
+        assert got == want, f"drop_last={drop_last}"
+    # every kept sequence is exactly seq_len under drop_last
+    full = pack_sequences(docs, "doc_id", "toks", seq_len=4)
+    assert all(len(r["tokens"]) == 4 for r in full.collect())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(docs, "doc_id", "toks", seq_len=0)
+
+
+def test_pack_sequences_sharded_and_partition_invariant(spark):
+    """With a shard column each shard is an independent stream (python
+    reference per shard), and output is identical under any input
+    partitioning — the determinism contract."""
+    from efficient_trees_spark.sources.shards import pack_sequences
+
+    rows = [(i, [f"t{i}_{j}" for j in range(i % 5 + 1)]) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    sharded = docs.withColumn("shard", (F.col("doc_id") % 3).cast("int"))
+
+    got = {
+        (r["shard"], r["seq_id"]): r["tokens"]
+        for r in pack_sequences(
+            sharded, "doc_id", "toks", seq_len=6, shard_col="shard"
+        ).collect()
+    }
+    want = {}
+    for s in range(3):
+        per = _py_pack([(i, t) for i, t in rows if i % 3 == s], 6)
+        want.update({(s, k): v for k, v in per.items()})
+    assert got == want and got
+
+    repartitioned = sharded.repartition(13, "toks")
+    got2 = {
+        (r["shard"], r["seq_id"]): r["tokens"]
+        for r in pack_sequences(
+            repartitioned, "doc_id", "toks", seq_len=6, shard_col="shard"
+        ).collect()
+    }
+    assert got2 == got
