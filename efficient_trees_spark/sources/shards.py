@@ -83,6 +83,7 @@ def pack_sequences(
     seq_len: int,
     shard_col: str | None = None,
     drop_last: bool = True,
+    sep_token=None,
 ) -> DataFrame:
     """Pack variable-length token documents into FIXED-length training
     sequences — the step between tokenization (``BpeTokenizer.encode_ids``)
@@ -114,6 +115,13 @@ def pack_sequences(
     * **determinism** — document order is (``id_col``) total order and
       positions are arithmetic, so output is identical under any input
       partitioning (test-asserted) and re-derivable by an external engine.
+
+    ``sep_token`` (the GPT-style EOS/document separator) appends one
+    token of the stream's element type to every non-empty document before
+    packing, so document boundaries survive inside the fixed sequences;
+    empty/NULL documents still contribute nothing.  Positions stay exact
+    to 2^53 stream tokens (~9 petatokens) — the double division below is
+    exact far beyond any real corpus.
     """
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
@@ -124,7 +132,11 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     toks = F.col(tokens_col)
-    sized = docs.filter(toks.isNotNull() & (F.size(toks) > 0)).select(
+    if sep_token is not None:
+        toks = F.concat(toks, F.array(F.lit(sep_token)))
+    sized = docs.filter(
+        F.col(tokens_col).isNotNull() & (F.size(F.col(tokens_col)) > 0)
+    ).select(
         *( [F.col(shard_col)] if shard_col else [] ),
         F.col(id_col),
         toks.alias("__toks"),

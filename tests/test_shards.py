@@ -141,3 +141,43 @@ def test_pack_sequences_sharded_and_partition_invariant(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_pack_sequences_sep_token_marks_document_boundaries(spark):
+    """sep_token appends one EOS-style token per non-empty document before
+    packing — boundaries survive inside fixed sequences, empty/NULL docs
+    still contribute nothing, and the python reference agrees."""
+    from efficient_trees_spark.sources.shards import pack_sequences
+
+    rows = [
+        (1, ["a", "b", "c"]),
+        (2, []),
+        (3, None),
+        (4, ["d", "e"]),
+        (5, ["f"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    got = {
+        r["seq_id"]: r["tokens"]
+        for r in pack_sequences(
+            docs, "doc_id", "toks", seq_len=3, drop_last=False,
+            sep_token="<eos>",
+        ).collect()
+    }
+    want = _py_pack(
+        [(i, (t + ["<eos>"]) if t else t) for i, t in rows], 3, drop_last=False
+    )
+    assert got == want
+    assert sum(s.count("<eos>") for s in got.values()) == 3  # one per doc
+
+    # int token-id streams take an int separator (element-type agnostic)
+    ids = spark.createDataFrame(
+        [(1, [7, 8]), (2, [9])], "doc_id long, toks array<int>"
+    )
+    got_ids = {
+        r["seq_id"]: r["tokens"]
+        for r in pack_sequences(
+            ids, "doc_id", "toks", seq_len=2, drop_last=False, sep_token=0
+        ).collect()
+    }
+    assert got_ids == {0: [7, 8], 1: [0, 9], 2: [0]}
