@@ -234,3 +234,48 @@ def test_stream_enrich_model_score_window_composition(spark, sf_small):
     # leaf) — otherwise the parity above would be vacuous
     assert len({p for _, p in got}) > 1
     dim.unpersist()
+
+
+def test_stream_tokenizer_encode_composition(spark, sf_small):
+    """A BpeTokenizer trained this session on the batch corpus encodes a
+    DOCUMENT STREAM unchanged — the expression strategy is a stateless
+    projection, so it composes into a streaming plan like the compiled
+    model CASE — and the streamed per-symbol counts equal the batch
+    counts exactly."""
+    from efficient_trees_spark.operators import bpe
+
+    docs_batch = spark.read.parquet(f"{sf_small}/documents.parquet")
+    tok = bpe.fit_bpe(docs_batch, n_merges=12)
+
+    def symbol_counts(df):
+        return (
+            tok.encode(df, strategy="expression")
+            .select(F.explode("bpe_tokens").alias("sym"))
+            .groupBy("sym")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(docs_batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_small)
+    )
+    sdf = symbol_counts(stream)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_bpe_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.sym: int(r.n)
+        for r in spark.table("stream_bpe_counts").toPandas().itertuples()
+    }
+    want = {r["sym"]: r["n"] for r in symbol_counts(docs_batch).collect()}
+    assert got == want and len(got) > 10
