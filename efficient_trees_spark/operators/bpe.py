@@ -68,6 +68,11 @@ _EXPR_MERGE_HARD = 256
 # from a plan-literal create_map (2 x |vocab| literal expressions — the
 # same construction-bloat family as the expression encode's replace chain)
 # to a broadcast JOIN on the distinct-word segmentation relation.
+# MEASURED (SCALE.md round 8): create_map plan cost is ~quadratic in entry
+# count — 1k/4k entries 5.2/4.4 s total on a trivial frame, 16k 21.9 s,
+# 64k 141 s (the 262k point effectively hangs) — so 4096 sits at the knee:
+# past it the literal form burns tens of seconds of pure plan work per
+# encode call before touching any data.
 _ID_MAP_LITERAL_MAX = 4096
 
 
