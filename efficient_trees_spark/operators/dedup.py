@@ -19,6 +19,8 @@ training-data pipelines (build brief; SURVEY.md §7.1 step 8).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -209,18 +211,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_rows(
     signatures: DataFrame, id_col: str, num_hashes: int = 16, band_size: int = 4
 ) -> DataFrame:
-    """Distinct (id_a, id_b) pairs whose signatures collide in ≥1 LSH band.
-
-    Bands become (band_idx, band_hash) bucket keys; the pair join is bucket-
-    local.  With b bands of r rows, collision probability is the classic
-    1-(1-s^r)^b curve — tune (num_hashes, band_size) for the target
-    similarity, not the data size.
-    """
+    """(id, band, band_hash) — each signature exploded into its LSH band
+    bucket keys (band hash = md5 of the band's comma-joined components);
+    the shared banding primitive for self-join and cross-corpus matching."""
     n_bands = num_hashes // band_size
-    bands = signatures.select(
+    return signatures.select(
         id_col,
         F.explode(
             F.array(
@@ -245,6 +243,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs whose signatures collide in ≥1 LSH band.
+
+    Bands become (band_idx, band_hash) bucket keys; the pair join is bucket-
+    local.  With b bands of r rows, collision probability is the classic
+    1-(1-s^r)^b curve — tune (num_hashes, band_size) for the target
+    similarity, not the data size.
+    """
+    bands = band_rows(signatures, id_col, num_hashes, band_size)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -293,6 +304,156 @@ def minhash_near_duplicates(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ----------------------------------------------------- incremental minhash
+
+
+@dataclass(frozen=True)
+class MinHashIndex:
+    """The corpus-derived half of incremental near-dup matching: per-doc
+    MinHash signatures plus the hash-family parameters they were built
+    with — the dedup counterpart of :class:`~efficient_trees_spark.\
+operators.retrieval.Bm25Index`.  Real pipelines dedup every NEW crawl
+    batch against the accumulated corpus; rebuilding signatures over
+    100 TB of accepted documents per batch is the cost this avoids — the
+    old corpus text is never re-shingled (or even needed: the index
+    round-trips through parquet)."""
+
+    signatures: DataFrame  # (__doc, sig_0..sig_{k-1})
+    num_hashes: int
+    band_size: int
+    ngram: int
+
+    def persist(self) -> "MinHashIndex":
+        self.signatures.persist()
+        return self
+
+    def unpersist(self) -> "MinHashIndex":
+        self.signatures.unpersist()
+        return self
+
+    def write(self, path: str, mode: str = "error") -> None:
+        """Signatures + params as parquet — build where the corpus lives,
+        match new batches anywhere."""
+        self.signatures.write.mode(mode).parquet(f"{path}/signatures")
+        spark = self.signatures.sparkSession
+        spark.createDataFrame(
+            [(self.num_hashes, self.band_size, self.ngram)],
+            "num_hashes int, band_size int, ngram int",
+        ).write.mode(mode).parquet(f"{path}/params")
+
+
+def read_minhash_index(spark, path: str) -> MinHashIndex:
+    p = spark.read.parquet(f"{path}/params").first()
+    return MinHashIndex(
+        signatures=spark.read.parquet(f"{path}/signatures"),
+        num_hashes=p["num_hashes"],
+        band_size=p["band_size"],
+        ngram=p["ngram"],
+    )
+
+
+def minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    ngram: int = 3,
+) -> MinHashIndex:
+    """Build the signature index: one corpus scan, one signature shuffle
+    (k int64 columns per doc, independent of document length)."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, ngram)
+    return MinHashIndex(
+        signatures=sigs.withColumnRenamed(id_col, "__doc"),
+        num_hashes=num_hashes,
+        band_size=band_size,
+        ngram=ngram,
+    )
+
+
+def minhash_index_merge(
+    old: MinHashIndex, new_docs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> MinHashIndex:
+    """Append a batch: only ``new_docs`` is shingled/signed; signatures
+    union.  Append ids must be disjoint from the old corpus (same contract
+    as ``bm25_index_merge`` — an overlap silently duplicates signature
+    rows)."""
+    new = minhash_index(
+        new_docs, id_col, text_col, old.num_hashes, old.band_size, old.ngram
+    )
+    return MinHashIndex(
+        signatures=old.signatures.unionByName(new.signatures),
+        num_hashes=old.num_hashes,
+        band_size=old.band_size,
+        ngram=old.ngram,
+    )
+
+
+def minhash_index_remove(old: MinHashIndex, doc_ids: DataFrame) -> MinHashIndex:
+    """Drop documents (dedup rerun, takedown): broadcast anti-join on the
+    signature relation — the signatures of survivors are untouched, so
+    remove == rebuild-on-survivors by construction."""
+    ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("__doc")).distinct()
+    return MinHashIndex(
+        signatures=old.signatures.join(F.broadcast(ids), "__doc", "left_anti"),
+        num_hashes=old.num_hashes,
+        band_size=old.band_size,
+        ngram=old.ngram,
+    )
+
+
+def minhash_match_against_index(
+    index: MinHashIndex,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_estimate: float = 0.5,
+) -> DataFrame:
+    """(new_id, old_id, estimate) — new-batch documents matched to index
+    documents: LSH band collision generates candidates, and the fraction
+    of agreeing signature components — MinHash's unbiased Jaccard
+    estimator — scores them (the raw old text is unavailable by design,
+    so exact Jaccard verification is impossible and the estimator is the
+    honest score; k=16 components give stderr ≈ sqrt(J(1-J)/16) ≈ 0.125
+    at J=0.5 — raise ``num_hashes`` at index build time for tighter
+    matching).
+
+    Scale shape: the NEW batch is small by contract, so its band rows and
+    the candidate pair set BROADCAST — the old signature relation never
+    shuffles; per-candidate scoring is a row-wise expression over the
+    joined signatures.  Identical documents always match with estimate
+    1.0 (every component agrees)."""
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, index.num_hashes, index.ngram
+    ).withColumnRenamed(id_col, "__new")
+    old_bands = band_rows(
+        index.signatures, "__doc", index.num_hashes, index.band_size
+    )
+    new_bands = band_rows(new_sigs, "__new", index.num_hashes, index.band_size)
+    candidates = (
+        old_bands.join(F.broadcast(new_bands), ["band", "band_hash"])
+        .select("__new", "__doc")
+        .distinct()
+    )
+    agree = sum(
+        F.when(
+            F.col(f"o.sig_{i}") == F.col(f"n.sig_{i}"), F.lit(1)
+        ).otherwise(F.lit(0))
+        for i in range(index.num_hashes)
+    )
+    return (
+        candidates.join(F.broadcast(new_sigs).alias("n"), "__new")
+        .join(index.signatures.alias("o"), "__doc")
+        .select(
+            F.col("__new").alias("new_id"),
+            F.col("__doc").alias("old_id"),
+            F.round(agree / F.lit(float(index.num_hashes)), 9).alias("estimate"),
+        )
+        .filter(F.col("estimate") >= min_estimate)
     )
 
 

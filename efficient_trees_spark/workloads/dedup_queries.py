@@ -143,6 +143,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental-index twin: old corpus = doc_id % 3 != 0 (indexed once), new
+# batch = doc_id % 3 = 0 (the only side shingled at match time).  Score is
+# the signature-agreement fraction — MinHash's unbiased Jaccard estimator
+# (k/16 is exact in binary, so round(…, 9) is bit-identical across engines).
+_MH_INCR_MIN_EST = 0.25
+_AGREE = " + ".join(
+    f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+    for i in range(NUM_HASHES)
+)
+_MINHASH_INCR_ORACLE = f"""
+    {_TRIGRAM_REL},
+    sigs AS (
+        SELECT doc_id, {_SIGS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (SELECT doc_id, {_BANDS} FROM sigs),
+    band_rows AS ({_BAND_UNION}),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM band_rows n JOIN band_rows o USING (band, band_hash)
+        WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 != 0
+    )
+    SELECT c.new_id AS id_a, c.old_id AS id_b,
+           round(({_AGREE}) / {NUM_HASHES}.0, 9) AS jaccard
+    FROM cand c
+    JOIN sigs a ON a.doc_id = c.new_id
+    JOIN sigs b ON b.doc_id = c.old_id
+    WHERE ({_AGREE}) / {NUM_HASHES}.0 >= {_MH_INCR_MIN_EST}
+"""
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup: the old 2/3 of the corpus is indexed
+    (MinHashIndex — signatures only), the new 1/3 matches against it
+    without the old text ever being re-shingled; score = signature-
+    agreement Jaccard estimate.  Registered via ``dedup_pairs_suite``
+    (method='minhash_incremental')."""
+    docs = load(spark, sf_dir, "documents")
+    idx = dedup.minhash_index(
+        docs.filter("doc_id % 3 != 0"),
+        num_hashes=NUM_HASHES, band_size=BAND_SIZE, ngram=3,
+    )
+    return dedup.minhash_match_against_index(
+        idx, docs.filter("doc_id % 3 = 0"), min_estimate=_MH_INCR_MIN_EST
+    )
+
+
 _BIT_SUMS = ",\n".join(
     f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
     for j in range(dedup.N_SIMHASH_BITS)
@@ -210,6 +257,9 @@ _DECON_ORACLE = f"""
         SELECT 'minhash_lsh', id_a, id_b, jaccard
         FROM ({_MINHASH_ORACLE})
         UNION ALL
+        SELECT 'minhash_incremental', id_a, id_b, jaccard
+        FROM ({_MINHASH_INCR_ORACLE})
+        UNION ALL
         SELECT 'decontaminate', doc_id, CAST(NULL AS BIGINT),
                CAST(NULL AS DOUBLE)
         FROM ({_DECON_ORACLE})
@@ -226,7 +276,12 @@ _DECON_ORACLE = f"""
     "(exact Jaccard >= 0.5, shingle-bucket-local with a df skew cap); "
     "method='minhash_lsh' is the full MinHash-LSH path (16 md5-family "
     "minhashes → 4 bands of 4 → bucket-local candidate join → exact Jaccard "
-    "verification of candidates only); method='decontaminate' rows are the "
+    "verification of candidates only); method='minhash_incremental' ("
+    "id_a=new doc, id_b=matched old doc) deduplicates the NEW third of the "
+    "corpus against a MinHashIndex of the old two-thirds — the old text is "
+    "never re-shingled, candidates come from band collisions with the new "
+    "side broadcast, and the score is the signature-agreement Jaccard "
+    "estimate (bit-exact k/16 fractions); method='decontaminate' rows are the "
     "documents SURVIVING GPT-3-style benchmark decontamination (13-gram "
     "collision against the doc_id<5 docs as the 'benchmark', broadcast "
     "bench shingles + map-side anti-join — the corpus never shuffles); "
@@ -246,6 +301,12 @@ def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup_minhash_lsh(spark, sf_dir).select(
         F.lit("minhash_lsh").alias("method"), *cols
     )
+    incr = dedup_minhash_incremental(spark, sf_dir).select(
+        F.lit("minhash_incremental").alias("method"),
+        F.col("new_id").alias("id_a"),
+        F.col("old_id").alias("id_b"),
+        F.col("estimate").alias("jaccard"),
+    )
     docs = load(spark, sf_dir, "documents")
     survivors = dedup.decontaminate(
         docs, docs.filter(F.col("doc_id") < _BENCH_IDS), ngram=_N_DECON
@@ -263,7 +324,12 @@ def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("id_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return exact.unionByName(lsh).unionByName(survivors).unionByName(bloom)
+    return (
+        exact.unionByName(lsh)
+        .unionByName(incr)
+        .unionByName(survivors)
+        .unionByName(bloom)
+    )
 
 
 @workload(
