@@ -445,9 +445,13 @@ def minhash_match_against_index(
         ).otherwise(F.lit(0))
         for i in range(index.num_hashes)
     )
+    # The scoring join streams the OLD signatures against a broadcast of
+    # (candidates x new signatures) — structurally, so the old relation
+    # never exchanges even without AQE's size estimate (plan-gated).
+    cand_with_new = candidates.join(F.broadcast(new_sigs).alias("n"), "__new")
     return (
-        candidates.join(F.broadcast(new_sigs).alias("n"), "__new")
-        .join(index.signatures.alias("o"), "__doc")
+        index.signatures.alias("o")
+        .join(F.broadcast(cand_with_new), "__doc")
         .select(
             F.col("__new").alias("new_id"),
             F.col("__doc").alias("old_id"),

@@ -131,13 +131,20 @@ def test_merge_remove_and_corpusless_round_trip(spark, sf_small, tmp_path):
         } == after
 
 
-def test_old_signatures_never_shuffle_for_the_match(spark):
-    """The scale contract: the new batch's band rows and the candidate set
-    broadcast, so the candidate join against the old signatures is a
-    BroadcastHashJoin — no exchange of the old relation for it."""
+def test_old_signatures_never_shuffle_for_the_match(spark, tmp_path):
+    """The scale contract: from a LOADED index (old side = pure parquet
+    scan) the only hash exchanges in the match plan belong to the NEW
+    batch (its signature aggregation, twice — bands + scoring) and the
+    candidate-set distinct; the old signature relation streams through
+    broadcast joins without ever being exchanged."""
     old = _docs(spark, [(i, f"doc number {i} with words {i % 7}") for i in range(50)])
     new = _docs(spark, [(1000, "doc number 3 with words 3")])
-    idx = dedup.minhash_index(old)
+    out_dir = str(tmp_path / "mh_idx")
+    dedup.minhash_index(old).write(out_dir)
+    idx = dedup.read_minhash_index(spark, out_dir)
     out = dedup.minhash_match_against_index(idx, new, min_estimate=0.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, (
+        "the old signature relation is being exchanged"
+    )
