@@ -377,11 +377,29 @@ def minhash_index(
 def minhash_index_merge(
     old: MinHashIndex, new_docs: DataFrame,
     id_col: str = "doc_id", text_col: str = "text",
+    validate: bool = False,
 ) -> MinHashIndex:
     """Append a batch: only ``new_docs`` is shingled/signed; signatures
     union.  Append ids must be disjoint from the old corpus (same contract
     as ``bm25_index_merge`` — an overlap silently duplicates signature
-    rows)."""
+    rows, which duplicates band rows and match output downstream).
+    ``validate=True`` opts into the same eager guard BM25's merge has: one
+    semi-join of the new batch's ids against the old signature relation,
+    raising on any overlap (remove stale ids first with
+    :func:`minhash_index_remove` for an upsert)."""
+    if validate:
+        new_ids = new_docs.select(F.col(id_col).alias("__doc")).distinct()
+        overlap = (
+            old.signatures.select("__doc").join(new_ids, "__doc").limit(1).first()
+        )
+        if overlap is not None:
+            raise ValueError(
+                "minhash_index_merge is an APPEND: new_docs contains doc ids "
+                "already present in the old index (e.g. "
+                f"{overlap['__doc']!r}); merging them would duplicate "
+                "signature rows and match output.  Remove them first "
+                "(minhash_index_remove) or rebuild."
+            )
     new = minhash_index(
         new_docs, id_col, text_col, old.num_hashes, old.band_size, old.ngram
     )
@@ -412,6 +430,8 @@ def minhash_match_against_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_estimate: float = 0.5,
+    broadcast: bool = True,
+    max_candidate_pairs: int | None = 5_000_000,
 ) -> DataFrame:
     """(new_id, old_id, estimate) — new-batch documents matched to index
     documents: LSH band collision generates candidates, and the fraction
@@ -422,11 +442,26 @@ def minhash_match_against_index(
     at J=0.5 — raise ``num_hashes`` at index build time for tighter
     matching).
 
-    Scale shape: the NEW batch is small by contract, so its band rows and
-    the candidate pair set BROADCAST — the old signature relation never
-    shuffles; per-candidate scoring is a row-wise expression over the
-    joined signatures.  Identical documents always match with estimate
-    1.0 (every component agrees)."""
+    Scale shape, ``broadcast=True`` (default — daily-batch regime): the
+    new batch's band rows and the (candidates x new signatures) relation
+    BROADCAST, so the old signature relation never shuffles.  The
+    candidate set's size is bounded by OLD-corpus band collisions, not by
+    the new batch — one new boilerplate page colliding with a
+    million-document template cluster makes the broadcast old-corpus-
+    scale — so the default runs an EAGER guard first: one pass over the
+    band join counts candidates per new document (the old side streams
+    through a broadcast join, so the guard job itself never exchanges the
+    old relation) and a ``ValueError`` names the worst-colliding new
+    document when the total exceeds ``max_candidate_pairs``.  Pass
+    ``None`` to skip the guard (and its extra old-side scan) when the
+    collision profile is known.
+
+    ``broadcast=False`` (TB-scale new batch — e.g. matching one crawl
+    snapshot against another): every join becomes a shuffled hash join —
+    the old side exchanges on the band key and the doc id, both sides
+    spill instead of OOMing, and the guard is skipped (no broadcast left
+    to protect; output size is then inherent in the data).  Results are
+    identical to the broadcast path (parity-tested)."""
     new_sigs = minhash_signatures(
         new_docs, id_col, text_col, index.num_hashes, index.ngram
     ).withColumnRenamed(id_col, "__new")
@@ -434,24 +469,48 @@ def minhash_match_against_index(
         index.signatures, "__doc", index.num_hashes, index.band_size
     )
     new_bands = band_rows(new_sigs, "__new", index.num_hashes, index.band_size)
+    new_band_side = F.broadcast(new_bands) if broadcast else new_bands.hint("shuffle_hash")
     candidates = (
-        old_bands.join(F.broadcast(new_bands), ["band", "band_hash"])
+        old_bands.join(new_band_side, ["band", "band_hash"])
         .select("__new", "__doc")
         .distinct()
     )
+    if broadcast and max_candidate_pairs is not None:
+        worst = (
+            candidates.groupBy("__new")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.sum("__n").alias("__total"),
+                F.max("__n").alias("__worst_n"),
+                F.max_by("__new", "__n").alias("__worst"),
+            )
+            .first()
+        )
+        if worst["__total"] is not None and worst["__total"] > max_candidate_pairs:
+            raise ValueError(
+                f"minhash_match_against_index: {worst['__total']:,} candidate "
+                f"pairs (> max_candidate_pairs={max_candidate_pairs:,}); the "
+                f"worst new document ({worst['__worst']!r}) collides with "
+                f"{worst['__worst_n']:,} index documents.  The broadcast plan "
+                "would materialize this on every executor — pass "
+                "broadcast=False for a shuffled-hash plan that spills instead, "
+                "or raise/disable the guard if the pair volume is intended."
+            )
     agree = sum(
         F.when(
             F.col(f"o.sig_{i}") == F.col(f"n.sig_{i}"), F.lit(1)
         ).otherwise(F.lit(0))
         for i in range(index.num_hashes)
     )
-    # The scoring join streams the OLD signatures against a broadcast of
-    # (candidates x new signatures) — structurally, so the old relation
-    # never exchanges even without AQE's size estimate (plan-gated).
-    cand_with_new = candidates.join(F.broadcast(new_sigs).alias("n"), "__new")
+    # broadcast=True: the scoring join streams the OLD signatures against a
+    # broadcast of (candidates x new signatures) — structurally, so the old
+    # relation never exchanges even without AQE's size estimate (plan-gated).
+    new_sig_side = F.broadcast(new_sigs) if broadcast else new_sigs.hint("shuffle_hash")
+    cand_with_new = candidates.join(new_sig_side.alias("n"), "__new")
+    cand_side = F.broadcast(cand_with_new) if broadcast else cand_with_new.hint("shuffle_hash")
     return (
         index.signatures.alias("o")
-        .join(F.broadcast(cand_with_new), "__doc")
+        .join(cand_side, "__doc")
         .select(
             F.col("__new").alias("new_id"),
             F.col("__doc").alias("old_id"),

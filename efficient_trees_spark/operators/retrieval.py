@@ -168,12 +168,14 @@ def bm25_index_merge(
     :func:`bm25_index_remove`."""
     if validate:
         new_ids = new_docs.select(F.col(doc_id).alias("__doc")).distinct()
-        overlap = old.postings.select("__doc").join(new_ids, "__doc").limit(1)
-        if not overlap.isEmpty():
+        overlap = (
+            old.postings.select("__doc").join(new_ids, "__doc").limit(1).first()
+        )
+        if overlap is not None:
             raise ValueError(
                 "bm25_index_merge is an APPEND: new_docs contains doc ids "
                 "already present in the old index (e.g. "
-                f"{overlap.first()['__doc']!r}); merging them would double-"
+                f"{overlap['__doc']!r}); merging them would double-"
                 "count postings and corrupt scores.  Remove them first "
                 "(bm25_index_remove) or rebuild."
             )

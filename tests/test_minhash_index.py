@@ -148,3 +148,83 @@ def test_old_signatures_never_shuffle_for_the_match(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") <= 3, (
         "the old signature relation is being exchanged"
     )
+
+
+def test_non_broadcast_match_parity_and_plan(spark, sf_small):
+    """broadcast=False (TB-scale new batch): identical results to the
+    broadcast plan, and the executed plan contains NO broadcast join —
+    every join is a shuffled hash join that spills instead of OOMing."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    old = docs.filter("doc_id % 3 != 0")
+    new = docs.filter("doc_id % 3 = 0")
+    idx = dedup.minhash_index(old)
+
+    want = {
+        (r["new_id"], r["old_id"]): r["estimate"]
+        for r in dedup.minhash_match_against_index(
+            idx, new, min_estimate=0.25
+        ).collect()
+    }
+    shuffled = dedup.minhash_match_against_index(
+        idx, new, min_estimate=0.25, broadcast=False
+    )
+    got = {(r["new_id"], r["old_id"]): r["estimate"] for r in shuffled.collect()}
+    assert got == want and got
+
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_match_whale_guard_names_the_worst_new_doc(spark):
+    """A new doc colliding with a boilerplate cluster must trip the eager
+    guard BEFORE the broadcast plan executes, naming the whale."""
+    boiler = "identical boilerplate template page body repeated verbatim"
+    old = _docs(spark, [(i, boiler) for i in range(40)])
+    new = _docs(spark, [(1000, boiler), (1001, "unrelated fresh content here")])
+    idx = dedup.minhash_index(old)
+
+    try:
+        dedup.minhash_match_against_index(idx, new, max_candidate_pairs=10)
+        raise AssertionError("guard did not trip")
+    except ValueError as exc:
+        msg = str(exc)
+        assert "1000" in msg and "broadcast=False" in msg and "40" in msg
+
+    # guard off / threshold high / non-broadcast: all succeed
+    assert (
+        dedup.minhash_match_against_index(
+            idx, new, max_candidate_pairs=None
+        ).count()
+        == 40
+    )
+    assert (
+        dedup.minhash_match_against_index(
+            idx, new, max_candidate_pairs=10, broadcast=False
+        ).count()
+        == 40
+    )
+
+
+def test_minhash_merge_validate_guard(spark):
+    """validate=True raises on overlapping append ids (naming one), passes
+    on disjoint appends; default stays unvalidated (documented contract)."""
+    old = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta words"),
+            (2, "epsilon zeta eta theta iota words"),
+        ],
+    )
+    idx = dedup.minhash_index(old)
+
+    overlapping = _docs(spark, [(2, "changed text for an existing id")])
+    try:
+        dedup.minhash_index_merge(idx, overlapping, validate=True)
+        raise AssertionError("overlap not detected")
+    except ValueError as exc:
+        assert "2" in str(exc) and "minhash_index_remove" in str(exc)
+
+    disjoint = _docs(spark, [(3, "a genuinely new document body")])
+    merged = dedup.minhash_index_merge(idx, disjoint, validate=True)
+    assert merged.signatures.count() == 3
