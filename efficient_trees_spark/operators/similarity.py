@@ -1062,6 +1062,11 @@ def _semdedup_assignments(
     )
 
 
+# Sentinel distinguishing "caller never thought about the skew guard" (warn
+# loudly, then run unguarded) from an explicit max_cell_size=None opt-out.
+_MAX_CELL_UNSET: object = object()
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1069,7 +1074,7 @@ def semantic_dedup(
     vec_col: str,
     threshold: float,
     round_to: int = 6,
-    max_cell_size: int | None = None,
+    max_cell_size: int | None | object = _MAX_CELL_UNSET,
     dim: int | None = None,
     sub_planes: int | None = None,
 ) -> DataFrame:
@@ -1110,7 +1115,27 @@ def semantic_dedup(
     duplicates are never lost.  That is the documented price for removing
     the quadratic whale — same df-cap discipline as
     ``dedup.df_capped`` on the shingle side.  Small cells stay on the
-    exact in-cell path ((cell, 0) buckets, zero recall loss)."""
+    exact in-cell path ((cell, 0) buckets, zero recall loss).
+
+    Leaving the guard off is an EXPLICIT decision: calling without
+    ``max_cell_size`` warns (the default path is exactly where the
+    quadratic whale bites); pass ``max_cell_size=None`` to accept the
+    unguarded plan silently — e.g. when the cell-size distribution is
+    known bounded."""
+    if max_cell_size is _MAX_CELL_UNSET:
+        import warnings
+
+        warnings.warn(
+            "semantic_dedup called without max_cell_size: the in-cell "
+            "pairwise join is quadratic in the largest cell, and real "
+            "embedding corpora are heavy-tailed (one boilerplate cluster "
+            "holding 1% of a 10B-doc corpus is 10^16 pairs on its own).  "
+            "Set max_cell_size (with dim) to re-split oversized cells into "
+            "hyperplane-LSH sub-buckets, or pass max_cell_size=None "
+            "explicitly to accept the unguarded plan.",
+            stacklevel=2,
+        )
+        max_cell_size = None
     assigned = _semdedup_assignments(
         corpus, centroids, id_col, vec_col, round_to,
         max_cell_size, dim, sub_planes,

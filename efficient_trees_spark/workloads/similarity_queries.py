@@ -741,8 +741,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.expr(_CENTROID_FILTER)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
+    # explicit None: this leg EXISTS to oracle-check the unguarded plan
     sem = similarity.semantic_dedup(
-        emb, centroids, "vec_id", "embedding", threshold=0.95
+        emb, centroids, "vec_id", "embedding", threshold=0.95,
+        max_cell_size=None,
     )
     guarded = similarity.semantic_dedup(
         emb, centroids, "vec_id", "embedding", threshold=0.95,

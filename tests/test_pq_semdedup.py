@@ -425,7 +425,7 @@ def test_semantic_dedup_in_cell_vs_cross_cell(spark):
     got = {
         r["vid"]: r["canonical_id"]
         for r in similarity.semantic_dedup(
-            corpus, cents, "vid", "vec", threshold=0.99
+            corpus, cents, "vid", "vec", threshold=0.99, max_cell_size=None
         ).collect()
     }
     # 0, 2, 3 share cell 0 and are mutually cos>=0.99 -> canonical 0; b alone.
@@ -440,7 +440,7 @@ def test_semantic_dedup_in_cell_vs_cross_cell(spark):
     got2 = {
         r["vid"]: r["canonical_id"]
         for r in similarity.semantic_dedup(
-            pair, cents2, "vid", "vec", threshold=0.99
+            pair, cents2, "vid", "vec", threshold=0.99, max_cell_size=None
         ).collect()
     }
     assert got2 == {2: 2, 3: 3}
@@ -452,7 +452,9 @@ def test_semantic_dedup_joins_on_cell_only(spark, corpus):
     cents = spark.createDataFrame(
         [(0, [1.0] * 8), (1, [-1.0] * 8)], "cid long, cvec array<double>"
     )
-    df = similarity.semantic_dedup(corpus, cents, "vid", "vec", threshold=0.9)
+    df = similarity.semantic_dedup(
+        corpus, cents, "vid", "vec", threshold=0.9, max_cell_size=None
+    )
     plan = plan_of(df)
     # the only cartesian/broadcast-nested-loop allowed is vectors x broadcast
     # centroids inside nearest_centroids; the corpus-corpus pair join must be
@@ -584,7 +586,7 @@ def test_semantic_dedup_whale_cell_guard_bounds_pairwise_work(spark):
     unguarded = {
         r["vid"]: r["canonical_id"]
         for r in similarity.semantic_dedup(
-            corpus, cents, "vid", "vec", threshold=0.999,
+            corpus, cents, "vid", "vec", threshold=0.999, max_cell_size=None,
         ).collect()
     }
     relaxed = {
@@ -676,3 +678,27 @@ def test_ivfpq_corpus_sides_are_shuffle_free_and_match_fallback(spark, corpus, m
         ).collect()
     )
     assert inline_topk == fallback_topk and inline_topk
+
+
+def test_semantic_dedup_warns_when_guard_unset(spark):
+    """Calling without max_cell_size must warn loudly (the default path is
+    exactly where the quadratic whale bites); an explicit None opt-out and
+    a set guard both stay silent."""
+    import warnings
+
+    corpus = _vec_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, cvec array<double>"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        similarity.semantic_dedup(corpus, cents, "vid", "vec", threshold=0.9)
+    assert any("max_cell_size" in str(w.message) for w in caught)
+
+    for kwargs in ({"max_cell_size": None}, {"max_cell_size": 5, "dim": 2}):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            similarity.semantic_dedup(
+                corpus, cents, "vid", "vec", threshold=0.9, **kwargs
+            )
+        assert not [w for w in caught if "max_cell_size" in str(w.message)]
