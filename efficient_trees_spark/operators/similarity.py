@@ -188,7 +188,7 @@ def lsh_cosine_above_threshold(
 
 def nearest_centroids(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | CentroidSet",
     id_col: str,
     vec_col: str,
     nprobe: int = 1,
@@ -205,7 +205,7 @@ def nearest_centroids(
     """
     from pyspark.sql import Window
 
-    c = centroids.select(
+    c = _centroid_df(centroids).select(
         F.col("cid"),
         as_double_array("cvec").alias("cvec"),
         norm(as_double_array("cvec")).alias("cnorm"),
@@ -237,8 +237,45 @@ def nearest_centroids(
 _LITERAL_ASSIGN_MAX_K = 256
 
 
+class CentroidSet:
+    """Collected-once handle over a ``(cid, cvec)`` centroid relation.
+
+    :func:`inline_cell_column` collects the centroid rows per call — one
+    tiny driver action, but a suite composing several operators over the
+    SAME centroids (``ivf_cosine_topk`` + ``residual_vectors`` +
+    ``ivf_pq_topk`` + ``semantic_dedup``) pays that collect once per
+    operator.  Wrap the relation once and pass the handle anywhere a
+    centroid DataFrame is accepted: the rows are collected AT MOST ONCE
+    (memoized on first literal-assignment use) while the underlying
+    relation stays available for the lazy paths that never collect
+    (query-side :func:`nearest_centroids`, the past-
+    ``_LITERAL_ASSIGN_MAX_K`` join+window fallback).  Plans are identical
+    to passing the raw DataFrame (parity-tested) — this changes WHEN the
+    driver collects, never what executes."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self._rows: list[tuple[int, list[float]]] | None = None
+        self.collect_count = 0  # observable in tests: must stay <= 1
+
+    @property
+    def rows(self) -> list[tuple[int, list[float]]]:
+        if self._rows is None:
+            self.collect_count += 1
+            self._rows = [
+                (r["cid"], [float(x) for x in r["cvec"]])
+                for r in self.df.select("cid", "cvec").collect()
+            ]
+        return self._rows
+
+
+def _centroid_df(centroids: "DataFrame | CentroidSet") -> DataFrame:
+    """The lazy relation behind either accepted centroid form."""
+    return centroids.df if isinstance(centroids, CentroidSet) else centroids
+
+
 def inline_cell_column(
-    centroids: DataFrame, vec: Column, round_to: int = 6
+    centroids: "DataFrame | CentroidSet", vec: Column, round_to: int = 6
 ) -> Column | None:
     """The nearest-centroid cell as a COLUMN over ``vec`` — the map-only
     corpus-side assignment primitive — or ``None`` when the centroid set
@@ -255,18 +292,24 @@ def inline_cell_column(
     whole-stage codegen — so the cell is born IN the caller's own
     projection: zero shuffle, zero join, no re-attachment.  Same rounding
     + lowest-cid tie-break as the window form (oracle-checked), so the
-    two are interchangeable."""
-    rows = centroids.select("cid", "cvec").collect()
-    if not 0 < len(rows) <= _LITERAL_ASSIGN_MAX_K:
+    two are interchangeable.  Pass a :class:`CentroidSet` instead of the
+    raw relation to amortize the collect across composed operators."""
+    if isinstance(centroids, CentroidSet):
+        cents = centroids.rows
+    else:
+        cents = [
+            (r["cid"], [float(x) for x in r["cvec"]])
+            for r in centroids.select("cid", "cvec").collect()
+        ]
+    if not 0 < len(cents) <= _LITERAL_ASSIGN_MAX_K:
         return None
-    cents = [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
     return assign_literal_centroid(vec, cents, round_to)
 
 
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | CentroidSet",
     id_col: str,
     vec_col: str,
     k: int,
@@ -726,7 +769,7 @@ def _adc_score(scale: float) -> Column:
 
 def residual_vectors(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | CentroidSet",
     id_col: str,
     vec_col: str,
     nprobe: int = 1,
@@ -747,7 +790,7 @@ def residual_vectors(
     the centroid-vector lookup remains a BROADCAST join (the corpus never
     shuffles for it); the query side (``nprobe>1`` needs ranked probes)
     keeps the join+window assignment over the small query relation."""
-    cvecs = centroids.select(
+    cvecs = _centroid_df(centroids).select(
         F.col("cid").alias("cell"), as_double_array("cvec").alias("__cvec")
     )
     cell = (
@@ -775,7 +818,7 @@ def residual_vectors(
 
 def train_pq_residual_codebooks(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | CentroidSet",
     id_col: str,
     vec_col: str,
     m: int,
@@ -806,7 +849,7 @@ def train_pq_residual_codebooks(
 
 def _pq_residual_query_table(
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | CentroidSet",
     codebooks: list[list[list[float]]],
     id_col: str,
     vec_col: str,
@@ -857,7 +900,7 @@ def _pq_residual_query_table(
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | CentroidSet",
     codebooks: list[list[list[float]]],
     id_col: str,
     vec_col: str,
@@ -989,7 +1032,7 @@ def ivf_pq_topk(
 
 def _semdedup_assignments(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | CentroidSet",
     id_col: str,
     vec_col: str,
     round_to: int,
@@ -1069,7 +1112,7 @@ _MAX_CELL_UNSET: object = object()
 
 def semantic_dedup(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | CentroidSet",
     id_col: str,
     vec_col: str,
     threshold: float,

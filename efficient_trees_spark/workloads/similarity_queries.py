@@ -128,16 +128,25 @@ _IVF_TOPK_ORACLE = f"""
 """
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _seed_centroids(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.expr(_CENTROID_FILTER)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, centroids=None
+) -> DataFrame:
     """IVF approximate top-5: ~16 seed centroids partition the corpus into
     cells (broadcast map-only coarse quantizer); queries probe their 2
     nearest cells and rank only those members.  Data-adapted cells with an
     explicit recall knob (nprobe) — the ANN scale path alongside hyperplane
-    LSH.  Registered via ``ann_topk_suite`` (method='ivf')."""
+    LSH.  Registered via ``ann_topk_suite`` (method='ivf'), which passes a
+    shared ``CentroidSet`` so the suite's legs collect the centroid rows
+    once between them."""
     emb = load(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.expr(_CENTROID_FILTER)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
+    if centroids is None:
+        centroids = _seed_centroids(emb)
     queries = emb.filter(F.expr(_Q_FILTER))
     return similarity.ivf_cosine_topk(
         emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=2
@@ -304,7 +313,9 @@ _IVF_PQ_RR_ORACLE = _IVF_PQ_TOPK_ORACLE.replace(
 )
 
 
-def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_pq_topk(
+    spark: SparkSession, sf_dir: str, centroids=None
+) -> DataFrame:
     """IVF + PQ composed (the FAISS-IVFPQ two-level shape, no residuals):
     coarse cells bound the candidate set, ADC code tables score what's
     left — per-query work is |probed cells| x M code rows with PQ's
@@ -312,9 +323,8 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (method='ivf_pq')."""
     emb = load(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.expr(_CENTROID_FILTER))
-    centroids = seeds.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
+    if centroids is None:
+        centroids = _seed_centroids(emb)
     books = similarity.pq_codebooks_from_seeds(seeds, "vec_id", "embedding", m=_PQ_M)
     queries = emb.filter(F.expr(_Q_FILTER))
     return similarity.ivf_pq_topk(
@@ -336,7 +346,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(emb, queries, books, "vec_id", "embedding", k=5)
 
 
-def ann_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_pq_rerank_topk(
+    spark: SparkSession, sf_dir: str, centroids=None
+) -> DataFrame:
     """IVFPQ with the production third stage: ADC shortlists each query's
     top 10, exact cosine over the shortlist's raw vectors ranks the final
     top 5 (shortlist broadcast onto the corpus — map-only semi-join, the
@@ -344,9 +356,8 @@ def ann_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (method='ivf_pq_rr')."""
     emb = load(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.expr(_CENTROID_FILTER))
-    centroids = seeds.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
+    if centroids is None:
+        centroids = _seed_centroids(emb)
     books = similarity.pq_codebooks_from_seeds(seeds, "vec_id", "embedding", m=_PQ_M)
     queries = emb.filter(F.expr(_Q_FILTER))
     return similarity.ivf_pq_topk(
@@ -623,12 +634,19 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("bm25_removed").alias("method"),
         "query_id", "neighbor_id", "score", "rank",
     )
+    # One CentroidSet across the three IVF legs: the centroid rows are
+    # collected once for the whole suite instead of once per leg.
+    cents = similarity.CentroidSet(
+        _seed_centroids(load(spark, sf_dir, "embeddings"))
+    )
     return (
         as_score(ann_cosine_topk(spark, sf_dir), "brute")
-        .unionByName(as_score(ann_ivf_topk(spark, sf_dir), "ivf"))
+        .unionByName(as_score(ann_ivf_topk(spark, sf_dir, cents), "ivf"))
         .unionByName(as_score(ann_pq_topk(spark, sf_dir), "pq"))
-        .unionByName(as_score(ann_ivf_pq_topk(spark, sf_dir), "ivf_pq"))
-        .unionByName(as_score(ann_ivf_pq_rerank_topk(spark, sf_dir), "ivf_pq_rr"))
+        .unionByName(as_score(ann_ivf_pq_topk(spark, sf_dir, cents), "ivf_pq"))
+        .unionByName(
+            as_score(ann_ivf_pq_rerank_topk(spark, sf_dir, cents), "ivf_pq_rr")
+        )
         .unionByName(bm25)
         .unionByName(bm25_merged)
         .unionByName(bm25_removed)
@@ -738,9 +756,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("canonical_id"),
         )
     )
-    centroids = emb.filter(F.expr(_CENTROID_FILTER)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
+    # shared handle: both semdedup legs reuse one centroid collect
+    centroids = similarity.CentroidSet(_seed_centroids(emb))
     # explicit None: this leg EXISTS to oracle-check the unguarded plan
     sem = similarity.semantic_dedup(
         emb, centroids, "vec_id", "embedding", threshold=0.95,

@@ -702,3 +702,54 @@ def test_semantic_dedup_warns_when_guard_unset(spark):
                 corpus, cents, "vid", "vec", threshold=0.9, **kwargs
             )
         assert not [w for w in caught if "max_cell_size" in str(w.message)]
+
+
+def test_centroid_set_collects_once_across_composed_operators(spark):
+    """A shared CentroidSet amortizes the inline-assignment collect: four
+    composed operators (ivf top-k, residuals, ivf-pq, semantic dedup) over
+    one handle trigger exactly ONE driver collect, and every result is
+    identical to passing the raw centroid relation."""
+    import random
+
+    rng = random.Random(7)
+    dim, m = 8, 4
+    corpus = _vec_df(
+        spark,
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)],
+    )
+    cents_df = spark.createDataFrame(
+        [(c, [rng.uniform(-1, 1) for _ in range(dim)]) for c in range(4)],
+        "cid long, cvec array<double>",
+    )
+    queries = corpus.filter("vid % 10 = 0")
+    books = similarity.train_pq_codebooks(
+        corpus, "vid", "vec", m=m, ksub=4, n_iters=2, sample_n=60
+    )
+    cs = similarity.CentroidSet(cents_df)
+
+    def run(cents):
+        ivf = similarity.ivf_cosine_topk(
+            corpus, queries, cents, "vid", "vec", k=3, nprobe=2
+        ).collect()
+        res = similarity.residual_vectors(
+            corpus, cents, "vid", "vec", nprobe=1
+        ).collect()
+        pq = similarity.ivf_pq_topk(
+            corpus, queries, cents, books, "vid", "vec", k=3, nprobe=2
+        ).collect()
+        sem = similarity.semantic_dedup(
+            corpus, cents, "vid", "vec", threshold=0.9,
+            max_cell_size=10, dim=dim, sub_planes=2,
+        ).collect()
+        return (
+            sorted(tuple(r) for r in ivf),
+            sorted((r["vid"], r["cell"], tuple(r["resid"])) for r in res),
+            sorted(tuple(r) for r in pq),
+            sorted(tuple(r) for r in sem),
+        )
+
+    got = run(cs)
+    assert cs.collect_count == 1, (
+        f"expected one centroid collect, saw {cs.collect_count}"
+    )
+    assert got == run(cents_df)
