@@ -541,13 +541,26 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
     def vocab(self) -> list[str]:
         """Subword vocabulary implied by the merge table: base symbols plus
         one merged symbol per rank, in merge order after the (sorted) base
-        characters — the id assignment real BPE tokenizers publish."""
+        characters — the id assignment real BPE tokenizers publish.
+
+        Distinct merge ranks can concatenate to the SAME string (('a','bc')
+        and ('ab','c') both yield 'abc', reachable from different word
+        contexts); the id belongs to the FIRST occurrence and later
+        duplicates are dropped, so every symbol has exactly one id —
+        without this, ``encode_ids``'s ``create_map`` path would throw on
+        the duplicate key and its join path would silently duplicate
+        exploded rows."""
         base: set[str] = {END_OF_WORD}
         for left, right in self.merges:
             base.update(_base_chars(left))
             base.update(_base_chars(right))
         out = sorted(base)
-        out.extend(left + right for left, right in self.merges)
+        seen = set(out)
+        for left, right in self.merges:
+            sym = left + right
+            if sym not in seen:
+                seen.add(sym)
+                out.append(sym)
         return out
 
     def save(self, path: str) -> None:

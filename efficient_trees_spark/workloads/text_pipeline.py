@@ -193,11 +193,17 @@ def _bpe_oracle_parts() -> tuple[str, str]:
         f"FROM ({pairs_union})) "
         "UNION ALL SELECT '</w>') WHERE c != '')"
     )
+    # First-occurrence dedup mirrors BpeTokenizer.vocab(): two merge ranks
+    # concatenating to the same string keep the EARLIER rank's id.
     ctes.append(
         "bpe_vocab AS MATERIALIZED ("
         "SELECT sym, row_number() OVER (ORDER BY grp, k, sym) - 1 AS id "
+        "FROM (SELECT sym, grp, k FROM ("
+        "SELECT sym, grp, k, row_number() OVER "
+        "(PARTITION BY sym ORDER BY grp, k) AS dup_rn "
         "FROM (SELECT sym, 0 AS grp, 0 AS k FROM bpe_base "
-        "UNION ALL SELECT sym, 1 AS grp, k FROM bpe_msyms))"
+        "UNION ALL SELECT sym, 1 AS grp, k FROM bpe_msyms)) "
+        "WHERE dup_rn = 1))"
     )
     ids_leg = f"""
         SELECT 'bpe_id' AS kind, CAST(id AS VARCHAR) AS key,

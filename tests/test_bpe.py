@@ -355,3 +355,36 @@ def test_encode_ids_join_mapping_matches_literal_map(spark, monkeypatch):
     }
     assert got == want and want[8] is None
     assert any(-1 in v for v in want.values() if v)  # UNK path exercised
+
+
+def test_vocab_dedupes_colliding_merge_symbols(spark):
+    """('a','bc') and ('ab','c') both concatenate to 'abc': the id belongs
+    to the first rank, the duplicate is dropped, and encode_ids works on
+    BOTH dispatch paths (create_map would throw on a duplicate key; the
+    join path would silently duplicate exploded rows)."""
+    tok = bpe.BpeTokenizer((("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")))
+    v = tok.vocab()
+    assert len(v) == len(set(v)), "vocab must be duplicate-free"
+    assert v.count("abc") == 1
+    # first occurrence wins: 'abc' ranks at merge 1, not merge 3
+    base_n = sum(1 for s in v if len(s) == 1 or s == bpe.END_OF_WORD)
+    assert v.index("abc") == base_n + 1  # after 'bc' (merge 0)
+
+    docs = spark.createDataFrame(
+        [(1, "ab abc cab"), (2, None)], "doc_id long, text string"
+    )
+    for strategy in ("expression", "joined"):
+        out = {
+            r["doc_id"]: r["bpe_ids"]
+            for r in tok.encode_ids(docs, strategy=strategy).collect()
+        }
+        syms = {
+            r["doc_id"]: r["bpe"]
+            for r in tok.encode(docs, out_col="bpe", strategy=strategy).collect()
+        }
+        # id arrays align 1:1 with symbol arrays (no join fan-out) and
+        # every known symbol maps to its unique vocab id
+        assert len(out[1]) == len(syms[1])
+        idx = {s: i for i, s in enumerate(v)}
+        assert out[1] == [idx.get(s, -1) for s in syms[1]]
+        assert out[2] is None
