@@ -1212,3 +1212,189 @@ def semantic_dedup(
             ).alias("canonical_id"),
         )
     )
+
+
+# ------------------------------------------------- incremental semantic index
+#
+# The embedding-space member of the incremental-index triad (lexical:
+# retrieval.Bm25Index; shingle: dedup.MinHashIndex): real pipelines dedup
+# every NEW crawl batch against the accumulated corpus, and re-assigning
+# 100 TB of accepted embeddings to cells per batch is the cost this kills.
+# The index persists each vector WITH its precomputed norm and centroid
+# cell, so matching a new batch touches the old corpus exactly once —
+# a streaming scan through a cell-keyed broadcast join, zero old-side
+# shuffles (plan-gated).
+
+
+class SemanticIndex:
+    """Corpus-side state for incremental embedding near-dup matching:
+    ``(\\_\\_id, vec, norm, cell)`` rows plus the centroid relation they
+    were assigned with (new batches MUST be assigned with the same
+    centroids, or cell-local compare loses its meaning).  Round-trips
+    through parquet — build where the corpus lives, match anywhere; the
+    original embedding files are never needed again."""
+
+    def __init__(self, vectors: DataFrame, centroids: CentroidSet, round_to: int = 6):
+        self.vectors = vectors
+        self.centroids = centroids
+        self.round_to = round_to
+
+    def persist(self) -> "SemanticIndex":
+        self.vectors.persist()
+        return self
+
+    def unpersist(self) -> "SemanticIndex":
+        self.vectors.unpersist()
+        return self
+
+    def write(self, path: str, mode: str = "error") -> None:
+        self.vectors.write.mode(mode).parquet(f"{path}/vectors")
+        self.centroids.df.select("cid", "cvec").write.mode(mode).parquet(
+            f"{path}/centroids"
+        )
+        self.vectors.sparkSession.createDataFrame(
+            [(self.round_to,)], "round_to int"
+        ).write.mode(mode).parquet(f"{path}/params")
+
+
+def read_semantic_index(spark, path: str) -> SemanticIndex:
+    return SemanticIndex(
+        vectors=spark.read.parquet(f"{path}/vectors"),
+        centroids=CentroidSet(spark.read.parquet(f"{path}/centroids")),
+        round_to=spark.read.parquet(f"{path}/params").first()["round_to"],
+    )
+
+
+def _assigned_vectors(
+    df: DataFrame,
+    centroids: CentroidSet,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+) -> DataFrame:
+    """(__id, vec, norm, cell) — one map-only projection for inlineable
+    centroid sets; the join+window fallback past ``_LITERAL_ASSIGN_MAX_K``."""
+    vec = as_double_array(vec_col)
+    cell = inline_cell_column(centroids, vec, round_to)
+    if cell is not None:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            vec.alias("vec"),
+            norm(vec).alias("norm"),
+            cell,
+        )
+    cells = nearest_centroids(df, centroids, id_col, vec_col, nprobe=1, round_to=round_to)
+    return (
+        df.select(F.col(id_col).alias("__id"), vec.alias("vec"), norm(vec).alias("norm"))
+        .join(cells.select(F.col(id_col).alias("__id"), "cell"), "__id")
+    )
+
+
+def semantic_index(
+    corpus: DataFrame,
+    centroids: "DataFrame | CentroidSet",
+    id_col: str,
+    vec_col: str,
+    round_to: int = 6,
+) -> SemanticIndex:
+    """Build the index: ONE corpus scan — norm and centroid cell are
+    columns of the same projection as the vector (map-only for inlineable
+    centroid sets), so building costs a scan plus the parquet write."""
+    cents = centroids if isinstance(centroids, CentroidSet) else CentroidSet(centroids)
+    return SemanticIndex(
+        vectors=_assigned_vectors(corpus, cents, id_col, vec_col, round_to),
+        centroids=cents,
+        round_to=round_to,
+    )
+
+
+def semantic_index_merge(
+    old: SemanticIndex,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    validate: bool = False,
+) -> SemanticIndex:
+    """Append a batch: only ``new_vectors`` is assigned (with the OLD
+    index's centroids — cell meaning is stable across appends); vector
+    rows union.  Append ids must be disjoint from the old corpus;
+    ``validate=True`` runs the same eager semi-join overlap guard as
+    ``bm25_index_merge``/``minhash_index_merge``."""
+    if validate:
+        new_ids = new_vectors.select(F.col(id_col).alias("__id")).distinct()
+        overlap = old.vectors.select("__id").join(new_ids, "__id").limit(1).first()
+        if overlap is not None:
+            raise ValueError(
+                "semantic_index_merge is an APPEND: new_vectors contains ids "
+                f"already present in the old index (e.g. {overlap['__id']!r}); "
+                "merging them would duplicate vector rows and match output.  "
+                "Remove them first (semantic_index_remove) or rebuild."
+            )
+    new = _assigned_vectors(new_vectors, old.centroids, id_col, vec_col, old.round_to)
+    return SemanticIndex(
+        vectors=old.vectors.unionByName(new),
+        centroids=old.centroids,
+        round_to=old.round_to,
+    )
+
+
+def semantic_index_remove(old: SemanticIndex, ids: DataFrame) -> SemanticIndex:
+    """Drop documents (dedup rerun, takedown): broadcast anti-join on the
+    vector relation — survivors untouched, so remove == rebuild-on-
+    survivors by construction.  Idempotent."""
+    victims = ids.select(F.col(ids.columns[0]).alias("__id")).distinct()
+    return SemanticIndex(
+        vectors=old.vectors.join(F.broadcast(victims), "__id", "left_anti"),
+        centroids=old.centroids,
+        round_to=old.round_to,
+    )
+
+
+def semantic_match_against_index(
+    index: SemanticIndex,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    broadcast: bool = True,
+) -> DataFrame:
+    """(new_id, old_id, cos) — new-batch vectors matched to index vectors
+    sharing their centroid cell with cosine ≥ ``threshold`` (exact cosine,
+    rounded to the index's ``round_to``; same cell-local semantics as the
+    unguarded :func:`semantic_dedup` restricted to old × new pairs).
+
+    Scale shape, ``broadcast=True`` (default): the new batch is assigned
+    its cells MAP-ONLY with the index's stored centroids and BROADCAST;
+    the old vector relation — whose cells are already materialized in the
+    parquet — streams through one cell-keyed broadcast hash join with
+    ZERO exchanges (plan-gated).  Unlike the MinHash match there is no
+    candidates-times-signatures second join to broadcast: vectors and
+    norms ride the one join, so a whale cell costs |cell| STREAMED
+    comparisons per colliding new doc (linear, spillable), never an
+    old-corpus-sized broadcast — no eager guard is needed on this path.
+    ``broadcast=False`` turns the join into a shuffled hash join for
+    TB-scale new batches (both sides exchange on the cell key,
+    parity-tested)."""
+    new = _assigned_vectors(
+        new_vectors, index.centroids, id_col, vec_col, index.round_to
+    ).select(
+        F.col("__id").alias("__new_id"),
+        F.col("vec").alias("__new_vec"),
+        F.col("norm").alias("__new_norm"),
+        "cell",
+    )
+    new_side = F.broadcast(new) if broadcast else new.hint("shuffle_hash")
+    cos = F.round(
+        dot(F.col("vec"), F.col("__new_vec")) / (F.col("norm") * F.col("__new_norm")),
+        index.round_to,
+    )
+    return (
+        index.vectors.join(new_side, "cell")
+        .filter(F.col("__id") != F.col("__new_id"))
+        .select(
+            F.col("__new_id").alias("new_id"),
+            F.col("__id").alias("old_id"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

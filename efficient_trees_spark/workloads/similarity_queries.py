@@ -718,6 +718,16 @@ _DEDUP_EMB_ORACLE = f"""
     FROM v
     LEFT JOIN guarded_pairs p ON p.id_a = v.vec_id AND p.cos >= 0.95
     GROUP BY v.vec_id
+    UNION ALL
+    -- incremental leg: the NEW third of the corpus canonicalized against
+    -- an index built on the OLD two thirds — same cell-local pairs
+    -- restricted to old x new (id_a new, id_b old)
+    SELECT 'semdedup_incremental' AS method, v.vec_id,
+           least(v.vec_id, coalesce(min(p.id_b), v.vec_id)) AS canonical_id
+    FROM (SELECT vec_id FROM v WHERE vec_id % 3 = 0) v
+    LEFT JOIN cell_pairs p ON p.id_a = v.vec_id AND p.id_b % 3 != 0
+                          AND p.cos >= 0.95
+    GROUP BY v.vec_id
 """.replace("{BUCKET2}", _bucket_sql("e.embedding", _SEMDEDUP_SUB_PLANES))
 
 
@@ -733,8 +743,16 @@ _DEDUP_EMB_ORACLE = f"""
     "method='semdedup_guarded' adds the heavy-tail skew guard (cells above "
     f"{_SEMDEDUP_MAX_CELL} members re-split into {2**_SEMDEDUP_SUB_PLANES} "
     "deterministic hyperplane-LSH sub-buckets before the pairwise join — "
-    "the quadratic-whale bound, with the documented LSH recall trade-off). "
-    "Each path keeps its own exact DuckDB re-derivation",
+    "the quadratic-whale bound, with the documented LSH recall trade-off); "
+    "method='semdedup_incremental' is the incremental-index path "
+    "(operators/similarity.py SemanticIndex — the embedding member of the "
+    "incremental triad alongside Bm25Index and MinHashIndex): an index "
+    "built on the old two-thirds of the corpus persists (vector, norm, "
+    "cell) rows, and the new third matches against it through ONE "
+    "cell-keyed broadcast join with zero old-side exchanges (plan-gated "
+    "in tests) — the full cell assignment and old x new pair set "
+    "re-derived in SQL.  Each path keeps its own exact DuckDB "
+    "re-derivation",
     tags=("similarity", "dedup", "suite"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,9 +786,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_cell_size=_SEMDEDUP_MAX_CELL, dim=DIM,
         sub_planes=_SEMDEDUP_SUB_PLANES,
     )
+    old = emb.filter("vec_id % 3 != 0")
+    new = emb.filter("vec_id % 3 = 0")
+    idx = similarity.semantic_index(old, centroids, "vec_id", "embedding")
+    matches = similarity.semantic_match_against_index(
+        idx, new, "vec_id", "embedding", threshold=0.95
+    )
+    incremental = (
+        new.select("vec_id")
+        .join(
+            matches.groupBy("new_id").agg(F.min("old_id").alias("min_old")),
+            new.vec_id == F.col("new_id"),
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.least(
+                F.col("vec_id"), F.coalesce(F.col("min_old"), F.col("vec_id"))
+            ).alias("canonical_id"),
+        )
+    )
     cols = ["vec_id", "canonical_id"]
     return (
         _tagged(brute, "brute", cols)
         .unionByName(_tagged(sem, "semdedup", cols))
         .unionByName(_tagged(guarded, "semdedup_guarded", cols))
+        .unionByName(_tagged(incremental, "semdedup_incremental", cols))
     )

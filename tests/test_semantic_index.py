@@ -1,0 +1,150 @@
+"""Incremental semantic (embedding) dedup index — the third member of
+the incremental triad (BM25 lexical, MinHash shingle, SemanticIndex
+embedding): match new crawl batches against the accumulated corpus
+without re-assigning or re-shuffling it."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from efficient_trees_spark.operators import similarity
+
+
+@pytest.fixture()
+def emb(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/embeddings.parquet")
+
+
+@pytest.fixture()
+def cents(emb):
+    return emb.filter("vec_id % 31 = 1").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+
+def _match_set(df):
+    return {(r["new_id"], r["old_id"]): r["cos"] for r in df.collect()}
+
+
+def test_match_equals_cell_local_old_new_pairs(spark, emb, cents):
+    """The match must find exactly the old x new same-cell pairs at
+    cos >= t that the full-corpus cell assignment implies."""
+    old = emb.filter("vec_id % 3 != 0")
+    new = emb.filter("vec_id % 3 = 0")
+    idx = similarity.semantic_index(old, cents, "vec_id", "embedding")
+    got = _match_set(
+        similarity.semantic_match_against_index(
+            idx, new, "vec_id", "embedding", threshold=0.3
+        )
+    )
+
+    cells = similarity.nearest_centroids(emb, cents, "vec_id", "embedding", nprobe=1)
+    a = cells.select(F.col("vec_id").alias("na"), F.col("cell"))
+    b = cells.select(F.col("vec_id").alias("nb"), F.col("cell"))
+    vec = similarity.as_double_array("embedding")
+    withv = emb.select(
+        "vec_id", vec.alias("v"), similarity.norm(vec).alias("n")
+    )
+    want = {}
+    pairs = (
+        a.join(b, "cell")
+        .filter("na % 3 = 0 AND nb % 3 != 0 AND na != nb")
+        .join(withv.select(F.col("vec_id").alias("na"), F.col("v").alias("va"), F.col("n").alias("nna")), "na")
+        .join(withv.select(F.col("vec_id").alias("nb"), F.col("v").alias("vb"), F.col("n").alias("nnb")), "nb")
+        .select(
+            "na",
+            "nb",
+            F.round(
+                similarity.dot(F.col("va"), F.col("vb")) / (F.col("nna") * F.col("nnb")), 6
+            ).alias("cos"),
+        )
+        .filter("cos >= 0.3")
+    )
+    for r in pairs.collect():
+        want[(r["na"], r["nb"])] = r["cos"]
+    assert got == want and got
+
+
+def test_round_trip_merge_remove_and_validate(spark, emb, cents, tmp_path):
+    old = emb.filter("vec_id % 3 = 1")
+    append = emb.filter("vec_id % 3 = 2")
+    probes = emb.filter("vec_id % 3 = 0").limit(30)
+
+    out = str(tmp_path / "sem_idx")
+    similarity.semantic_index(old, cents, "vec_id", "embedding").write(out)
+    loaded = similarity.read_semantic_index(spark, out)
+    assert loaded.round_to == 6
+
+    # merge == rebuild: identical (id, cell) assignment and row set
+    merged = similarity.semantic_index_merge(loaded, append, "vec_id", "embedding")
+    rebuilt = similarity.semantic_index(
+        old.unionByName(append), cents, "vec_id", "embedding"
+    )
+    m = {(r["__id"], r["cell"]) for r in merged.vectors.collect()}
+    b = {(r["__id"], r["cell"]) for r in rebuilt.vectors.collect()}
+    assert m == b
+
+    # validate guard names an overlapping id; disjoint passes
+    with pytest.raises(ValueError, match="semantic_index_remove"):
+        similarity.semantic_index_merge(
+            loaded, old.limit(1), "vec_id", "embedding", validate=True
+        )
+    similarity.semantic_index_merge(
+        loaded, append, "vec_id", "embedding", validate=True
+    ).vectors.count()
+
+    before = _match_set(
+        similarity.semantic_match_against_index(
+            merged, probes, "vec_id", "embedding", threshold=0.8
+        )
+    )
+    if before:
+        victim = sorted({o for (_, o) in before})[0]
+        removed = similarity.semantic_index_remove(
+            merged, spark.createDataFrame([(victim,)], "vec_id long")
+        )
+        after = _match_set(
+            similarity.semantic_match_against_index(
+                removed, probes, "vec_id", "embedding", threshold=0.8
+            )
+        )
+        assert after == {p: c for p, c in before.items() if p[1] != victim}
+        again = similarity.semantic_index_remove(
+            removed, spark.createDataFrame([(victim,)], "vec_id long")
+        )
+        assert (
+            _match_set(
+                similarity.semantic_match_against_index(
+                    again, probes, "vec_id", "embedding", threshold=0.8
+                )
+            )
+            == after
+        )
+
+
+def test_old_vectors_never_shuffle_for_the_match(spark, emb, cents, tmp_path):
+    """From a LOADED index the broadcast-path match plan has ZERO hash
+    exchanges: the old vector relation (cells already in the parquet)
+    streams through one cell-keyed broadcast join; the shuffled form
+    (broadcast=False) exchanges both sides and matches exactly."""
+    old = emb.filter("vec_id % 3 != 0")
+    new = emb.filter("vec_id % 3 = 0")
+    out = str(tmp_path / "sem_idx")
+    similarity.semantic_index(old, cents, "vec_id", "embedding").write(out)
+    idx = similarity.read_semantic_index(spark, out)
+
+    matched = similarity.semantic_match_against_index(
+        idx, new, "vec_id", "embedding", threshold=0.9
+    )
+    plan = matched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "the old vector relation is being exchanged"
+    )
+
+    shuffled = similarity.semantic_match_against_index(
+        idx, new, "vec_id", "embedding", threshold=0.9, broadcast=False
+    )
+    splan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in splan
+    assert "ShuffledHashJoin" in splan
+    assert _match_set(shuffled) == _match_set(matched)
