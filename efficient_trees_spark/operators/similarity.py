@@ -1398,3 +1398,51 @@ def semantic_match_against_index(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_topk_against_index(
+    index: SemanticIndex,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k SERVED from a persisted :class:`SemanticIndex` — the
+    steady-state ANN pattern: the corpus side (vector, norm, cell) was
+    paid for once at index build; each query batch costs only its own
+    nprobe-cell assignment plus the cell-keyed candidate join.  Results
+    are identical to :func:`ivf_cosine_topk` over the same corpus and
+    centroids (parity-tested): the index stores exactly the relation that
+    function's corpus-side projection computes per call.
+
+    Scale shape: query cells come from the lazy join+window form (query
+    batches are small, nprobe>1 needs ranked probes); the query side
+    broadcasts onto the indexed corpus, which streams through the cell
+    join with zero exchanges from a loaded index."""
+    query_cells = nearest_centroids(
+        queries, index.centroids, id_col, vec_col,
+        nprobe=nprobe, round_to=index.round_to,
+    )
+    q = _with_norm(queries, id_col, vec_col, "query").join(
+        query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
+    )
+    c = index.vectors.select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("vec").alias("neighbor_vec"),
+        F.col("norm").alias("neighbor_norm"),
+        "cell",
+    )
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = dot(F.col("query_vec"), F.col("neighbor_vec")) / (
+        F.col("query_norm") * F.col("neighbor_norm")
+    )
+    scores = pairs.select(
+        "query_id", "neighbor_id", F.round(cos, index.round_to).alias("cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

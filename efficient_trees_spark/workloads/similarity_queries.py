@@ -578,6 +578,9 @@ def ann_bm25_removed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'ivf_pq_rr', query_id, neighbor_id, cos AS score, rank
         FROM ({_IVF_PQ_RR_ORACLE})
         UNION ALL
+        SELECT 'ivf_indexed', query_id, neighbor_id, cos AS score, rank
+        FROM ({_IVF_TOPK_ORACLE})
+        UNION ALL
         SELECT 'bm25', query_id, neighbor_id, score, rank
         FROM ({_BM25_TOPK_ORACLE})
         UNION ALL
@@ -607,6 +610,11 @@ def ann_bm25_removed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from an INCREMENTALLY MERGED index (base 2/3 of the corpus + append "
     "batch via bm25_index_merge) against the full-rebuild oracle — "
     "merge == rebuild proven against an independent engine; "
+    "method='ivf_indexed' serves the SAME ivf queries from a persisted "
+    "SemanticIndex (corpus-side vector/norm/cell rows paid for once at "
+    "build — the steady-state ANN serving pattern; identical results to "
+    "the per-call ivf leg by construction, and the oracle re-derives them "
+    "independently); "
     "method='bm25_removed' serves them from an index with a DELETION batch "
     "applied (bm25_index_remove: broadcast anti-join, survivors re-derive "
     "dfreq/stats) against a rebuild-on-survivors oracle — the other half "
@@ -634,14 +642,20 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("bm25_removed").alias("method"),
         "query_id", "neighbor_id", "score", "rank",
     )
-    # One CentroidSet across the three IVF legs: the centroid rows are
+    # One CentroidSet across the IVF legs: the centroid rows are
     # collected once for the whole suite instead of once per leg.
-    cents = similarity.CentroidSet(
-        _seed_centroids(load(spark, sf_dir, "embeddings"))
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.CentroidSet(_seed_centroids(emb))
+    # indexed serving leg: corpus-side (vector, norm, cell) rows come from
+    # a SemanticIndex built over the full corpus with the same centroids
+    idx = similarity.semantic_index(emb, cents, "vec_id", "embedding")
+    indexed = similarity.ivf_topk_against_index(
+        idx, emb.filter(F.expr(_Q_FILTER)), "vec_id", "embedding", k=5, nprobe=2
     )
     return (
         as_score(ann_cosine_topk(spark, sf_dir), "brute")
         .unionByName(as_score(ann_ivf_topk(spark, sf_dir, cents), "ivf"))
+        .unionByName(as_score(indexed, "ivf_indexed"))
         .unionByName(as_score(ann_pq_topk(spark, sf_dir), "pq"))
         .unionByName(as_score(ann_ivf_pq_topk(spark, sf_dir, cents), "ivf_pq"))
         .unionByName(

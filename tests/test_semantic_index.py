@@ -148,3 +148,66 @@ def test_old_vectors_never_shuffle_for_the_match(spark, emb, cents, tmp_path):
     assert "BroadcastHashJoin" not in splan
     assert "ShuffledHashJoin" in splan
     assert _match_set(shuffled) == _match_set(matched)
+
+
+def test_ivf_topk_against_index_matches_per_call_form(spark, emb, cents, tmp_path):
+    """Serving from a persisted SemanticIndex returns exactly what
+    ivf_cosine_topk computes per call over the same corpus + centroids."""
+    out = str(tmp_path / "sem_idx")
+    similarity.semantic_index(emb, cents, "vec_id", "embedding").write(out)
+    idx = similarity.read_semantic_index(spark, out)
+    queries = emb.filter("vec_id % 25 = 0")
+
+    got = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_against_index(
+            idx, queries, "vec_id", "embedding", k=5, nprobe=2
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf_cosine_topk(
+            emb, queries, cents, "vec_id", "embedding", k=5, nprobe=2
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_stream_static_semantic_match_parity(spark, emb, cents, tmp_path):
+    """New batches arrive as a STREAM: semantic_match_against_index
+    composes into a streaming plan unchanged (stateless stream-static
+    broadcast join — the index side is the static relation) and the
+    streamed matches equal the batch twin exactly."""
+    old = emb.filter("vec_id % 3 != 0")
+    new = emb.filter("vec_id % 3 = 0")
+    out = str(tmp_path / "sem_idx")
+    similarity.semantic_index(old, cents, "vec_id", "embedding").write(out)
+    idx = similarity.read_semantic_index(spark, out)
+
+    new_dir = str(tmp_path / "new_batch")
+    new.write.parquet(new_dir)
+    stream = spark.readStream.schema(emb.schema).parquet(new_dir)
+    sdf = similarity.semantic_match_against_index(
+        idx, stream, "vec_id", "embedding", threshold=0.3
+    )
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sem_matches")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.new_id, r.old_id): r.cos
+        for r in spark.table("sem_matches").toPandas().itertuples()
+    }
+    want = _match_set(
+        similarity.semantic_match_against_index(
+            idx, new, "vec_id", "embedding", threshold=0.3
+        )
+    )
+    assert got == want and got
