@@ -29,6 +29,7 @@ EXAMPLES = [
     "quality_filter.py",
     "ann_retrieval.py",
     "pretraining_shards.py",
+    "incremental_corpus_dedup.py",
 ]
 
 
