@@ -260,13 +260,23 @@ class CentroidSet:
 
     @property
     def rows(self) -> list[tuple[int, list[float]]]:
+        """Up to ``_LITERAL_ASSIGN_MAX_K + 1`` rows (memoized).  The
+        collect is LIMIT-bounded: a centroid relation too large to inline
+        costs the driver one extra row, never the full relation — callers
+        only ever need the rows when the set IS inlineable."""
         if self._rows is None:
             self.collect_count += 1
-            self._rows = [
-                (r["cid"], [float(x) for x in r["cvec"]])
-                for r in self.df.select("cid", "cvec").collect()
-            ]
+            self._rows = _bounded_centroid_rows(self.df)
         return self._rows
+
+
+def _bounded_centroid_rows(df: DataFrame) -> list[tuple[int, list[float]]]:
+    return [
+        (r["cid"], [float(x) for x in r["cvec"]])
+        for r in df.select("cid", "cvec")
+        .limit(_LITERAL_ASSIGN_MAX_K + 1)
+        .collect()
+    ]
 
 
 def _centroid_df(centroids: "DataFrame | CentroidSet") -> DataFrame:
@@ -286,21 +296,22 @@ def inline_cell_column(
     forces a corpus-sized exchange of the k-per-vector scored relation,
     and callers then pay a second corpus-sized join to attach the cell
     back.  Here the centroids relation is collected instead (k rows —
-    tiny by the IVF/SemDeDup contract; ONE eager driver action,
-    documented) and the returned column compiles to
+    tiny by the IVF/SemDeDup contract; ONE eager driver action, and the
+    collect is LIMIT-bounded to ``_LITERAL_ASSIGN_MAX_K + 1`` rows, so a
+    not-actually-tiny centroid relation costs the driver one extra row —
+    never a full-relation flood — before the lazy fallback takes over)
+    and the returned column compiles to
     :func:`assign_literal_centroid` — k inline dot products per row in
     whole-stage codegen — so the cell is born IN the caller's own
     projection: zero shuffle, zero join, no re-attachment.  Same rounding
     + lowest-cid tie-break as the window form (oracle-checked), so the
     two are interchangeable.  Pass a :class:`CentroidSet` instead of the
     raw relation to amortize the collect across composed operators."""
-    if isinstance(centroids, CentroidSet):
-        cents = centroids.rows
-    else:
-        cents = [
-            (r["cid"], [float(x) for x in r["cvec"]])
-            for r in centroids.select("cid", "cvec").collect()
-        ]
+    cents = (
+        centroids.rows
+        if isinstance(centroids, CentroidSet)
+        else _bounded_centroid_rows(centroids)
+    )
     if not 0 < len(cents) <= _LITERAL_ASSIGN_MAX_K:
         return None
     return assign_literal_centroid(vec, cents, round_to)

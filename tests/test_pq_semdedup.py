@@ -753,3 +753,19 @@ def test_centroid_set_collects_once_across_composed_operators(spark):
         f"expected one centroid collect, saw {cs.collect_count}"
     )
     assert got == run(cents_df)
+
+
+def test_inline_cell_collect_is_limit_bounded(spark):
+    """A centroid relation past the inline cap must cost the driver at
+    most _LITERAL_ASSIGN_MAX_K + 1 rows (never a full-relation collect)
+    and fall back to the lazy form (inline_cell_column returns None)."""
+    k = similarity._LITERAL_ASSIGN_MAX_K
+    big = spark.range(k * 10).select(
+        F.col("id").alias("cid"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("cvec"),
+    )
+    assert similarity.inline_cell_column(big, F.col("v")) is None
+    cs = similarity.CentroidSet(big)
+    assert similarity.inline_cell_column(cs, F.col("v")) is None
+    assert len(cs.rows) == k + 1  # bounded probe, memoized
+    assert cs.collect_count == 1
