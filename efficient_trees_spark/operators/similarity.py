@@ -1284,19 +1284,29 @@ def _assigned_vectors(
     round_to: int,
 ) -> DataFrame:
     """(__id, vec, norm, cell) — one map-only projection for inlineable
-    centroid sets; the join+window fallback past ``_LITERAL_ASSIGN_MAX_K``."""
+    centroid sets; the join+window fallback past ``_LITERAL_ASSIGN_MAX_K``.
+
+    ``vec`` keeps the SOURCE element type (a float32 embedding stays
+    float32 in the persisted index — half the storage of an eager double
+    cast at 100 TB); norm and cell are computed through the double cast,
+    and match/serve re-cast lazily at scan time, so scores are
+    bit-identical either way."""
     vec = as_double_array(vec_col)
     cell = inline_cell_column(centroids, vec, round_to)
     if cell is not None:
         return df.select(
             F.col(id_col).alias("__id"),
-            vec.alias("vec"),
+            F.col(vec_col).alias("vec"),
             norm(vec).alias("norm"),
             cell,
         )
     cells = nearest_centroids(df, centroids, id_col, vec_col, nprobe=1, round_to=round_to)
     return (
-        df.select(F.col(id_col).alias("__id"), vec.alias("vec"), norm(vec).alias("norm"))
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("vec"),
+            norm(vec).alias("norm"),
+        )
         .join(cells.select(F.col(id_col).alias("__id"), "cell"), "__id")
     )
 
@@ -1390,13 +1400,14 @@ def semantic_match_against_index(
         new_vectors, index.centroids, id_col, vec_col, index.round_to
     ).select(
         F.col("__id").alias("__new_id"),
-        F.col("vec").alias("__new_vec"),
+        as_double_array("vec").alias("__new_vec"),
         F.col("norm").alias("__new_norm"),
         "cell",
     )
     new_side = F.broadcast(new) if broadcast else new.hint("shuffle_hash")
     cos = F.round(
-        dot(F.col("vec"), F.col("__new_vec")) / (F.col("norm") * F.col("__new_norm")),
+        dot(as_double_array("vec"), F.col("__new_vec"))
+        / (F.col("norm") * F.col("__new_norm")),
         index.round_to,
     )
     return (
@@ -1440,7 +1451,7 @@ def ivf_topk_against_index(
     )
     c = index.vectors.select(
         F.col("__id").alias("neighbor_id"),
-        F.col("vec").alias("neighbor_vec"),
+        as_double_array("vec").alias("neighbor_vec"),
         F.col("norm").alias("neighbor_norm"),
         "cell",
     )

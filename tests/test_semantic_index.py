@@ -73,6 +73,10 @@ def test_round_trip_merge_remove_and_validate(spark, emb, cents, tmp_path):
     similarity.semantic_index(old, cents, "vec_id", "embedding").write(out)
     loaded = similarity.read_semantic_index(spark, out)
     assert loaded.round_to == 6
+    # the persisted vector keeps the SOURCE element type (float32 stays
+    # float32 — half the storage of an eager double cast); the double
+    # cast happens lazily at match time
+    assert dict(loaded.vectors.dtypes)["vec"] == dict(emb.dtypes)["embedding"]
 
     # merge == rebuild: identical (id, cell) assignment and row set
     merged = similarity.semantic_index_merge(loaded, append, "vec_id", "embedding")
