@@ -196,13 +196,24 @@ def nearest_centroids(
 ) -> DataFrame:
     """(id, cell, probe_rank) — each vector's ``nprobe`` nearest centroids by
     cosine (rounded, centroid-id tie-break: a total order both engines agree
-    on).  ``centroids`` is (cid, cvec) and joins in by broadcast — but the
-    ranking window (``partitionBy(id)``) still EXCHANGES the k-per-vector
-    scored relation, so this form is for the QUERY side (small, and
-    ``nprobe>1`` needs ranked probes).  For the corpus side use
-    :func:`inline_cell_column` (nprobe=1 as a literal map-only projection,
-    no exchange, no re-join) — the IVF coarse quantizer's scale path.
-    """
+    on).  For inlineable centroid sets this is MAP-ONLY: the ranked probes
+    come from :func:`inline_probe_cells` (a per-row ``array_sort`` over
+    literal centroids, exploded) — zero exchanges for ANY nprobe, so even a
+    corpus-sized "query" relation never shuffles for assignment.  Past
+    ``_LITERAL_ASSIGN_MAX_K`` centroids the lazy fallback takes over:
+    ``centroids`` joins in by broadcast and a ``partitionBy(id)`` window
+    ranks the k-per-vector scored relation (one exchange)."""
+    probes = inline_probe_cells(
+        centroids, as_double_array(vec_col), nprobe, round_to
+    )
+    if probes is not None:
+        return vectors.select(
+            F.col(id_col).alias("__vid"), F.explode(probes).alias("__p")
+        ).select(
+            F.col("__vid").alias(id_col),
+            F.col("__p.cell").alias("cell"),
+            F.col("__p.probe_rank").alias("probe_rank"),
+        )
     from pyspark.sql import Window
 
     c = _centroid_df(centroids).select(
@@ -317,6 +328,94 @@ def inline_cell_column(
     return assign_literal_centroid(vec, cents, round_to)
 
 
+def inline_probe_cells(
+    centroids: "DataFrame | CentroidSet",
+    vec: Column,
+    nprobe: int,
+    round_to: int = 6,
+) -> Column | None:
+    """The ``nprobe`` nearest centroid cells as an ORDERED ARRAY COLUMN
+    (``array<struct<cell, probe_rank>>``) over ``vec`` — nprobe ranking as
+    a pure projection — or ``None`` when the centroid set is not
+    inlineable (empty, or past ``_LITERAL_ASSIGN_MAX_K``).
+
+    This closes the one assignment path :func:`inline_cell_column` left on
+    the join+window form: ``nprobe > 1`` ranking.  The window form
+    (:func:`nearest_centroids`) EXCHANGES the k-per-vector scored relation
+    even for a 3-probe assignment of a handful of queries — and in
+    corpus-as-queries compositions (all-pairs matching, index refresh) the
+    "query" relation is corpus-sized, where that exchange is the plan's
+    biggest shuffle.  Here the k scored structs are ordered INSIDE the row:
+    ``array_sort`` ascending on (−rounded cos, cid) — exactly the window's
+    cos-DESC / cid-ASC total order — then sliced to ``nprobe`` and
+    numbered, so callers explode a per-row ordered array instead of
+    ranking a shuffle.  A null cosine (null / size-mismatched vector)
+    ranks LAST under the window's desc-nulls-last; the sort key maps null
+    to +Infinity to match (parity is monkeypatch-forced in tests)."""
+    cents = (
+        centroids.rows
+        if isinstance(centroids, CentroidSet)
+        else _bounded_centroid_rows(centroids)
+    )
+    if not 0 < len(cents) <= _LITERAL_ASSIGN_MAX_K:
+        return None
+    vnorm = norm(vec)
+
+    def sort_key(c):
+        cos_r = F.round(dot(vec, c["cvec"]) / (vnorm * c["cnorm"]), round_to)
+        return F.named_struct(
+            F.lit("neg_cos"),
+            F.when(cos_r.isNotNull(), -cos_r).otherwise(F.lit(float("inf"))),
+            F.lit("cid"),
+            c["cid"],
+        )
+
+    ordered = F.slice(
+        F.array_sort(F.transform(_literal_centroids(cents), sort_key)),
+        1,
+        int(nprobe),
+    )
+    return F.transform(
+        ordered,
+        lambda s, i: F.named_struct(
+            F.lit("cell"), s["cid"], F.lit("probe_rank"), i + F.lit(1)
+        ),
+    )
+
+
+def _probed_query_side(
+    queries: DataFrame,
+    centroids: "DataFrame | CentroidSet",
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    round_to: int,
+) -> DataFrame:
+    """(query_id, query_vec, query_norm, cell) — one row per (query,
+    probed cell): the relation IVF candidate joins broadcast.  Map-only
+    for inlineable centroid sets (vector, norm and the exploded ranked
+    probes are all columns of the query scan's own projection — no window
+    exchange, no cells re-join); the join+window fallback otherwise."""
+    vec = as_double_array(vec_col)
+    probes = inline_probe_cells(centroids, vec, nprobe, round_to)
+    if probes is not None:
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            vec.alias("query_vec"),
+            norm(vec).alias("query_norm"),
+            F.explode(probes).alias("__p"),
+        ).select(
+            "query_id", "query_vec", "query_norm",
+            F.col("__p.cell").alias("cell"),
+        )
+    query_cells = nearest_centroids(
+        queries, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
+    )
+    return _with_norm(queries, id_col, vec_col, "query").join(
+        query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -333,17 +432,19 @@ def ivf_cosine_topk(
     cells (any centroid set works — k-means iterations or a fixed seed
     sample) and an explicit recall knob (nprobe).
 
-    Scale shape: corpus-side centroid assignment is genuinely MAP-ONLY for
-    inlineable centroid sets (``inline_cell_column``: the cell is a
-    literal-expression column born in the corpus's own projection — no
-    window exchange, no re-attachment join); the query side keeps the
-    lazy join+window form (queries are small, and nprobe>1 needs ranked
-    probes).  The candidate join keys on the cell id (bounded fan-out =
-    cell size); per-query work is |probed cells| not |corpus|.  A query
-    touching nprobe/n_cells of the data replaces the brute-force full scan.
+    Scale shape: BOTH sides' centroid assignment is genuinely MAP-ONLY for
+    inlineable centroid sets — the corpus cell is a literal-expression
+    column born in the corpus's own projection (``inline_cell_column``: no
+    window exchange, no re-attachment join), and the query side explodes a
+    per-row ranked probe array (``inline_probe_cells``: nprobe ranking
+    without the window exchange OR the cells re-join, so corpus-sized
+    query batches also stay shuffle-free up to the candidate join).  Past
+    ``_LITERAL_ASSIGN_MAX_K`` centroids both sides fall back to the lazy
+    join+window form.  The candidate join keys on the cell id (bounded
+    fan-out = cell size); per-query work is |probed cells| not |corpus|.
+    A query touching nprobe/n_cells of the data replaces the brute-force
+    full scan.
     """
-    query_cells = nearest_centroids(queries, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to)
-
     vec = as_double_array(vec_col)
     cell = inline_cell_column(centroids, vec, round_to)
     if cell is not None:
@@ -361,9 +462,7 @@ def ivf_cosine_topk(
             corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
             "neighbor_id",
         )
-    q = _with_norm(queries, id_col, vec_col, "query").join(
-        query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
-    )
+    q = _probed_query_side(queries, centroids, id_col, vec_col, nprobe, round_to)
     pairs = c.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -794,25 +893,34 @@ def residual_vectors(
     instead of ``x``.  Residual magnitudes are a fraction of vector
     magnitudes, so the same codebook budget (M × K_sub entries) covers
     them with far less quantization error — the recall-at-equal-nprobe
-    win over the non-residual composition.  Map-only at scale: for the
-    corpus side (``nprobe=1``, inlineable centroid set) the cell is a
-    literal-expression column in the same projection as the unit vector
-    (``inline_cell_column`` — no window exchange, no id re-join) and only
-    the centroid-vector lookup remains a BROADCAST join (the corpus never
-    shuffles for it); the query side (``nprobe>1`` needs ranked probes)
-    keeps the join+window assignment over the small query relation."""
+    win over the non-residual composition.  Map-only at scale for
+    inlineable centroid sets at ANY nprobe: ``nprobe=1`` puts the cell in
+    the same projection as the unit vector (``inline_cell_column``) and
+    ``nprobe>1`` explodes a per-row ranked probe array
+    (``inline_probe_cells``) — no window exchange, no id re-join either
+    way; only the centroid-vector lookup remains a BROADCAST join (the
+    input never shuffles for it).  Past ``_LITERAL_ASSIGN_MAX_K``
+    centroids the join+window assignment takes over."""
     cvecs = _centroid_df(centroids).select(
         F.col("cid").alias("cell"), as_double_array("cvec").alias("__cvec")
     )
-    cell = (
-        inline_cell_column(centroids, as_double_array(vec_col), round_to)
-        if nprobe == 1
+    vec = as_double_array(vec_col)
+    cell = inline_cell_column(centroids, vec, round_to) if nprobe == 1 else None
+    probes = (
+        inline_probe_cells(centroids, vec, nprobe, round_to)
+        if nprobe != 1
         else None
     )
     if cell is not None:
         with_cell = vectors.select(
             F.col(id_col), unit_vector(F.col(vec_col)).alias("__u"), cell
         )
+    elif probes is not None:
+        with_cell = vectors.select(
+            F.col(id_col),
+            unit_vector(F.col(vec_col)).alias("__u"),
+            F.explode(probes).alias("__p"),
+        ).select(id_col, "__u", F.col("__p.cell").alias("cell"))
     else:
         cells = nearest_centroids(
             vectors, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
@@ -1438,16 +1546,14 @@ def ivf_topk_against_index(
     centroids (parity-tested): the index stores exactly the relation that
     function's corpus-side projection computes per call.
 
-    Scale shape: query cells come from the lazy join+window form (query
-    batches are small, nprobe>1 needs ranked probes); the query side
-    broadcasts onto the indexed corpus, which streams through the cell
-    join with zero exchanges from a loaded index."""
-    query_cells = nearest_centroids(
-        queries, index.centroids, id_col, vec_col,
-        nprobe=nprobe, round_to=index.round_to,
-    )
-    q = _with_norm(queries, id_col, vec_col, "query").join(
-        query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
+    Scale shape: the query side is MAP-ONLY for inlineable centroid sets
+    (``inline_probe_cells`` — ranked probes exploded from the query scan's
+    own projection, no window exchange, no cells re-join; join+window
+    fallback past the inline cap) and broadcasts onto the indexed corpus,
+    which streams through the cell join with zero exchanges from a loaded
+    index."""
+    q = _probed_query_side(
+        queries, index.centroids, id_col, vec_col, nprobe, index.round_to
     )
     c = index.vectors.select(
         F.col("__id").alias("neighbor_id"),

@@ -617,7 +617,9 @@ def test_semantic_dedup_guard_validates_arguments(spark):
         )
 
 
-def test_semdedup_assignment_is_map_only_for_inline_centroids(spark, corpus):
+def test_semdedup_assignment_is_map_only_for_inline_centroids(
+    spark, corpus, monkeypatch
+):
     """The assignment relation (id, vec, norm, cell, sub) must be ONE
     map-only projection over the corpus for inlineable centroid sets —
     no Exchange anywhere in its plan (the window form would shuffle the
@@ -632,16 +634,84 @@ def test_semdedup_assignment_is_map_only_for_inline_centroids(spark, corpus):
     plan = plan_of(assigned)
     assert "Exchange" not in plan, "assignment is not map-only"
     assert "Join" not in plan
+    got = {r["a_id"]: r["cell"] for r in assigned.collect()}
 
-    # parity: the inline assignment equals the join+window form cell-for-cell
+    # parity: the inline assignment equals the join+window form cell-for-
+    # cell (forced — nearest_centroids itself inlines below the cap now)
+    monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX_K", 0)
     want = {
         r["vid"]: r["cell"]
         for r in similarity.nearest_centroids(
             corpus, cents, "vid", "vec", nprobe=1
         ).collect()
     }
-    got = {r["a_id"]: r["cell"] for r in assigned.collect()}
     assert got == want and got
+
+
+def test_nearest_centroids_inline_is_map_only_and_matches_window(
+    spark, corpus, monkeypatch
+):
+    """nprobe ranking must be a pure projection for inlineable centroid
+    sets — no Exchange, no Window, no Join in the plan (the fallback
+    shuffles the k-per-vector scored relation) — and match the window
+    form row-for-row including probe_rank, with nprobe past the centroid
+    count capping at the centroid count exactly like row_number does."""
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8), (2, [1.0, -1.0] * 4)],
+        "cid long, cvec array<double>",
+    )
+    for nprobe in (1, 2, 5):  # 5 > |centroids|: both forms emit 3 probes
+        nc = similarity.nearest_centroids(corpus, cents, "vid", "vec", nprobe=nprobe)
+        plan = plan_of(nc)
+        assert "Exchange" not in plan and "Window" not in plan
+        assert "Join" not in plan
+        got = sorted(tuple(r) for r in nc.collect())
+        assert got and len(got) == corpus.count() * min(nprobe, 3)
+
+        monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX_K", 0)
+        want = sorted(
+            tuple(r)
+            for r in similarity.nearest_centroids(
+                corpus, cents, "vid", "vec", nprobe=nprobe
+            ).collect()
+        )
+        monkeypatch.undo()
+        assert got == want
+
+
+def test_ivf_query_side_is_map_only_and_topk_matches_fallback(
+    spark, corpus, monkeypatch
+):
+    """The IVF query-side relation (query_id, vec, norm, cell) must be a
+    single generator projection for inlineable centroid sets — no
+    Exchange/Window/Join (the old form paid a crossJoin+window ranking
+    AND a cells re-join) — and ivf_cosine_topk must be bit-identical to
+    the join+window fallback."""
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8), (2, [1.0, -1.0] * 4)],
+        "cid long, cvec array<double>",
+    )
+    queries = corpus.filter("vid % 10 = 0")  # limit() would add its own
+    # single-partition Exchange and muddy the gate
+    q = similarity._probed_query_side(queries, cents, "vid", "vec", 2, 6)
+    plan = plan_of(q)
+    assert "Exchange" not in plan and "Window" not in plan
+    assert "Join" not in plan
+
+    inline = sorted(
+        tuple(r)
+        for r in similarity.ivf_cosine_topk(
+            corpus, queries, cents, "vid", "vec", k=3, nprobe=2
+        ).collect()
+    )
+    monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX_K", 0)
+    fallback = sorted(
+        tuple(r)
+        for r in similarity.ivf_cosine_topk(
+            corpus, queries, cents, "vid", "vec", k=3, nprobe=2
+        ).collect()
+    )
+    assert inline == fallback and inline
 
 
 def test_ivfpq_corpus_sides_are_shuffle_free_and_match_fallback(spark, corpus, monkeypatch):
