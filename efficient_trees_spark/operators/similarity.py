@@ -823,8 +823,12 @@ def _pq_query_table(
     id_col: str,
     vec_col: str,
     round_to: int,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(query_id, j, code, partial) — the per-query ADC distance table.
+    """(query_id, [passthrough...], j, code, partial) — the per-query ADC
+    distance table.  ``passthrough`` columns ride along unchanged (the
+    IVFPQ path threads the probed ``cell`` through so the table never
+    needs a cells re-join).
 
     Partial distances are carried as INTEGER micro-units (x 10^round_to):
     the per-(query, neighbor) ADC sum is then an exact BIGINT aggregation —
@@ -852,12 +856,15 @@ def _pq_query_table(
     sub = len(codebooks[0][0])
     scale = float(10**round_to)
     q = queries.select(
-        F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("__qu")
+        F.col(id_col).alias("query_id"),
+        *[F.col(p) for p in passthrough],
+        unit_vector(F.col(vec_col)).alias("__qu"),
     )
     return q.select(
-        "query_id", F.explode(entries).alias("e"), F.col("__qu")
+        "query_id", *passthrough, F.explode(entries).alias("e"), F.col("__qu")
     ).select(
         "query_id",
+        *passthrough,
         F.col("e.j").alias("j"),
         F.col("e.c").alias("code"),
         F.round(
@@ -1057,10 +1064,13 @@ def ivf_pq_topk(
     codebook budget covers them with less quantization error.
 
     Scale shape (both modes): cell assignment and PQ encoding are
-    broadcast/literal map-only passes over the corpus; the scoring join
-    keys on (cell, subspace, code) against the broadcast (query ×
-    probed-cell × M × K_sub) table, so non-probed cells never leave the
-    scan.  Scoring is the exact-integer ADC of :func:`pq_adc_topk`."""
+    broadcast/literal map-only passes over the corpus, and for inlineable
+    centroid sets the QUERY side is generator-only too (the probed cells
+    explode straight into the ADC table's own projection — no cells
+    re-join; ``inline_probe_cells``); the scoring join keys on (cell,
+    subspace, code) against the broadcast (query × probed-cell × M ×
+    K_sub) table, so non-probed cells never leave the scan.  Scoring is
+    the exact-integer ADC of :func:`pq_adc_topk`."""
     if residual:
         codes = residual_vectors(
             corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
@@ -1077,9 +1087,6 @@ def ivf_pq_topk(
             queries, centroids, codebooks, id_col, vec_col, nprobe, round_to
         )
     else:
-        query_cells = nearest_centroids(
-            queries, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
-        )
         cell = inline_cell_column(centroids, as_double_array(vec_col), round_to)
         if cell is not None:
             # cell born in the same projection PQ encodes — one map-only
@@ -1100,9 +1107,32 @@ def ivf_pq_topk(
             "cell",
             F.posexplode("codes").alias("j", "code"),
         )
-        table = _pq_query_table(queries, codebooks, id_col, vec_col, round_to).join(
-            query_cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
+        probes = inline_probe_cells(
+            centroids, as_double_array(vec_col), nprobe, round_to
         )
+        if probes is not None:
+            # probed cell threads straight into the ADC table projection —
+            # the whole query side is generator-only, no cells re-join
+            probed = queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                F.explode(probes).alias("__p"),
+            ).select("query_id", F.col("__p.cell").alias("cell"), "__qv")
+            table = _pq_query_table(
+                probed, codebooks, "query_id", "__qv", round_to,
+                passthrough=("cell",),
+            )
+        else:
+            query_cells = nearest_centroids(
+                queries, centroids, id_col, vec_col,
+                nprobe=nprobe, round_to=round_to,
+            )
+            table = _pq_query_table(
+                queries, codebooks, id_col, vec_col, round_to
+            ).join(
+                query_cells.select(F.col(id_col).alias("query_id"), "cell"),
+                "query_id",
+            )
     scale = float(10**round_to)
     scored = (
         codes.join(F.broadcast(table), ["cell", "j", "code"])

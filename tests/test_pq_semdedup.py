@@ -714,6 +714,48 @@ def test_ivf_query_side_is_map_only_and_topk_matches_fallback(
     assert inline == fallback and inline
 
 
+def test_ivfpq_query_table_is_generator_only(spark, corpus, books, monkeypatch):
+    """The non-residual IVFPQ query-side ADC table must be generator-only
+    for inlineable centroid sets — the probed cell explodes straight into
+    the table projection, no cells re-join (no Join/Exchange/Window in the
+    plan) — and the top-k must match the join+window fallback."""
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8), (2, [1.0, -1.0] * 4)],
+        "cid long, cvec array<double>",
+    )
+    queries = corpus.filter("vid % 10 = 0")
+    probes = similarity.inline_probe_cells(
+        cents, similarity.as_double_array("vec"), 2, 6
+    )
+    probed = queries.select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("__qv"),
+        F.explode(probes).alias("__p"),
+    ).select("query_id", F.col("__p.cell").alias("cell"), "__qv")
+    table = similarity._pq_query_table(
+        probed, books, "query_id", "__qv", 6, passthrough=("cell",)
+    )
+    plan = plan_of(table)
+    assert "Exchange" not in plan and "Window" not in plan
+    assert "Join" not in plan
+    assert set(table.columns) == {"query_id", "cell", "j", "code", "partial"}
+
+    inline = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk(
+            corpus, queries, cents, books, "vid", "vec", k=3, nprobe=2
+        ).collect()
+    )
+    monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX_K", 0)
+    fallback = sorted(
+        tuple(r)
+        for r in similarity.ivf_pq_topk(
+            corpus, queries, cents, books, "vid", "vec", k=3, nprobe=2
+        ).collect()
+    )
+    assert inline == fallback and inline
+
+
 def test_ivfpq_corpus_sides_are_shuffle_free_and_match_fallback(spark, corpus, monkeypatch):
     """Corpus-side assignment in residual_vectors (nprobe=1) and
     ivf_pq_topk must be map-only for inlineable centroid sets — no
