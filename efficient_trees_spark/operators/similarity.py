@@ -359,28 +359,31 @@ def inline_probe_cells(
     )
     if not 0 < len(cents) <= _LITERAL_ASSIGN_MAX_K:
         return None
-    vnorm = norm(vec)
+    lits = _literal_centroids(cents)
 
-    def sort_key(c):
-        cos_r = F.round(dot(vec, c["cvec"]) / (vnorm * c["cnorm"]), round_to)
-        return F.named_struct(
-            F.lit("neg_cos"),
-            F.when(cos_r.isNotNull(), -cos_r).otherwise(F.lit(float("inf"))),
-            F.lit("cid"),
-            c["cid"],
+    def probes(v, n):
+        def sort_key(c):
+            cos_r = F.round(dot(v, c["cvec"]) / (n * c["cnorm"]), round_to)
+            return F.named_struct(
+                F.lit("neg_cos"),
+                F.when(cos_r.isNotNull(), -cos_r).otherwise(F.lit(float("inf"))),
+                F.lit("cid"),
+                c["cid"],
+            )
+
+        ordered = F.slice(
+            F.array_sort(F.transform(lits, sort_key)), 1, int(nprobe)
+        )
+        return F.transform(
+            ordered,
+            lambda s, i: F.named_struct(
+                F.lit("cell"), s["cid"], F.lit("probe_rank"), i + F.lit(1)
+            ),
         )
 
-    ordered = F.slice(
-        F.array_sort(F.transform(_literal_centroids(cents), sort_key)),
-        1,
-        int(nprobe),
-    )
-    return F.transform(
-        ordered,
-        lambda s, i: F.named_struct(
-            F.lit("cell"), s["cid"], F.lit("probe_rank"), i + F.lit(1)
-        ),
-    )
+    # vec and norm(vec) are _bind-hoisted: evaluated once per row, not
+    # once per centroid inside the scoring lambda.
+    return _bind(vec, lambda v: _bind(norm(v), lambda n: probes(v, n)))
 
 
 def _probed_query_side(
@@ -481,9 +484,30 @@ def ivf_cosine_topk(
 # ------------------------------------------------------- IVF centroid training
 
 def _literal_centroids(centroids: list[tuple[int, list[float]]]) -> Column:
-    """array<struct<cid, cvec, cnorm>> literal for map-only assignment."""
+    """array<struct<cid, cvec, cnorm>> literal for map-only assignment.
+
+    Built as ONE ``F.expr`` SQL string, not per-element ``F.lit`` columns:
+    k × dim ``lit`` calls are k × dim py4j round-trips, measured at ~4.6 s
+    of plan-construction time PER CALL at 65 centroids × 64 dims vs 0.4 s
+    for the single parsed string (SCALE.md).  ``repr(float)`` is the
+    shortest round-tripping decimal, and Spark's ``...D`` literal parses
+    with ``Double.parseDouble`` — bit-identical values either way.  Falls
+    back to the column form when a value is non-finite (no SQL literal
+    spelling for inf/nan)."""
     import math
 
+    if all(
+        math.isfinite(x) for _, cvec in centroids for x in cvec
+    ):
+        parts = []
+        for cid, cvec in centroids:
+            cnorm = math.sqrt(sum(x * x for x in cvec))
+            arr = ",".join(repr(float(x)) + "D" for x in cvec)
+            parts.append(
+                f"named_struct('cid', {int(cid)}, 'cvec', array({arr}), "
+                f"'cnorm', {cnorm!r}D)"
+            )
+        return F.expr("array(" + ",".join(parts) + ")")
     items = []
     for cid, cvec in centroids:
         cnorm = math.sqrt(sum(x * x for x in cvec))
@@ -497,6 +521,19 @@ def _literal_centroids(centroids: list[tuple[int, list[float]]]) -> Column:
     return F.array(*items)
 
 
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE and feed the bound value to ``fn`` —
+    lambda-scoped common-subexpression elimination for higher-order
+    functions.  Catalyst does not share subexpressions into lambda bodies,
+    so an expression referenced inside a ``transform`` over k centroids
+    re-evaluates PER ELEMENT (a ``norm(vec)`` in the scoring lambda costs
+    k extra interpreted 64-element aggregates per row — measured 2.1×
+    end-to-end on the probe assignment, SCALE.md).  Routing it through a
+    one-element array makes it a lambda variable: computed once per row,
+    referenced freely."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def assign_literal_centroid(
     vec: Column, centroids: list[tuple[int, list[float]]], round_to: int = 6
 ) -> Column:
@@ -504,24 +541,32 @@ def assign_literal_centroid(
 
     The centroid set is encoded as a literal array expression (k is small by
     construction: it lives on the driver between Lloyd iterations), so
-    assignment costs k inline dot products per row inside whole-stage
-    codegen.  Cosine is rounded and ties break on the LOWEST cid — the same
-    total order ``nearest_centroids`` uses, so a trained centroid set plugs
-    into ``ivf_cosine_topk`` with identical cell semantics.
+    assignment costs k dot products per row with no join or shuffle.
+    The input vector and its norm are ``_bind``-hoisted so each is
+    evaluated once per ROW, not once per centroid.  Cosine is rounded and
+    ties break on the LOWEST cid — the same total order
+    ``nearest_centroids`` uses, so a trained centroid set plugs into
+    ``ivf_cosine_topk`` with identical cell semantics.
     """
-    vnorm = norm(vec)
-    # named_struct, not struct(...alias...): aliases are dropped inside
-    # lambda-function bodies (fields would come out col1/col2).
-    scored = F.transform(
-        _literal_centroids(centroids),
-        lambda c: F.named_struct(
-            F.lit("cos"),
-            F.round(dot(vec, c["cvec"]) / (vnorm * c["cnorm"]), round_to),
-            F.lit("neg_cid"),
-            -c["cid"],
-        ),
-    )
-    return (-F.array_max(scored)["neg_cid"]).alias("cell")
+    lits = _literal_centroids(centroids)
+
+    def best(v, n):
+        # named_struct, not struct(...alias...): aliases are dropped inside
+        # lambda-function bodies (fields would come out col1/col2).
+        scored = F.transform(
+            lits,
+            lambda c: F.named_struct(
+                F.lit("cos"),
+                F.round(dot(v, c["cvec"]) / (n * c["cnorm"]), round_to),
+                F.lit("neg_cid"),
+                -c["cid"],
+            ),
+        )
+        return -F.array_max(scored)["neg_cid"]
+
+    return _bind(
+        vec, lambda v: _bind(norm(v), lambda n: best(v, n))
+    ).alias("cell")
 
 
 def train_ivf_centroids(
