@@ -691,6 +691,46 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _literal_codebooks(codebooks: list[list[list[float]]]) -> Column:
+    """The full M × K_sub codebook set as ONE literal column —
+    ``array<array<struct<c, sub>>>``, outer index = subspace, inner =
+    code entry.  Built as a single parsed ``F.expr`` string: the previous
+    per-entry column construction cost ~6 py4j round-trips per (j, c)
+    pair, which at the standard 8-bit PQ shape (m=8, ksub=256) is ~12k
+    driver round-trips — minutes of plan construction for ZERO execution
+    difference.  Per-element ``lit`` fallback for non-finite values."""
+    import math
+
+    if all(
+        math.isfinite(x) for book in codebooks for entry in book for x in entry
+    ):
+        books = ",".join(
+            "array("
+            + ",".join(
+                f"named_struct('c', {c}, 'sub', "
+                f"array({','.join(repr(float(x)) + 'D' for x in entry)}))"
+                for c, entry in enumerate(book)
+            )
+            + ")"
+            for book in codebooks
+        )
+        return F.expr("array(" + books + ")")
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.array(*[F.lit(float(x)) for x in entry]).alias("sub"),
+                    )
+                    for c, entry in enumerate(book)
+                ]
+            )
+            for book in codebooks
+        ]
+    )
+
+
 def pq_codebooks_from_seeds(
     seeds: DataFrame, id_col: str, vec_col: str, m: int
 ) -> list[list[list[float]]]:
@@ -791,24 +831,30 @@ def pq_encode(
     lexicographically).  ``normalize=False`` encodes the vector as-is
     (residual encoding); ``passthrough`` carries extra columns (e.g. the
     IVF cell) through without a re-join."""
-    m = len(codebooks)
     sub = len(codebooks[0][0])
     u = unit_vector(F.col(vec_col)) if normalize else as_double_array(vec_col)
+    books_lit = _literal_codebooks(codebooks)
 
-    def best_code(j: int, uvec: Column) -> Column:
-        s = F.slice(uvec, j * sub + 1, sub)
-        entries = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        _l2sq(s, F.array(*[F.lit(x) for x in cb])), round_to
-                    ).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c, cb in enumerate(codebooks[j])
-            ]
-        )
-        return F.array_min(entries)["c"]
+    def codes_of(uvec: Column) -> Column:
+        def best(book, j):
+            # the subvector slice is _bind-hoisted: cut once per (row, j),
+            # not once per codebook entry inside the distance lambda
+            return _bind(
+                F.slice(uvec, j * F.lit(sub) + F.lit(1), sub),
+                lambda s: F.array_min(
+                    F.transform(
+                        book,
+                        lambda e: F.named_struct(
+                            F.lit("d"),
+                            F.round(_l2sq(s, e["sub"]), round_to),
+                            F.lit("c"),
+                            e["c"],
+                        ),
+                    )
+                )["c"],
+            )
+
+        return F.transform(books_lit, best)
 
     # Bind the (possibly normalized) vector once per row (single
     # let-binding) rather than re-deriving it inside each of the M × K_sub
@@ -818,7 +864,7 @@ def pq_encode(
     return withu.select(
         F.col(id_col),
         *[F.col(c) for c in passthrough],
-        F.array(*[best_code(j, F.col("__u")) for j in range(m)]).alias("codes"),
+        codes_of(F.col("__u")).alias("codes"),
     )
 
 
@@ -884,36 +930,34 @@ def _pq_query_table(
     float-multiply).  Instead the score is assembled in exact integer
     half-micro units and divided out once (:func:`_adc_score`) —
     bit-identical everywhere."""
-    m = len(codebooks)
-    ksub = len(codebooks[0])
-    # (j, c, sub) literal relation — M × K_sub rows of D/M floats.
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.lit(c).alias("c"),
-                F.array(*[F.lit(x) for x in codebooks[j][c]]).alias("sub"),
-            )
-            for j in range(m)
-            for c in range(ksub)
-        ]
-    )
     sub = len(codebooks[0][0])
     scale = float(10**round_to)
+    # One nested (subspace -> entries) literal, two generators: the flat
+    # per-(j, c) entry array cost ~6 py4j calls per entry to construct.
+    books_lit = _literal_codebooks(codebooks)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         *[F.col(p) for p in passthrough],
         unit_vector(F.col(vec_col)).alias("__qu"),
     )
     return q.select(
-        "query_id", *passthrough, F.explode(entries).alias("e"), F.col("__qu")
+        "query_id",
+        *passthrough,
+        F.posexplode(books_lit).alias("j", "__book"),
+        F.col("__qu"),
     ).select(
         "query_id",
         *passthrough,
-        F.col("e.j").alias("j"),
+        "j",
+        F.explode("__book").alias("e"),
+        F.col("__qu"),
+    ).select(
+        "query_id",
+        *passthrough,
+        "j",
         F.col("e.c").alias("code"),
         F.round(
-            _l2sq(F.slice(F.col("__qu"), F.col("e.j") * sub + 1, sub), F.col("e.sub"))
+            _l2sq(F.slice(F.col("__qu"), F.col("j") * sub + 1, sub), F.col("e.sub"))
             * F.lit(scale)
         )
         .cast("long")
@@ -1034,33 +1078,26 @@ def _pq_residual_query_table(
     broadcast-sized.  Partials are the same exact integer micro-units as
     :func:`_pq_query_table` (see its docstring for why the score never
     goes through float round())."""
-    m = len(codebooks)
-    ksub = len(codebooks[0])
     sub = len(codebooks[0][0])
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.lit(c).alias("c"),
-                F.array(*[F.lit(x) for x in codebooks[j][c]]).alias("sub"),
-            )
-            for j in range(m)
-            for c in range(ksub)
-        ]
-    )
+    books_lit = _literal_codebooks(codebooks)
     scale = float(10**round_to)
     qres = residual_vectors(
         queries, centroids, id_col, vec_col, nprobe=nprobe, round_to=round_to
     ).select(F.col(id_col).alias("query_id"), "cell", "resid")
     return qres.select(
-        "query_id", "cell", F.explode(entries).alias("e"), F.col("resid")
+        "query_id",
+        "cell",
+        F.posexplode(books_lit).alias("j", "__book"),
+        F.col("resid"),
+    ).select(
+        "query_id", "cell", "j", F.explode("__book").alias("e"), F.col("resid")
     ).select(
         "query_id",
         "cell",
-        F.col("e.j").alias("j"),
+        "j",
         F.col("e.c").alias("code"),
         F.round(
-            _l2sq(F.slice(F.col("resid"), F.col("e.j") * sub + 1, sub), F.col("e.sub"))
+            _l2sq(F.slice(F.col("resid"), F.col("j") * sub + 1, sub), F.col("e.sub"))
             * F.lit(scale)
         )
         .cast("long")
