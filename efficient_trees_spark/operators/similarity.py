@@ -142,16 +142,40 @@ def plane_weight(p: int, d: int) -> int:
 
 
 def bucket_id(vec_col: Column, dim: int, n_planes: int = N_PLANES) -> Column:
-    """Bucket = bit pattern of hyperplane-side signs."""
+    """Bucket = bit pattern of hyperplane-side signs.
+
+    The planes ride in as ONE parsed literal (``array<struct<bit, w>>``)
+    folded with ``aggregate`` — the previous unrolled ``element_at``
+    arithmetic cost n_planes × dim py4j round-trips per call (~3.7 s of
+    plan construction at 8 × 64) and re-cast the vector once per plane
+    (``_bind`` hoists the cast+slice to once per row).  The per-plane dot
+    is the same left-to-right sequential sum, so bucket values are
+    bit-identical to the unrolled form (and to the DuckDB ``_bucket_sql``
+    re-derivation)."""
     v = as_double_array(vec_col) if not isinstance(vec_col, str) else as_double_array(F.col(vec_col))
-    out = F.lit(0)
-    for p in range(n_planes):
-        plane_dot = None
-        for d in range(dim):
-            term = F.element_at(v, d + 1) * F.lit(float(plane_weight(p, d)))
-            plane_dot = term if plane_dot is None else plane_dot + term
-        out = out + F.when(plane_dot > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return out
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('bit', %d, 'w', array(%s))"
+            % (
+                2**p,
+                ",".join(
+                    repr(float(plane_weight(p, d))) + "D" for d in range(dim)
+                ),
+            )
+            for p in range(n_planes)
+        )
+        + ")"
+    )
+    return _bind(
+        F.slice(v, 1, dim),  # first dim elements, like the unrolled form
+        lambda vv: F.aggregate(
+            planes_lit,
+            F.lit(0),
+            lambda acc, pl: acc
+            + F.when(dot(vv, pl["w"]) > 0, pl["bit"]).otherwise(F.lit(0)),
+        ),
+    )
 
 
 def lsh_cosine_above_threshold(
