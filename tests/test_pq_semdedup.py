@@ -867,6 +867,54 @@ def test_centroid_set_collects_once_across_composed_operators(spark):
     assert got == run(cents_df)
 
 
+def test_literal_builders_fall_back_on_non_finite_values(spark):
+    """The one-expr SQL construction has no literal spelling for inf/nan;
+    _literal_centroids and _literal_codebooks must fall back to the
+    per-element column form and still evaluate (same shape, usable in
+    assignment) rather than emit an unparseable string."""
+    inf = float("inf")
+    cents = [(0, [1.0, 0.0]), (1, [inf, 1.0])]
+    row = spark.range(1).select(
+        similarity._literal_centroids(cents).alias("a")
+    ).first()
+    assert [e["cid"] for e in row["a"]] == [0, 1]
+    assert row["a"][1]["cvec"][0] == inf
+
+    books = [[[0.5, float("nan")], [1.0, 2.0]]]
+    brow = spark.range(1).select(
+        similarity._literal_codebooks(books).alias("b")
+    ).first()
+    assert [e["c"] for e in brow["b"][0]] == [0, 1]
+    assert brow["b"][0][1]["sub"] == [1.0, 2.0]
+
+    # finite path and fallback agree value-for-value
+    fin = [(0, [0.25, -1.5]), (7, [3.0, 0.125])]
+    got = spark.range(1).select(
+        similarity._literal_centroids(fin).alias("a")
+    ).first()["a"]
+    assert [(e["cid"], list(e["cvec"])) for e in got] == [
+        (0, [0.25, -1.5]),
+        (7, [3.0, 0.125]),
+    ]
+
+
+def test_bind_evaluates_column_once_per_row(spark):
+    """_bind must feed the bound value through unchanged (identity
+    semantics) — the once-per-row evaluation is a performance contract,
+    the value contract is exact equality with the unbound expression."""
+    df = spark.range(5).select(
+        F.array(F.col("id") * 2, F.col("id") + 1).alias("v")
+    )
+    bound = df.select(
+        F.col("v"),
+        similarity._bind(
+            F.col("v"), lambda v: F.element_at(v, 1) + F.element_at(v, 2)
+        ).alias("s"),
+    ).collect()
+    for r in bound:
+        assert r["s"] == r["v"][0] + r["v"][1]
+
+
 def test_inline_cell_collect_is_limit_bounded(spark):
     """A centroid relation past the inline cap must cost the driver at
     most _LITERAL_ASSIGN_MAX_K + 1 rows (never a full-relation collect)
