@@ -65,15 +65,20 @@ _EXPR_MERGE_MAX = 128
 _EXPR_MERGE_HARD = 256
 
 # encode_ids: above this vocabulary size the symbol->id mapping switches
-# from a plan-literal create_map (2 x |vocab| literal expressions — the
-# same construction-bloat family as the expression encode's replace chain)
-# to a broadcast JOIN on the distinct-word segmentation relation.
-# MEASURED (SCALE.md round 8): create_map plan cost is ~quadratic in entry
-# count — 1k/4k entries 5.2/4.4 s total on a trivial frame, 16k 21.9 s,
-# 64k 141 s (the 262k point effectively hangs) — so 4096 sits at the knee:
-# past it the literal form burns tens of seconds of pure plan work per
-# encode call before touching any data.
-_ID_MAP_LITERAL_MAX = 4096
+# from a plan-literal map to a broadcast JOIN on the distinct-word
+# segmentation relation.  MEASURED (SCALE.md round 8, re-measured round
+# 9): the original create_map form (2 x |vocab| literal expressions) had
+# ~quadratic plan cost — 4k entries 4.4 s, 16k 21.9 s, 64k 141 s, 262k
+# hangs — which pinned this at 4096.  The literal now rides in as ONE
+# from_json(lit(<json>), 'map<string,int>') expression (json handles any
+# symbol content; Catalyst evaluates the parse once, not per row), which
+# measures FLAT: 64k entries 4.1 s, 262k 3.7 s total for a 50k-word
+# encode pass on a trivial frame — so the bound is no longer plan cost
+# but plan SIZE: the materialized map ships inside every task closure,
+# and a 1M-entry map OOMs a 1 GiB executor heap.  262,144 covers every
+# published tokenizer vocabulary (GPT-2 50k, Llama 32k, the 100-256k
+# modern range) with the broadcast join behind it for anything larger.
+_ID_MAP_LITERAL_MAX = 262_144
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -449,12 +454,12 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
 
         Plan note: on the joined path the map applies RIGHT AFTER
         segmentation — once per DISTINCT word, vocabulary-sized work
-        regardless of corpus token volume — as a plan-literal map up to
-        ``_ID_MAP_LITERAL_MAX`` symbols and as a broadcast JOIN on the
-        exploded segmentation past that (a 30k-merge production
-        vocabulary would otherwise inline 60k+ literal expressions — the
-        same plan-construction-bloat family as the measured expression-
-        encode cliff, see SCALE.md).  On the expression path (small merge
+        regardless of corpus token volume — as a plan-literal
+        ``from_json`` map up to ``_ID_MAP_LITERAL_MAX`` symbols (262k —
+        every published tokenizer vocabulary; flat plan cost, measured)
+        and as a broadcast JOIN on the exploded segmentation past that
+        (the bound is closure SIZE, not plan cost — see the constant's
+        comment).  On the expression path (small merge
         tables by dispatch, hence small vocabularies) it applies per
         token occurrence, matching that form's O(tokens) shape."""
         vocab = self.vocab()
@@ -503,8 +508,15 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
                 seg_transform=map_ids_rel,
             )
 
-        id_map = F.create_map(
-            *[F.lit(x) for i, s in enumerate(vocab) for x in (s, i)]
+        import json
+
+        # One from_json literal, not create_map: 2 x |vocab| literal
+        # expressions cost quadratic plan work (the measured 4096 knee);
+        # the json form is a 2-node expression Catalyst evaluates once,
+        # flat to 262k entries (see _ID_MAP_LITERAL_MAX).
+        id_map = F.from_json(
+            F.lit(json.dumps(dict((s, i) for i, s in enumerate(vocab)))),
+            "map<string,int>",
         )
 
         def to_ids(syms: Column) -> Column:
@@ -547,9 +559,9 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
         and ('ab','c') both yield 'abc', reachable from different word
         contexts); the id belongs to the FIRST occurrence and later
         duplicates are dropped, so every symbol has exactly one id —
-        without this, ``encode_ids``'s ``create_map`` path would throw on
-        the duplicate key and its join path would silently duplicate
-        exploded rows."""
+        without this, ``encode_ids``'s literal-map path would silently
+        bind the duplicate to the wrong id and its join path would
+        duplicate exploded rows."""
         base: set[str] = {END_OF_WORD}
         for left, right in self.merges:
             base.update(_base_chars(left))
