@@ -357,6 +357,56 @@ def test_encode_ids_join_mapping_matches_literal_map(spark, monkeypatch):
     assert any(-1 in v for v in want.values() if v)  # UNK path exercised
 
 
+def test_encode_ids_literal_map_survives_hostile_symbols(spark, monkeypatch):
+    """This engine's tokenization contract keeps vocabularies to
+    [a-z0-9]+, but BpeTokenizer accepts EXTERNAL merge tables (a published
+    merges.txt carries punctuation, quotes, unicode).  The literal id map
+    rides in as a from_json expression, so such symbols must build and map
+    correctly (json escaping owns the problem — no SQL-literal spelling is
+    ever assembled from symbol content), ids must stay consistent with
+    vocab() order, and the literal map must agree bit-for-bit with the
+    broadcast-join mapping."""
+    merges = [
+        ("a", "'b"),      # quote inside a symbol
+        ("c\\", "d"),     # backslash
+        ('e"', "f"),      # double quote (JSON-special)
+        ("🙂", "x"),      # non-BMP unicode
+        ("l", "o"),
+        ("w", "</w>"),
+        ("lo", "w</w>"),
+    ]
+    tok = bpe.BpeTokenizer(merges)
+    v = tok.vocab()
+    assert any(any(ch in s for ch in "'\\\"🙂") for s in v)
+
+    docs = spark.createDataFrame(
+        [(0, "low low lo"), (1, None), (2, "zq")], "doc_id long, text string"
+    )
+    ids = {r["doc_id"]: r["bpe_ids"] for r in tok.encode_ids(docs).collect()}
+    syms = {r["doc_id"]: r["bpe_tokens"] for r in tok.encode(docs).collect()}
+    assert ids[1] is None
+    for d, sym_seq in syms.items():
+        if sym_seq is None:
+            continue
+        assert [v[i] if i >= 0 else None for i in ids[d]] == [
+            s if s in v else None for s in sym_seq
+        ]
+    assert "low</w>" in v and v.index("low</w>") in ids[0]
+
+    # literal from_json map == broadcast-join map (forced), hostile vocab
+    lit_ids = {
+        r["doc_id"]: r["bpe_ids"]
+        for r in tok.encode_ids(docs, strategy="joined", chunk=4).collect()
+    }
+    monkeypatch.setattr(bpe, "_ID_MAP_LITERAL_MAX", 0)
+    join_ids = {
+        r["doc_id"]: r["bpe_ids"]
+        for r in tok.encode_ids(docs, strategy="joined", chunk=4).collect()
+    }
+    monkeypatch.undo()
+    assert lit_ids == join_ids == ids
+
+
 def test_vocab_dedupes_colliding_merge_symbols(spark):
     """('a','bc') and ('ab','c') both concatenate to 'abc': the id belongs
     to the first rank, the duplicate is dropped, and encode_ids works on
