@@ -51,17 +51,33 @@ def cosine(a: Column, b: Column) -> Column:
 
 def quantize_embedding(vec_col: Column | str) -> Column:
     """struct<scale: double, codes: array<tinyint>> — symmetric per-vector
-    int8 quantization.  All-zero vectors get scale 0 and zero codes."""
+    int8 quantization.  All-zero vectors get scale 0 and zero codes.
+
+    ``amax`` is ``_bind``-hoisted: referenced inside the code lambda it
+    would re-run the array_max fold per ELEMENT (twice — condition and
+    divisor: O(dim²) per row).  ``named_struct``, not ``struct``: field
+    aliases are dropped inside lambda bodies."""
     vec = as_double_array(vec_col)
-    amax = F.array_max(F.transform(vec, F.abs))
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
-    codes = F.transform(
+
+    def quantized(vv: Column, amax: Column) -> Column:
+        scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+        codes = F.transform(
+            vv,
+            lambda x: F.when(amax > 0, F.round(x / (amax / 127.0)))
+            .otherwise(F.lit(0))
+            .cast("tinyint"),
+        )
+        return F.named_struct(
+            F.lit("scale"), scale, F.lit("codes"), codes
+        )
+
+    return _bind(
         vec,
-        lambda x: F.when(amax > 0, F.round(x / (amax / 127.0)))
-        .otherwise(F.lit(0))
-        .cast("tinyint"),
+        lambda vv: _bind(
+            F.array_max(F.transform(vv, F.abs)),
+            lambda amax: quantized(vv, amax),
+        ),
     )
-    return F.struct(scale.alias("scale"), codes.alias("codes"))
 
 
 def dequantize_embedding(q_col: Column | str) -> Column:
@@ -700,10 +716,21 @@ def centroids_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFram
 
 
 def unit_vector(vec: Column) -> Column:
-    """array<double> scaled to unit L2 norm (zero vectors pass through)."""
+    """array<double> scaled to unit L2 norm (zero vectors pass through).
+
+    The norm is ``_bind``-hoisted: referenced inside the scaling lambda it
+    would re-run the 2·dim-op fold PER ELEMENT (O(dim²) per row — on the
+    PQ corpus-encode hot path that was the dominant per-row cost)."""
     v = as_double_array(vec)
-    n = norm(v)
-    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    return _bind(
+        v,
+        lambda vv: _bind(
+            norm(vv),
+            lambda n: F.when(
+                n > 0, F.transform(vv, lambda x: x / n)
+            ).otherwise(vv),
+        ),
+    )
 
 
 def _l2sq(a: Column, b: Column) -> Column:
