@@ -262,39 +262,46 @@ def top_bigram_fraction(col: Column | str, toks: Column | None = None) -> Column
     Repetitive generations score near 1.  Mode-of-bigrams without a
     pairwise count: sort the bigram array, then one fold tracking the
     longest run of equal adjacent values."""
-    toks = _toks(col, toks)
-    n = F.size(toks)
-    grams = F.array_sort(
-        F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    toks_in = _toks(col, toks)
+
+    # Bind the token array once (the module's F.array(...)[0] idiom): a
+    # raw-column caller would otherwise re-run the whole tokenization per
+    # BIGRAM inside the transform lambda (no CSE into lambda bodies).
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        grams = F.array_sort(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
-    acc0 = F.struct(
-        F.lit(0).alias("run"),
-        F.lit(0).alias("best"),
-        F.lit(None).cast("string").alias("prev"),
-    )
-
-    def step(acc: Column, x: Column) -> Column:
-        run = F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
-            F.lit(1)
+            ).otherwise(F.array().cast("array<string>"))
         )
-        return F.struct(
-            run.alias("run"),
-            F.greatest(acc.getField("best"), run).alias("best"),
-            x.alias("prev"),
+        acc0 = F.named_struct(
+            F.lit("run"), F.lit(0),
+            F.lit("best"), F.lit(0),
+            F.lit("prev"), F.lit(None).cast("string"),
         )
 
-    best = F.aggregate(grams, acc0, step, lambda acc: acc.getField("best"))
-    return F.when(
-        n >= 2, F.least(F.lit(1.0), F.lit(2.0) * best / n)
-    ).otherwise(F.lit(0.0))
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(
+                x == acc.getField("prev"), acc.getField("run") + 1
+            ).otherwise(F.lit(1))
+            return F.named_struct(
+                F.lit("run"), run,
+                F.lit("best"), F.greatest(acc.getField("best"), run),
+                F.lit("prev"), x,
+            )
+
+        best = F.aggregate(grams, acc0, step, lambda acc: acc.getField("best"))
+        return F.when(
+            n >= 2, F.least(F.lit(1.0), F.lit(2.0) * best / n)
+        ).otherwise(F.lit(0.0))
+
+    return F.get(F.transform(F.array(toks_in), build), 0)
 
 
 def token_chunks(
