@@ -1323,7 +1323,8 @@ def _semdedup_assignments(
     sub_planes: int | None,
 ) -> DataFrame:
     """``(a_id, a_vec, a_norm, cell, sub)`` — each vector's compare bucket
-    for :func:`semantic_dedup`.  ``sub`` is 0 everywhere on the unguarded
+    for :func:`semantic_dedup`; ``a_vec`` keeps the source element type
+    (see the in-body note).  ``sub`` is 0 everywhere on the unguarded
     path; with ``max_cell_size`` set, members of oversized cells get a
     hyperplane-LSH sub-bucket instead (see :func:`semantic_dedup` for the
     recall contract).  Split out so tests can bound the per-bucket sizes
@@ -1337,10 +1338,15 @@ def _semdedup_assignments(
     centroids the lazy join+window assignment takes over."""
     vec = as_double_array(vec_col)
     cell = inline_cell_column(centroids, vec, round_to)
+    # a_vec keeps the SOURCE element type (a float32 embedding column
+    # stays float32 through the (cell, sub)-keyed self-join shuffle —
+    # half the exchanged vector bytes of an eager double cast); norm and
+    # cell compute through the cast, and scoring re-casts lazily, so cos
+    # values are bit-identical either way (same trick as SemanticIndex).
     if cell is not None:
         assigned = corpus.select(
             F.col(id_col).alias("a_id"),
-            vec.alias("a_vec"),
+            F.col(vec_col).alias("a_vec"),
             norm(vec).alias("a_norm"),
             cell,
         )
@@ -1348,9 +1354,11 @@ def _semdedup_assignments(
         cells = nearest_centroids(
             corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
         )
-        assigned = _with_norm(corpus, id_col, vec_col, "a").join(
-            cells.select(F.col(id_col).alias("a_id"), "cell"), "a_id"
-        )
+        assigned = corpus.select(
+            F.col(id_col).alias("a_id"),
+            F.col(vec_col).alias("a_vec"),
+            norm(vec).alias("a_norm"),
+        ).join(cells.select(F.col(id_col).alias("a_id"), "cell"), "a_id")
     if max_cell_size is None:
         return assigned.withColumn("sub", F.lit(0))
     if max_cell_size < 1:
@@ -1473,7 +1481,8 @@ def semantic_dedup(
         "sub",
     )
     cos = F.round(
-        dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")),
+        dot(as_double_array("a_vec"), as_double_array("b_vec"))
+        / (F.col("a_norm") * F.col("b_norm")),
         round_to,
     )
     neighbors = (
