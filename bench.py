@@ -21,7 +21,12 @@ without its dispersion and load context is not interpretable.  When the
 nproc/4), the harness waits up to $SPARK_GRAFT_BENCH_LOAD_WAIT seconds
 (default 120) for it to settle and ANNOTATES the output either way
 ("load_exceeded": true) rather than refusing — the driver always gets a
-record, but a poisoned one says so on its face.
+record, but a poisoned one says so on its face.  The record also carries
+"cpu_accounting" (this container's self-CPU seconds, wall, avg cores
+used): same self-CPU over a longer wall separates host starvation from
+genuinely more expensive work, which loadavg alone cannot do — round 9's
+poisoned series was adjudicated by hand with a commit-level A/B; this
+field makes the next adjudication readable off the record.
 """
 
 from __future__ import annotations
@@ -93,6 +98,30 @@ BENCH_QUERIES = {
 }
 
 
+def read_self_cpu_sec() -> float | None:
+    """This container's cumulative CPU seconds (cgroup cpuacct / cpu.stat).
+
+    Recorded so bench runs are comparable across sessions: identical
+    queries burning the SAME self-CPU over a longer wall means the run
+    was starved by the host (external tenants / frequency — invisible
+    from inside: /proc/stat here is container-namespaced, so a
+    host-minus-self subtraction measures nothing), while inflated
+    self-CPU means the work itself got more expensive.  loadavg stays the
+    only host-scoped signal available in-container."""
+    for path in ("/sys/fs/cgroup/cpuacct/cpuacct.usage",  # cgroup v1
+                 "/sys/fs/cgroup/cpu.stat"):  # cgroup v2
+        try:
+            raw = open(path).read()
+        except OSError:
+            continue
+        if path.endswith("cpuacct.usage"):
+            return int(raw.strip()) / 1e9
+        m = re.search(r"usage_usec (\d+)", raw)
+        if m is not None:
+            return int(m.group(1)) / 1e6
+    return None
+
+
 def read_loadavg() -> list[float] | None:
     try:
         with open("/proc/loadavg") as fh:
@@ -135,6 +164,8 @@ def main() -> None:
     sf = float(match.group(1)) if match else None
 
     load_start, load_exceeded = wait_for_quiet_machine()
+    cpu0 = read_self_cpu_sec()
+    wall0 = time.monotonic()
 
     spark = get_spark(app_name="efficient-trees-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -188,6 +219,18 @@ def main() -> None:
         }
         for name, ts in samples.items()
     }
+    cpu1 = read_self_cpu_sec()
+    cpu_accounting = None
+    if cpu0 is not None and cpu1 is not None:
+        wall = time.monotonic() - wall0
+        # avg_cores_used = self CPU / wall: the series-comparable shape.
+        # Same self_cpu_sec, longer wall => host starvation; inflated
+        # self_cpu_sec => the work itself changed.
+        cpu_accounting = {
+            "self_cpu_sec": round(cpu1 - cpu0, 1),
+            "wall_sec": round(wall, 1),
+            "avg_cores_used": round((cpu1 - cpu0) / wall, 1) if wall else None,
+        }
     print(
         json.dumps(
             {
@@ -199,6 +242,7 @@ def main() -> None:
                 "loadavg_start": load_start,
                 "loadavg_end": read_loadavg(),
                 "load_exceeded": load_exceeded,
+                "cpu_accounting": cpu_accounting,
                 "sf": sf,
                 "runs_per_query": runs,
                 "aggregation": "median",
