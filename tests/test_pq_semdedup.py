@@ -679,6 +679,38 @@ def test_nearest_centroids_inline_is_map_only_and_matches_window(
         assert got == want
 
 
+def test_nearest_centroids_null_vector_ranks_last_like_window(
+    spark, monkeypatch
+):
+    """A null vector scores null cosine against every centroid; the window
+    form ranks those probes LAST (desc-nulls-last) and the inline form
+    maps null to +Infinity in its ascending sort key to match — pinned
+    here because no clean corpus exercises it."""
+    rows = spark.createDataFrame(
+        [(0, [1.0] * 4), (1, None)], "vid long, vec array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 4), (1, [-1.0] * 4)], "cid long, cvec array<double>"
+    )
+    inline = sorted(
+        tuple(r)
+        for r in similarity.nearest_centroids(
+            rows, cents, "vid", "vec", nprobe=2
+        ).collect()
+    )
+    monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX_K", 0)
+    window = sorted(
+        tuple(r)
+        for r in similarity.nearest_centroids(
+            rows, cents, "vid", "vec", nprobe=2
+        ).collect()
+    )
+    assert inline == window
+    # the null vector still emits nprobe probes (arbitrary but stable
+    # order: cid tie-break), matching row_number over all-null scores
+    assert len([t for t in inline if t[0] == 1]) == 2
+
+
 def test_ivf_query_side_is_map_only_and_topk_matches_fallback(
     spark, corpus, monkeypatch
 ):
