@@ -79,6 +79,14 @@ _EXPR_MERGE_HARD = 256
 # published tokenizer vocabulary (GPT-2 50k, Llama 32k, the 100-256k
 # modern range) with the broadcast join behind it for anything larger.
 _ID_MAP_LITERAL_MAX = 262_144
+# Entry count alone does not bound the closure: 262k LONG symbols can
+# serialize to an arbitrarily large JSON literal.  The literal form is
+# additionally gated on the serialized size of the json.dumps string —
+# past this many bytes the broadcast join takes over regardless of entry
+# count.  8 MiB keeps the executor-heap expansion of the parsed map in
+# the same ~hundreds-of-MB ballpark the 262k-entry bound was sized for
+# (the measured 1M-entry OOM on a 1 GiB heap ≈ 1 KB/entry in-heap).
+_ID_MAP_LITERAL_MAX_BYTES = 8 * 1024 * 1024
 
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -469,7 +477,19 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
                 "expression" if len(self.merges) < _EXPR_MERGE_MAX else "joined"
             )
         merges = [tuple(m) for m in self.merges]
-        if strategy == "joined" and len(vocab) > _ID_MAP_LITERAL_MAX:
+
+        import json
+
+        # The literal-map form is gated on BOTH entry count and the
+        # serialized size of the JSON string it ships in every task
+        # closure — 262k LONG symbols can blow the byte bound while
+        # passing the count bound (see _ID_MAP_LITERAL_MAX_BYTES).
+        id_map_json = None
+        if len(vocab) <= _ID_MAP_LITERAL_MAX:
+            id_map_json = json.dumps(dict((s, i) for i, s in enumerate(vocab)))
+            if len(id_map_json) > _ID_MAP_LITERAL_MAX_BYTES:
+                id_map_json = None
+        if strategy == "joined" and id_map_json is None:
             def map_ids_rel(seg: DataFrame) -> DataFrame:
                 vocab_df = seg.sparkSession.createDataFrame(
                     [(s, i) for i, s in enumerate(vocab)],
@@ -508,16 +528,16 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
                 seg_transform=map_ids_rel,
             )
 
-        import json
-
         # One from_json literal, not create_map: 2 x |vocab| literal
         # expressions cost quadratic plan work (the measured 4096 knee);
         # the json form is a 2-node expression Catalyst evaluates once,
-        # flat to 262k entries (see _ID_MAP_LITERAL_MAX).
-        id_map = F.from_json(
-            F.lit(json.dumps(dict((s, i) for i, s in enumerate(vocab)))),
-            "map<string,int>",
-        )
+        # flat to 262k entries (see _ID_MAP_LITERAL_MAX).  A forced
+        # strategy='expression' keeps the literal even past the gates —
+        # that path has no join fallback and its dispatch contract is
+        # small merge tables.
+        if id_map_json is None:
+            id_map_json = json.dumps(dict((s, i) for i, s in enumerate(vocab)))
+        id_map = F.from_json(F.lit(id_map_json), "map<string,int>")
 
         def to_ids(syms: Column) -> Column:
             return F.transform(

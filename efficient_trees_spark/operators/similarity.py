@@ -390,8 +390,12 @@ def inline_probe_cells(
     cos-DESC / cid-ASC total order — then sliced to ``nprobe`` and
     numbered, so callers explode a per-row ordered array instead of
     ranking a shuffle.  A null cosine (null / size-mismatched vector)
-    ranks LAST under the window's desc-nulls-last; the sort key maps null
-    to +Infinity to match (parity is monkeypatch-forced in tests)."""
+    ranks LAST under the window's desc-nulls-last; the sort key carries a
+    dedicated leading null-flag field — not a +Infinity sentinel, which
+    would collide with a GENUINE cos = -Infinity (overflowed dot on
+    extreme-magnitude vectors): the window orders -inf BEFORE null, and
+    the flagged struct preserves that (parity is monkeypatch-forced in
+    tests)."""
     cents = (
         centroids.rows
         if isinstance(centroids, CentroidSet)
@@ -404,9 +408,21 @@ def inline_probe_cells(
     def probes(v, n):
         def sort_key(c):
             cos_r = F.round(dot(v, c["cvec"]) / (n * c["cnorm"]), round_to)
+            # Leading null flag, NOT a +Infinity sentinel: a genuine
+            # cos = -Infinity (overflowed dot) must still rank BEFORE
+            # nulls, exactly like the window's desc-nulls-last order.
+            # A NaN cosine (inf/inf on extreme-magnitude vectors — the
+            # REACHABLE overflow case) sorts FIRST under the window's
+            # desc (Spark orders NaN above +inf); negating NaN keeps it
+            # NaN, which would sort LAST ascending — map it to -inf.
+            neg = F.when(
+                F.isnan(cos_r), F.lit(float("-inf"))
+            ).otherwise(-cos_r)
             return F.named_struct(
+                F.lit("cos_is_null"),
+                F.when(cos_r.isNotNull(), F.lit(0)).otherwise(F.lit(1)),
                 F.lit("neg_cos"),
-                F.when(cos_r.isNotNull(), -cos_r).otherwise(F.lit(float("inf"))),
+                F.coalesce(neg, F.lit(0.0)),
                 F.lit("cid"),
                 c["cid"],
             )
@@ -536,12 +552,16 @@ def _literal_centroids(centroids: list[tuple[int, list[float]]]) -> Column:
     spelling for inf/nan)."""
     import math
 
+    # The finite gate must cover the DERIVED cnorm too: finite components
+    # around 1e154+ overflow sum(x*x) to inf, and 'infD' is not a valid
+    # SQL literal spelling (F.expr would raise at plan time).  Compute
+    # norms first, then gate the one-expr form on components AND norms.
+    norms = [math.sqrt(sum(x * x for x in cvec)) for _, cvec in centroids]
     if all(
         math.isfinite(x) for _, cvec in centroids for x in cvec
-    ):
+    ) and all(math.isfinite(n) for n in norms):
         parts = []
-        for cid, cvec in centroids:
-            cnorm = math.sqrt(sum(x * x for x in cvec))
+        for (cid, cvec), cnorm in zip(centroids, norms):
             arr = ",".join(repr(float(x)) + "D" for x in cvec)
             parts.append(
                 f"named_struct('cid', {int(cid)}, 'cvec', array({arr}), "
@@ -549,8 +569,7 @@ def _literal_centroids(centroids: list[tuple[int, list[float]]]) -> Column:
             )
         return F.expr("array(" + ",".join(parts) + ")")
     items = []
-    for cid, cvec in centroids:
-        cnorm = math.sqrt(sum(x * x for x in cvec))
+    for (cid, cvec), cnorm in zip(centroids, norms):
         items.append(
             F.struct(
                 F.lit(int(cid)).alias("cid"),

@@ -357,6 +357,27 @@ def test_encode_ids_join_mapping_matches_literal_map(spark, monkeypatch):
     assert any(-1 in v for v in want.values() if v)  # UNK path exercised
 
 
+def test_encode_ids_byte_size_gate_forces_join(spark, monkeypatch):
+    """The literal map is gated on serialized JSON size, not just entry
+    count: a vocabulary of few-but-LONG symbols past
+    _ID_MAP_LITERAL_MAX_BYTES must take the broadcast-join path (the
+    multi-MB closure is the hazard the count bound alone misses) with
+    bit-identical output."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    tok = bpe.fit_bpe(docs, 10)
+    want = {
+        r["doc_id"]: r["bpe_ids"]
+        for r in tok.encode_ids(docs, strategy="joined").collect()
+    }
+    # any realistic vocab JSON exceeds 16 bytes -> gate trips
+    monkeypatch.setattr(bpe, "_ID_MAP_LITERAL_MAX_BYTES", 16)
+    got = {
+        r["doc_id"]: r["bpe_ids"]
+        for r in tok.encode_ids(docs, strategy="joined").collect()
+    }
+    assert got == want and want
+
+
 def test_encode_ids_literal_map_survives_hostile_symbols(spark, monkeypatch):
     """This engine's tokenization contract keeps vocabularies to
     [a-z0-9]+, but BpeTokenizer accepts EXTERNAL merge tables (a published

@@ -684,8 +684,8 @@ def test_nearest_centroids_null_vector_ranks_last_like_window(
 ):
     """A null vector scores null cosine against every centroid; the window
     form ranks those probes LAST (desc-nulls-last) and the inline form
-    maps null to +Infinity in its ascending sort key to match — pinned
-    here because no clean corpus exercises it."""
+    carries a leading null-flag field in its ascending sort key to match
+    — pinned here because no clean corpus exercises it."""
     rows = spark.createDataFrame(
         [(0, [1.0] * 4), (1, None)], "vid long, vec array<double>"
     )
@@ -709,6 +709,47 @@ def test_nearest_centroids_null_vector_ranks_last_like_window(
     # the null vector still emits nprobe probes (arbitrary but stable
     # order: cid tie-break), matching row_number over all-null scores
     assert len([t for t in inline if t[0] == 1]) == 2
+
+
+def test_nearest_centroids_nan_cosine_ranks_first_like_window(
+    spark, monkeypatch
+):
+    """Pathological-magnitude vectors produce a NaN cosine (inf/inf: the
+    dot AND the norm product both overflow — Cauchy-Schwarz makes a
+    genuine ±Infinity cosine unreachable in f64, NaN is what actually
+    lands).  Spark orders NaN above +Infinity, so the window's desc
+    ranks a NaN-cosine probe FIRST; the inline ascending sort key must
+    map NaN to -Infinity to agree, and the null-flag field must keep
+    null-cosine probes LAST without a sentinel collision."""
+    # vid 1: dot with cent 2 = 2e308 -> inf, norm(v) = inf -> NaN cosine
+    # for cell 2 but cos = 0.0 for the unit cells 0/1 (finite dot / inf).
+    rows = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1e308, 1e308]), (2, None)],
+        "vid long, vec array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "cid long, cvec array<double>",
+    )
+    inline = sorted(
+        tuple(r)
+        for r in similarity.nearest_centroids(
+            rows, cents, "vid", "vec", nprobe=3
+        ).collect()
+    )
+    monkeypatch.setattr(similarity, "_LITERAL_ASSIGN_MAX_K", 0)
+    window = sorted(
+        tuple(r)
+        for r in similarity.nearest_centroids(
+            rows, cents, "vid", "vec", nprobe=3
+        ).collect()
+    )
+    monkeypatch.undo()
+    assert inline == window
+    # pin the semantics, not just agreement: NaN-cosine cell 2 outranks
+    # the cos=0.0 cells for the overflow vector
+    ranks = {t[2]: t[1] for t in inline if t[0] == 1}
+    assert ranks[1] == 2
 
 
 def test_ivf_query_side_is_map_only_and_topk_matches_fallback(
@@ -918,6 +959,17 @@ def test_literal_builders_fall_back_on_non_finite_values(spark):
     ).first()
     assert [e["c"] for e in brow["b"][0]] == [0, 1]
     assert brow["b"][0][1]["sub"] == [1.0, 2.0]
+
+    # FINITE components whose derived norm overflows (sum(x*x) -> inf at
+    # ~1e154+) must also take the column form: 'infD' is not a parseable
+    # SQL literal and the one-expr form would raise at plan time.
+    hot = [(0, [1e200, 1e200]), (1, [1.0, 0.0])]
+    hrow = spark.range(1).select(
+        similarity._literal_centroids(hot).alias("a")
+    ).first()
+    assert [e["cid"] for e in hrow["a"]] == [0, 1]
+    assert hrow["a"][0]["cnorm"] == inf
+    assert hrow["a"][0]["cvec"][0] == 1e200
 
     # finite path and fallback agree value-for-value
     fin = [(0, [0.25, -1.5]), (7, [3.0, 0.125])]
