@@ -27,6 +27,14 @@ used): same self-CPU over a longer wall separates host starvation from
 genuinely more expensive work, which loadavg alone cannot do — round 9's
 poisoned series was adjudicated by hand with a commit-level A/B; this
 field makes the next adjudication readable off the record.
+
+Round 10 adds "calibration": two FIXED-WORK probes — single-threaded
+SHA-256 over a constant buffer, and a 32-way embarrassingly parallel
+Spark stage (range -> chained xxhash64 -> bit_xor) — timed before AND
+after the query sweep.  Round 9 proved byte-identical code ran 17.2 s in
+one host window and 32-58 s in another, so raw wall-times across records
+are not comparable; medians divided by the SAME record's probe time are.
+"total_over_mt_probe" carries that normalized headline on the record.
 """
 
 from __future__ import annotations
@@ -98,6 +106,65 @@ BENCH_QUERIES = {
 }
 
 
+def _st_probe_sec() -> float:
+    """Single-threaded calibration probe: SHA-256 over a fixed 1 MiB
+    buffer, fixed rep count — constant work, C-speed (hashlib), no JIT
+    warmup concerns.  Its wall time tracks effective single-core speed
+    (frequency scaling, host contention), so dividing any query median
+    by the probe time of ITS OWN record makes two records from
+    different host windows comparable.  Median of 3 reps."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(_ST_PROBE_MB):
+            h.update(buf)
+        h.digest()
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
+
+
+_ST_PROBE_MB = 1024  # 1 GiB hashed: ~1-2 s on a calm core
+
+
+_MT_PROBE_ROWS = 512_000_000
+_MT_PROBE_DEPTH = 12  # chained xxhash64 calls per row: CPU-bound codegen
+
+
+def _mt_probe_sec(spark) -> float:
+    """32-way calibration probe: an embarrassingly parallel Spark stage
+    over constant generated data (range -> chained xxhash64 -> sum), one
+    partition per core, no shuffle beyond the single-row final agg.  Its
+    wall time tracks the machine's effective N-way throughput — the
+    quantity that swung ~2x between round-8 and round-9 windows on
+    byte-identical code and broke the raw wall-time series.  Callers run
+    it once untimed first (codegen compile); timed value is the median
+    of 3 reps."""
+    from pyspark.sql import functions as F
+
+    parts = int(spark.sparkContext.defaultParallelism) or 32
+
+    def run() -> None:
+        df = spark.range(0, _MT_PROBE_ROWS, 1, parts).select(
+            F.xxhash64("id").alias("h")
+        )
+        for _ in range(_MT_PROBE_DEPTH):
+            df = df.select(F.xxhash64("h").alias("h"))
+        # bit_xor, not sum: ANSI mode throws on long-sum overflow
+        df.agg(F.bit_xor("h")).collect()
+
+    run()  # untimed: Janino compile of the chained-hash projection
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
+
+
 def read_self_cpu_sec() -> float | None:
     """This container's cumulative CPU seconds (cgroup cpuacct / cpu.stat).
 
@@ -166,6 +233,7 @@ def main() -> None:
     load_start, load_exceeded = wait_for_quiet_machine()
     cpu0 = read_self_cpu_sec()
     wall0 = time.monotonic()
+    st_before = _st_probe_sec()
 
     spark = get_spark(app_name="efficient-trees-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -199,6 +267,13 @@ def main() -> None:
             except Exception as exc:  # warmup must never fail the bench
                 print(f"warmup {name} ({d}) failed: {exc}", file=sys.stderr)
 
+    # Fixed-work calibration probes bracket the sweep: the raw wall-time
+    # series r1-r9 lost comparability when the host's effective 32-way
+    # throughput swung ~2x between rounds on byte-identical code.  A
+    # record's medians divided by ITS OWN probe times are comparable
+    # across host windows; before/after disagreement flags mid-run drift.
+    mt_before = _mt_probe_sec(spark)
+
     # Interleave rounds (run 1 of every query, then run 2, ...) so a
     # transient sandbox slowdown hits one SAMPLE of many queries, not every
     # sample of one query.
@@ -209,8 +284,24 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - start)
 
+    mt_after = _mt_probe_sec(spark)
+    st_after = _st_probe_sec()
+
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
+    mt_mean = (mt_before + mt_after) / 2
+    calibration = {
+        # single-threaded: 3-rep median of SHA-256 over _ST_PROBE_MB MiB
+        "st_probe_sec": {"before": st_before, "after": st_after},
+        # 32-way: 3-rep median of range -> chained xxhash64 -> sum
+        "mt_probe_sec": {"before": mt_before, "after": mt_after},
+        "st_probe_mb": _ST_PROBE_MB,
+        "mt_probe_rows": _MT_PROBE_ROWS,
+        "mt_probe_depth": _MT_PROBE_DEPTH,
+        # headline total in units of the parallel probe: the
+        # host-window-independent shape of the record
+        "total_over_mt_probe": round(total / mt_mean, 2) if mt_mean else None,
+    }
     dispersion = {
         name: {
             "min": round(min(ts), 3),
@@ -243,6 +334,7 @@ def main() -> None:
                 "loadavg_end": read_loadavg(),
                 "load_exceeded": load_exceeded,
                 "cpu_accounting": cpu_accounting,
+                "calibration": calibration,
                 "sf": sf,
                 "runs_per_query": runs,
                 "aggregation": "median",

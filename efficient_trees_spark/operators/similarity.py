@@ -1670,31 +1670,60 @@ def semantic_index_remove(old: SemanticIndex, ids: DataFrame) -> SemanticIndex:
     )
 
 
+# Estimated per-row overhead of the broadcast-side relation beyond the
+# vector payload itself: the doubled vector copy in the hash relation,
+# UnsafeRow/array headers, the id, norm and cell fields.  Deliberately
+# generous — the estimate guards an executor-memory cliff, so erring
+# toward the shuffled join costs one exchange, not an OOM.
+_VEC_ROW_OVERHEAD_BYTES = 96
+
+
 def semantic_match_against_index(
     index: SemanticIndex,
     new_vectors: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    broadcast: bool = True,
+    broadcast: "bool | str" = "auto",
+    broadcast_budget_bytes: int = 256 << 20,
 ) -> DataFrame:
     """(new_id, old_id, cos) — new-batch vectors matched to index vectors
     sharing their centroid cell with cosine ≥ ``threshold`` (exact cosine,
     rounded to the index's ``round_to``; same cell-local semantics as the
     unguarded :func:`semantic_dedup` restricted to old × new pairs).
 
-    Scale shape, ``broadcast=True`` (default): the new batch is assigned
-    its cells MAP-ONLY with the index's stored centroids and BROADCAST;
-    the old vector relation — whose cells are already materialized in the
+    Scale shape, ``broadcast=True``: the new batch is assigned its cells
+    MAP-ONLY with the index's stored centroids and BROADCAST; the old
+    vector relation — whose cells are already materialized in the
     parquet — streams through one cell-keyed broadcast hash join with
     ZERO exchanges (plan-gated).  Unlike the MinHash match there is no
     candidates-times-signatures second join to broadcast: vectors and
     norms ride the one join, so a whale cell costs |cell| STREAMED
     comparisons per colliding new doc (linear, spillable), never an
-    old-corpus-sized broadcast — no eager guard is needed on this path.
-    ``broadcast=False`` turns the join into a shuffled hash join for
-    TB-scale new batches (both sides exchange on the cell key,
-    parity-tested)."""
+    old-corpus-sized broadcast.  The one remaining OOM hazard on that
+    path is the NEW BATCH itself, so the default is ``'auto'``: a
+    one-pass count x max-dim size estimate of ``new_vectors`` against
+    ``broadcast_budget_bytes`` picks the join (an eager driver action at
+    plan-construction time — cache a derived batch relation first if its
+    pipeline is expensive; a STREAMING batch cannot be counted, so
+    ``'auto'`` keeps the broadcast there: micro-batches are bounded by
+    the trigger by construction).  ``broadcast=False`` — what 'auto'
+    degrades to past the budget — turns the join into a shuffled hash
+    join for TB-scale new batches (both sides exchange on the cell key,
+    parity-tested).  All paths produce identical matches."""
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(
+            f"broadcast must be True, False, or 'auto'; got {broadcast!r}"
+        )
+    if broadcast == "auto":
+        if new_vectors.isStreaming:
+            broadcast = True
+        else:
+            n_rows, max_dim = new_vectors.agg(
+                F.count(F.lit(1)), F.max(F.size(as_double_array(vec_col)))
+            ).first()
+            est = (n_rows or 0) * ((max_dim or 0) * 8 + _VEC_ROW_OVERHEAD_BYTES)
+            broadcast = est <= broadcast_budget_bytes
     new = _assigned_vectors(
         new_vectors, index.centroids, id_col, vec_col, index.round_to
     ).select(

@@ -154,6 +154,39 @@ def test_old_vectors_never_shuffle_for_the_match(spark, emb, cents, tmp_path):
     assert _match_set(shuffled) == _match_set(matched)
 
 
+def test_match_auto_degrades_to_shuffle_past_budget(spark, emb, cents, tmp_path):
+    """broadcast='auto' (the default) sizes the NEW batch eagerly —
+    count x max-dim — and degrades to the shuffled hash join past
+    broadcast_budget_bytes instead of broadcasting a too-large batch:
+    the same guard discipline BM25's broadcast_queries='auto' owns, with
+    identical matches either side of the budget.  An unknown knob value
+    raises with the choices."""
+    old = emb.filter("vec_id % 3 != 0")
+    new = emb.filter("vec_id % 3 = 0")
+    out = str(tmp_path / "sem_idx")
+    similarity.semantic_index(old, cents, "vec_id", "embedding").write(out)
+    idx = similarity.read_semantic_index(spark, out)
+
+    small_budget = similarity.semantic_match_against_index(
+        idx, new, "vec_id", "embedding", threshold=0.9,
+        broadcast="auto", broadcast_budget_bytes=64,
+    )
+    plan = small_budget._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+
+    roomy = similarity.semantic_match_against_index(
+        idx, new, "vec_id", "embedding", threshold=0.9, broadcast="auto"
+    )
+    rplan = roomy._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in rplan
+    assert _match_set(small_budget) == _match_set(roomy)
+
+    with pytest.raises(ValueError, match="True, False, or 'auto'"):
+        similarity.semantic_match_against_index(
+            idx, new, "vec_id", "embedding", threshold=0.9, broadcast="maybe"
+        )
+
+
 def test_ivf_topk_against_index_matches_per_call_form(spark, emb, cents, tmp_path):
     """Serving from a persisted SemanticIndex returns exactly what
     ivf_cosine_topk computes per call over the same corpus + centroids."""
