@@ -47,7 +47,13 @@ spark.sparkContext.setLogLevel("ERROR")
 emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 queries = emb.filter(F.col("vec_id") % 25 == 0)
 seeds = emb.filter(F.col("vec_id") % 31 == 1)  # deterministic index state
-centroids = seeds.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+# ONE collected-once handle shared by every composed operator below
+# (ivf / residual training / ivf_pq / the persisted-index serve): the
+# centroid rows reach the driver exactly once, however many operators
+# compose over them — asserted at the bottom of this script.
+centroids = similarity.CentroidSet(
+    seeds.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+)
 books = similarity.pq_codebooks_from_seeds(seeds, "vec_id", "embedding", m=8)
 res_books = similarity.train_pq_residual_codebooks(
     emb, centroids, "vec_id", "embedding", m=8, ksub=16, n_iters=5
@@ -84,6 +90,43 @@ for method, df in results.items():
     got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
     recall = len(got & truth) / max(len(truth), 1)
     print(f"{method:10s} recall@{K} vs brute = {recall:.3f}  ({len(got)} pairs)")
+
+# ---- steady-state serving from a PERSISTED index ----
+# A crawl-cadence pipeline does not re-assign the corpus per query batch:
+# it builds a SemanticIndex once per epoch (vector, norm, centroid cell
+# materialized to parquet) and serves every batch from it —
+# ivf_topk_against_index pays only the batch's own map-only nprobe
+# assignment plus the cell join; results are identical to the per-call
+# ivf form over the same corpus and centroids.
+import shutil
+import tempfile
+
+idx_dir = tempfile.mkdtemp(prefix="sem_idx_")
+try:
+    similarity.semantic_index(emb, centroids, "vec_id", "embedding").write(
+        idx_dir, mode="overwrite"
+    )
+    idx = similarity.read_semantic_index(spark, idx_dir)
+    served = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk_against_index(
+            idx, queries, "vec_id", "embedding", k=K, nprobe=2
+        ).collect()
+    }
+    per_call = {
+        (r["query_id"], r["neighbor_id"]) for r in results["ivf"].collect()
+    }
+    print(
+        f"\nserved from persisted index: {len(served)} pairs, "
+        f"identical to per-call ivf = {served == per_call}"
+    )
+finally:
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+# the whole composition — residual training, ivf, ivf_pq (x3), index
+# build + serve — collected the centroid rows from the cluster ONCE
+print(f"centroid collects across all composed operators: {centroids.collect_count}")
+assert centroids.collect_count <= 1
 
 # ---- residual IVFPQ on CLUSTERED data — the regime it exists for ----
 # The uniform table above is the worst case for every ANN index (and

@@ -56,8 +56,14 @@ def scaled_embeddings(spark, sf_dir: str, mult: int):
     )
 
 
+# Centroid count knob: vec_id % CENT_MOD = 1 over the 2000 base vectors.
+# 31 -> ~65 centroids (the original rungs); 8 -> ~250, one step under
+# _LITERAL_ASSIGN_MAX_K = 256 — the k-ceiling premium measurement.
+CENT_MOD = int(os.environ.get("PROBE_SCALE_CENT_MOD", "31"))
+
+
 def centroids_of(emb):
-    return emb.filter("vec_id % 31 = 1 AND vec_id < 2000").select(
+    return emb.filter(f"vec_id % {CENT_MOD} = 1 AND vec_id < 2000").select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
 
