@@ -1557,21 +1557,39 @@ class SemanticIndex:
         self.vectors.unpersist()
         return self
 
+    # On-disk layout version.  Bump when vectors/centroids/params change
+    # shape; readers refuse versions they don't know instead of
+    # misinterpreting rows.  Version 1 = the original (round-9) layout,
+    # whose params carried no version column — read as 1.
+    FORMAT_VERSION = 1
+
     def write(self, path: str, mode: str = "error") -> None:
         self.vectors.write.mode(mode).parquet(f"{path}/vectors")
         self.centroids.df.select("cid", "cvec").write.mode(mode).parquet(
             f"{path}/centroids"
         )
         self.vectors.sparkSession.createDataFrame(
-            [(self.round_to,)], "round_to int"
+            [(self.round_to, self.FORMAT_VERSION)],
+            "round_to int, format_version int",
         ).write.mode(mode).parquet(f"{path}/params")
 
 
 def read_semantic_index(spark, path: str) -> SemanticIndex:
+    params = spark.read.parquet(f"{path}/params").first()
+    version = (
+        params["format_version"] if "format_version" in params.__fields__ else 1
+    )
+    if version != SemanticIndex.FORMAT_VERSION:
+        raise ValueError(
+            f"semantic index at {path!r} has on-disk format_version "
+            f"{version}; this build reads version "
+            f"{SemanticIndex.FORMAT_VERSION}.  Rebuild the index (or read "
+            "it with a matching build)."
+        )
     return SemanticIndex(
         vectors=spark.read.parquet(f"{path}/vectors"),
         centroids=CentroidSet(spark.read.parquet(f"{path}/centroids")),
-        round_to=spark.read.parquet(f"{path}/params").first()["round_to"],
+        round_to=params["round_to"],
     )
 
 

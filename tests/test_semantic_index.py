@@ -248,3 +248,30 @@ def test_stream_static_semantic_match_parity(spark, emb, cents, tmp_path):
         )
     )
     assert got == want and got
+
+
+def test_index_format_version_round_trip_and_guards(spark, emb, cents, tmp_path):
+    """write() stamps format_version; a LEGACY params relation (round-9
+    layout, no version column) reads as version 1; an unknown version
+    raises naming both versions instead of misreading the layout."""
+    out = str(tmp_path / "sem_idx")
+    idx = similarity.semantic_index(emb, cents, "vec_id", "embedding")
+    idx.write(out)
+    p = spark.read.parquet(f"{out}/params").first()
+    assert p["format_version"] == similarity.SemanticIndex.FORMAT_VERSION
+    assert similarity.read_semantic_index(spark, out).round_to == idx.round_to
+
+    legacy = str(tmp_path / "legacy_idx")
+    idx.write(legacy)
+    spark.createDataFrame([(6,)], "round_to int").write.mode(
+        "overwrite"
+    ).parquet(f"{legacy}/params")
+    assert similarity.read_semantic_index(spark, legacy).round_to == 6
+
+    future = str(tmp_path / "future_idx")
+    idx.write(future)
+    spark.createDataFrame(
+        [(6, 99)], "round_to int, format_version int"
+    ).write.mode("overwrite").parquet(f"{future}/params")
+    with pytest.raises(ValueError, match="format_version 99"):
+        similarity.read_semantic_index(spark, future)
