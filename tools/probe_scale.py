@@ -35,7 +35,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from efficient_trees_spark.operators import similarity  # noqa: E402
 from efficient_trees_spark.session import get_spark  # noqa: E402
 
-MULTS = [1, 50, 200]
+MULTS = [
+    int(m)
+    for m in os.environ.get("PROBE_SCALE_MULTS", "1,50,200").split(",")
+]
 NPROBE = 2
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
