@@ -134,6 +134,21 @@ _MT_PROBE_ROWS = 512_000_000
 _MT_PROBE_DEPTH = 12  # chained xxhash64 calls per row: CPU-bound codegen
 
 
+def _mt_probe_once(spark) -> None:
+    """One untimed-by-caller run of the parallel probe stage (the caller
+    times it): the per-round drift sample."""
+    from pyspark.sql import functions as F
+
+    parts = int(spark.sparkContext.defaultParallelism) or 32
+    df = spark.range(0, _MT_PROBE_ROWS, 1, parts).select(
+        F.xxhash64("id").alias("h")
+    )
+    for _ in range(_MT_PROBE_DEPTH):
+        df = df.select(F.xxhash64("h").alias("h"))
+    # bit_xor, not sum: ANSI mode throws on long-sum overflow
+    df.agg(F.bit_xor("h")).collect()
+
+
 def _mt_probe_sec(spark) -> float:
     """32-way calibration probe: an embarrassingly parallel Spark stage
     over constant generated data (range -> chained xxhash64 -> sum), one
@@ -143,24 +158,11 @@ def _mt_probe_sec(spark) -> float:
     byte-identical code and broke the raw wall-time series.  Callers run
     it once untimed first (codegen compile); timed value is the median
     of 3 reps."""
-    from pyspark.sql import functions as F
-
-    parts = int(spark.sparkContext.defaultParallelism) or 32
-
-    def run() -> None:
-        df = spark.range(0, _MT_PROBE_ROWS, 1, parts).select(
-            F.xxhash64("id").alias("h")
-        )
-        for _ in range(_MT_PROBE_DEPTH):
-            df = df.select(F.xxhash64("h").alias("h"))
-        # bit_xor, not sum: ANSI mode throws on long-sum overflow
-        df.agg(F.bit_xor("h")).collect()
-
-    run()  # untimed: Janino compile of the chained-hash projection
+    _mt_probe_once(spark)  # untimed: Janino compile of the projection
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run()
+        _mt_probe_once(spark)
         times.append(time.perf_counter() - t0)
     return round(statistics.median(times), 3)
 
@@ -278,11 +280,18 @@ def main() -> None:
     # transient sandbox slowdown hits one SAMPLE of many queries, not every
     # sample of one query.
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    mt_rounds: list[float] = []
     for _ in range(runs):
         for name, fn in BENCH_QUERIES.items():
             start = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - start)
+        # one single-rep probe per interleaved round: contention arriving
+        # MID-sweep (the pin-2 failure mode) shows up as a step in this
+        # series where before/after brackets would average it away
+        t0 = time.perf_counter()
+        _mt_probe_once(spark)
+        mt_rounds.append(round(time.perf_counter() - t0, 3))
 
     mt_after = _mt_probe_sec(spark)
     st_after = _st_probe_sec()
@@ -293,8 +302,12 @@ def main() -> None:
     calibration = {
         # single-threaded: 3-rep median of SHA-256 over _ST_PROBE_MB MiB
         "st_probe_sec": {"before": st_before, "after": st_after},
-        # 32-way: 3-rep median of range -> chained xxhash64 -> sum
+        # 32-way: 3-rep median of range -> chained xxhash64 -> bit_xor
         "mt_probe_sec": {"before": mt_before, "after": mt_after},
+        # one single-rep probe after EACH interleaved round: a step in
+        # this series localizes mid-sweep contention to the rounds it
+        # poisoned (the before/after brackets average it away)
+        "mt_probe_rounds": mt_rounds,
         "st_probe_mb": _ST_PROBE_MB,
         "mt_probe_rows": _MT_PROBE_ROWS,
         "mt_probe_depth": _MT_PROBE_DEPTH,
