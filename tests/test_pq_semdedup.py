@@ -1013,3 +1013,20 @@ def test_inline_cell_collect_is_limit_bounded(spark):
     assert similarity.inline_cell_column(cs, F.col("v")) is None
     assert len(cs.rows) == k + 1  # bounded probe, memoized
     assert cs.collect_count == 1
+
+
+def test_inline_probe_expression_is_single_reference(spark):
+    """Catalyst does no CSE into lambda bodies, so every textual
+    occurrence of the dot fold in the probe column's analyzed plan is
+    re-evaluated per centroid per row — reference count IS cost.  The
+    plan must contain exactly TWO aggregate() folds: the dot inside the
+    sort-key lambda (once — the nanvl/coalesce form; a when-chain or
+    null-flag field that re-references the cosine prints and pays 2-3x,
+    the round-10 regression this pins) and the _bind-hoisted norm."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, cvec array<double>"
+    )
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+    col = similarity.inline_probe_cells(cents, F.col("v"), 1)
+    plan = df.select(col.alias("p"))._jdf.queryExecution().analyzed().toString()
+    assert plan.count("aggregate(") == 2, plan
