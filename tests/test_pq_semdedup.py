@@ -1030,3 +1030,10 @@ def test_inline_probe_expression_is_single_reference(spark):
     col = similarity.inline_probe_cells(cents, F.col("v"), 1)
     plan = df.select(col.alias("p"))._jdf.queryExecution().analyzed().toString()
     assert plan.count("aggregate(") == 2, plan
+
+    # the nprobe=1 twin (assign_literal_centroid) owns the same contract
+    cell = similarity.assign_literal_centroid(
+        F.col("v"), [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    )
+    aplan = df.select(cell)._jdf.queryExecution().analyzed().toString()
+    assert aplan.count("aggregate(") == 2, aplan
