@@ -904,16 +904,36 @@ def pq_encode(
     lexicographically).  ``normalize=False`` encodes the vector as-is
     (residual encoding); ``passthrough`` carries extra columns (e.g. the
     IVF cell) through without a re-join."""
-    sub = len(codebooks[0][0])
     u = unit_vector(F.col(vec_col)) if normalize else as_double_array(vec_col)
+    # Bind the (possibly normalized) vector once per row (single
+    # let-binding) rather than re-deriving it inside each of the M × K_sub
+    # folds.
+    extra = [F.col(c) for c in passthrough]
+    withu = df.select(F.col(id_col), *extra, u.alias("__u"))
+    return withu.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        _pq_codes_column(F.col("__u"), codebooks, round_to).alias("codes"),
+    )
+
+
+def _pq_codes_column(uvec: Column, codebooks, round_to: int) -> Column:
+    """``array<int>`` PQ codes as a COLUMN over an already-normalized (or
+    residual) vector expression — the projection primitive behind
+    :func:`pq_encode`, exposed so a composed projection (e.g. the
+    PQ-bearing :class:`SemanticIndex` build) can birth codes alongside
+    vector/norm/cell without a second pass or re-join.  ``uvec`` is
+    ``_bind``-hoisted (evaluated once per row however many subspaces
+    slice it)."""
+    sub = len(codebooks[0][0])
     books_lit = _literal_codebooks(codebooks)
 
-    def codes_of(uvec: Column) -> Column:
+    def codes_of(uu: Column) -> Column:
         def best(book, j):
             # the subvector slice is _bind-hoisted: cut once per (row, j),
             # not once per codebook entry inside the distance lambda
             return _bind(
-                F.slice(uvec, j * F.lit(sub) + F.lit(1), sub),
+                F.slice(uu, j * F.lit(sub) + F.lit(1), sub),
                 lambda s: F.array_min(
                     F.transform(
                         book,
@@ -929,16 +949,7 @@ def pq_encode(
 
         return F.transform(books_lit, best)
 
-    # Bind the (possibly normalized) vector once per row (single
-    # let-binding) rather than re-deriving it inside each of the M × K_sub
-    # folds.
-    extra = [F.col(c) for c in passthrough]
-    withu = df.select(F.col(id_col), *extra, u.alias("__u"))
-    return withu.select(
-        F.col(id_col),
-        *[F.col(c) for c in passthrough],
-        codes_of(F.col("__u")).alias("codes"),
-    )
+    return _bind(uvec, codes_of)
 
 
 def pq_adc_topk(
@@ -1545,12 +1556,26 @@ class SemanticIndex:
     were assigned with (new batches MUST be assigned with the same
     centroids, or cell-local compare loses its meaning).  Round-trips
     through parquet — build where the corpus lives, match anywhere; the
-    original embedding files are never needed again."""
+    original embedding files are never needed again.
 
-    def __init__(self, vectors: DataFrame, centroids: CentroidSet, round_to: int = 6):
+    With ``pq_codebooks`` the vectors relation additionally carries each
+    vector's PQ ``codes`` (non-residual, unit-normalized — the
+    :func:`ivf_pq_topk` corpus-side encoding), born in the SAME build
+    projection, so the index also serves IVFPQ/ADC top-k
+    (:func:`ivf_pq_topk_against_index`) without re-encoding the corpus
+    per query batch."""
+
+    def __init__(
+        self,
+        vectors: DataFrame,
+        centroids: CentroidSet,
+        round_to: int = 6,
+        pq_codebooks: "list[list[list[float]]] | None" = None,
+    ):
         self.vectors = vectors
         self.centroids = centroids
         self.round_to = round_to
+        self.pq_codebooks = pq_codebooks
 
     def persist(self) -> "SemanticIndex":
         self.vectors.persist()
@@ -1563,36 +1588,49 @@ class SemanticIndex:
     # On-disk layout version.  Bump when vectors/centroids/params change
     # shape; readers refuse versions they don't know instead of
     # misinterpreting rows.  Version 1 = the original (round-9) layout,
-    # whose params carried no version column — read as 1.
-    FORMAT_VERSION = 1
+    # whose params carried no version column — read as 1.  Version 2
+    # adds a nullable ``pq_codebooks`` JSON column to params and an
+    # optional ``codes`` column on the vectors relation; readers accept
+    # 1..FORMAT_VERSION.
+    FORMAT_VERSION = 2
 
     def write(self, path: str, mode: str = "error") -> None:
+        import json
+
         self.vectors.write.mode(mode).parquet(f"{path}/vectors")
         self.centroids.df.select("cid", "cvec").write.mode(mode).parquet(
             f"{path}/centroids"
         )
+        books_json = (
+            json.dumps(self.pq_codebooks)
+            if self.pq_codebooks is not None
+            else None
+        )
         self.vectors.sparkSession.createDataFrame(
-            [(self.round_to, self.FORMAT_VERSION)],
-            "round_to int, format_version int",
+            [(self.round_to, self.FORMAT_VERSION, books_json)],
+            "round_to int, format_version int, pq_codebooks string",
         ).write.mode(mode).parquet(f"{path}/params")
 
 
 def read_semantic_index(spark, path: str) -> SemanticIndex:
+    import json
+
     params = spark.read.parquet(f"{path}/params").first()
-    version = (
-        params["format_version"] if "format_version" in params.__fields__ else 1
-    )
-    if version != SemanticIndex.FORMAT_VERSION:
+    fields = params.__fields__
+    version = params["format_version"] if "format_version" in fields else 1
+    if not 1 <= version <= SemanticIndex.FORMAT_VERSION:
         raise ValueError(
             f"semantic index at {path!r} has on-disk format_version "
-            f"{version}; this build reads version "
+            f"{version}; this build reads versions 1.."
             f"{SemanticIndex.FORMAT_VERSION}.  Rebuild the index (or read "
             "it with a matching build)."
         )
+    books_json = params["pq_codebooks"] if "pq_codebooks" in fields else None
     return SemanticIndex(
         vectors=spark.read.parquet(f"{path}/vectors"),
         centroids=CentroidSet(spark.read.parquet(f"{path}/centroids")),
         round_to=params["round_to"],
+        pq_codebooks=json.loads(books_json) if books_json else None,
     )
 
 
@@ -1602,16 +1640,29 @@ def _assigned_vectors(
     id_col: str,
     vec_col: str,
     round_to: int,
+    pq_codebooks: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
-    """(__id, vec, norm, cell) — one map-only projection for inlineable
-    centroid sets; the join+window fallback past ``_LITERAL_ASSIGN_MAX_K``.
+    """(__id, vec, norm, cell[, codes]) — one map-only projection for
+    inlineable centroid sets; the join+window fallback past
+    ``_LITERAL_ASSIGN_MAX_K``.
 
     ``vec`` keeps the SOURCE element type (a float32 embedding stays
     float32 in the persisted index — half the storage of an eager double
     cast at 100 TB); norm and cell are computed through the double cast,
     and match/serve re-cast lazily at scan time, so scores are
-    bit-identical either way."""
+    bit-identical either way.  With ``pq_codebooks`` the non-residual
+    unit-normalized PQ ``codes`` (the :func:`ivf_pq_topk` corpus
+    encoding) are born in the SAME projection — the build still costs
+    one scan."""
     vec = as_double_array(vec_col)
+    codes = (
+        [
+            _pq_codes_column(unit_vector(vec), pq_codebooks, round_to)
+            .alias("codes")
+        ]
+        if pq_codebooks is not None
+        else []
+    )
     cell = inline_cell_column(centroids, vec, round_to)
     if cell is not None:
         return df.select(
@@ -1619,6 +1670,7 @@ def _assigned_vectors(
             F.col(vec_col).alias("vec"),
             norm(vec).alias("norm"),
             cell,
+            *codes,
         )
     cells = nearest_centroids(df, centroids, id_col, vec_col, nprobe=1, round_to=round_to)
     return (
@@ -1626,6 +1678,7 @@ def _assigned_vectors(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("vec"),
             norm(vec).alias("norm"),
+            *codes,
         )
         .join(cells.select(F.col(id_col).alias("__id"), "cell"), "__id")
     )
@@ -1637,15 +1690,21 @@ def semantic_index(
     id_col: str,
     vec_col: str,
     round_to: int = 6,
+    pq_codebooks: "list[list[list[float]]] | None" = None,
 ) -> SemanticIndex:
-    """Build the index: ONE corpus scan — norm and centroid cell are
-    columns of the same projection as the vector (map-only for inlineable
-    centroid sets), so building costs a scan plus the parquet write."""
+    """Build the index: ONE corpus scan — norm and centroid cell (and,
+    with ``pq_codebooks``, the PQ codes that let the index serve
+    IVFPQ/ADC) are columns of the same projection as the vector (map-only
+    for inlineable centroid sets), so building costs a scan plus the
+    parquet write."""
     cents = centroids if isinstance(centroids, CentroidSet) else CentroidSet(centroids)
     return SemanticIndex(
-        vectors=_assigned_vectors(corpus, cents, id_col, vec_col, round_to),
+        vectors=_assigned_vectors(
+            corpus, cents, id_col, vec_col, round_to, pq_codebooks
+        ),
         centroids=cents,
         round_to=round_to,
+        pq_codebooks=pq_codebooks,
     )
 
 
@@ -1671,11 +1730,15 @@ def semantic_index_merge(
                 "merging them would duplicate vector rows and match output.  "
                 "Remove them first (semantic_index_remove) or rebuild."
             )
-    new = _assigned_vectors(new_vectors, old.centroids, id_col, vec_col, old.round_to)
+    new = _assigned_vectors(
+        new_vectors, old.centroids, id_col, vec_col, old.round_to,
+        old.pq_codebooks,
+    )
     return SemanticIndex(
         vectors=old.vectors.unionByName(new),
         centroids=old.centroids,
         round_to=old.round_to,
+        pq_codebooks=old.pq_codebooks,
     )
 
 
@@ -1688,6 +1751,7 @@ def semantic_index_remove(old: SemanticIndex, ids: DataFrame) -> SemanticIndex:
         vectors=old.vectors.join(F.broadcast(victims), "__id", "left_anti"),
         centroids=old.centroids,
         round_to=old.round_to,
+        pq_codebooks=old.pq_codebooks,
     )
 
 
@@ -1815,3 +1879,112 @@ def ivf_topk_against_index(
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_pq_topk_against_index(
+    index: SemanticIndex,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 2,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVFPQ/ADC top-k SERVED from a persisted :class:`SemanticIndex`
+    built with ``pq_codebooks`` — the steady-state form of
+    :func:`ivf_pq_topk` (non-residual): the corpus-side PQ codes were
+    born in the build projection and persisted, so a query batch costs
+    its own map-only nprobe assignment + ADC distance table plus the
+    (cell, subspace, code)-keyed join the stored codes stream through.
+    Results are identical to the per-call form over the same corpus,
+    centroids and codebooks (parity-tested), including the optional
+    exact-cosine ``rerank`` stage — whose raw vectors also come FROM THE
+    INDEX (vector and norm are stored), so serving never touches the
+    original embedding files."""
+    if index.pq_codebooks is None:
+        raise ValueError(
+            "this SemanticIndex carries no PQ codebooks; build it with "
+            "semantic_index(..., pq_codebooks=...) (or use "
+            "ivf_topk_against_index for exact-cosine serving)."
+        )
+    if "codes" not in index.vectors.columns:
+        raise ValueError(
+            "this SemanticIndex's vectors relation has no 'codes' column "
+            "(built before PQ support?); rebuild with pq_codebooks."
+        )
+    round_to = index.round_to
+    codes = index.vectors.select(
+        F.col("__id").alias("neighbor_id"),
+        "cell",
+        F.posexplode("codes").alias("j", "code"),
+    )
+    probes = inline_probe_cells(
+        index.centroids, as_double_array(vec_col), nprobe, round_to
+    )
+    if probes is not None:
+        probed = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(probes).alias("__p"),
+        ).select("query_id", F.col("__p.cell").alias("cell"), "__qv")
+        table = _pq_query_table(
+            probed, index.pq_codebooks, "query_id", "__qv", round_to,
+            passthrough=("cell",),
+        )
+    else:
+        query_cells = nearest_centroids(
+            queries, index.centroids, id_col, vec_col,
+            nprobe=nprobe, round_to=round_to,
+        )
+        table = _pq_query_table(
+            queries, index.pq_codebooks, id_col, vec_col, round_to
+        ).join(
+            query_cells.select(F.col(id_col).alias("query_id"), "cell"),
+            "query_id",
+        )
+    scale = float(10**round_to)
+    scored = (
+        codes.join(F.broadcast(table), ["cell", "j", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(_adc_score(scale).alias("cos"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    if rerank < k:
+        raise ValueError(f"rerank must be >= k ({k}), got {rerank}")
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact stage from the INDEX's stored vectors/norms — no corpus files
+    c = index.vectors.select(
+        F.col("__id").alias("neighbor_id"),
+        as_double_array("vec").alias("neighbor_vec"),
+        F.col("norm").alias("neighbor_norm"),
+    )
+    q = _with_norm(queries, id_col, vec_col, "query")
+    exact = (
+        c.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("query_vec"), F.col("neighbor_vec"))
+                / (F.col("query_norm") * F.col("neighbor_norm")),
+                round_to,
+            ).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

@@ -581,6 +581,9 @@ def ann_bm25_removed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'ivf_indexed', query_id, neighbor_id, cos AS score, rank
         FROM ({_IVF_TOPK_ORACLE})
         UNION ALL
+        SELECT 'ivfpq_indexed', query_id, neighbor_id, cos AS score, rank
+        FROM ({_IVF_PQ_TOPK_ORACLE})
+        UNION ALL
         SELECT 'bm25', query_id, neighbor_id, score, rank
         FROM ({_BM25_TOPK_ORACLE})
         UNION ALL
@@ -614,7 +617,11 @@ def ann_bm25_removed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SemanticIndex (corpus-side vector/norm/cell rows paid for once at "
     "build — the steady-state ANN serving pattern; identical results to "
     "the per-call ivf leg by construction, and the oracle re-derives them "
-    "independently); "
+    "independently); method='ivfpq_indexed' serves the ivf_pq queries "
+    "from the SAME persisted index built with pq_codebooks (corpus PQ "
+    "codes born in the build projection and stored — ADC serving without "
+    "re-encoding the corpus per batch; the oracle re-derives the full "
+    "IVFPQ pipeline independently); "
     "method='bm25_removed' serves them from an index with a DELETION batch "
     "applied (bm25_index_remove: broadcast anti-join, survivors re-derive "
     "dfreq/stats) against a rebuild-on-survivors oracle — the other half "
@@ -648,14 +655,24 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = similarity.CentroidSet(_seed_centroids(emb))
     # indexed serving leg: corpus-side (vector, norm, cell) rows come from
     # a SemanticIndex built over the full corpus with the same centroids
-    idx = similarity.semantic_index(emb, cents, "vec_id", "embedding")
+    seeds = emb.filter(F.expr(_CENTROID_FILTER))
+    books = similarity.pq_codebooks_from_seeds(seeds, "vec_id", "embedding", m=_PQ_M)
+    idx = similarity.semantic_index(
+        emb, cents, "vec_id", "embedding", pq_codebooks=books
+    )
     indexed = similarity.ivf_topk_against_index(
+        idx, emb.filter(F.expr(_Q_FILTER)), "vec_id", "embedding", k=5, nprobe=2
+    )
+    # the SAME persisted index also serves ADC: codes were born in the
+    # build projection (pq_codebooks), so this leg re-uses idx
+    pq_indexed = similarity.ivf_pq_topk_against_index(
         idx, emb.filter(F.expr(_Q_FILTER)), "vec_id", "embedding", k=5, nprobe=2
     )
     return (
         as_score(ann_cosine_topk(spark, sf_dir), "brute")
         .unionByName(as_score(ann_ivf_topk(spark, sf_dir, cents), "ivf"))
         .unionByName(as_score(indexed, "ivf_indexed"))
+        .unionByName(as_score(pq_indexed, "ivfpq_indexed"))
         .unionByName(as_score(ann_pq_topk(spark, sf_dir), "pq"))
         .unionByName(as_score(ann_ivf_pq_topk(spark, sf_dir, cents), "ivf_pq"))
         .unionByName(

@@ -275,3 +275,74 @@ def test_index_format_version_round_trip_and_guards(spark, emb, cents, tmp_path)
     ).write.mode("overwrite").parquet(f"{future}/params")
     with pytest.raises(ValueError, match="format_version 99"):
         similarity.read_semantic_index(spark, future)
+
+
+def test_pq_index_round_trip_and_served_adc_parity(spark, emb, cents, tmp_path):
+    """A SemanticIndex built with pq_codebooks persists codes + codebooks
+    (format_version 2), and ivf_pq_topk_against_index from the LOADED
+    index is bit-identical to the per-call ivf_pq_topk over the same
+    corpus/centroids/codebooks — with and without the exact-cosine
+    rerank stage (whose raw vectors come from the index itself).  The
+    served plan never exchanges more than the per-call plan (the corpus
+    side streams from parquet)."""
+    seeds = emb.filter("vec_id % 31 = 1")
+    books = similarity.pq_codebooks_from_seeds(seeds, "vec_id", "embedding", m=8)
+    queries = emb.filter("vec_id % 25 = 0")
+    out = str(tmp_path / "pq_idx")
+    similarity.semantic_index(
+        emb, cents, "vec_id", "embedding", pq_codebooks=books
+    ).write(out)
+    idx = similarity.read_semantic_index(spark, out)
+    assert idx.pq_codebooks == books
+    assert "codes" in idx.vectors.columns
+    p = spark.read.parquet(f"{out}/params").first()
+    assert p["format_version"] == 2 and p["pq_codebooks"]
+
+    for rr in (None, 10):
+        served_df = similarity.ivf_pq_topk_against_index(
+            idx, queries, "vec_id", "embedding", k=5, nprobe=2, rerank=rr
+        )
+        served = sorted(tuple(r) for r in served_df.collect())
+        percall_df = similarity.ivf_pq_topk(
+            emb, queries, cents, books, "vec_id", "embedding",
+            k=5, nprobe=2, rerank=rr,
+        )
+        percall = sorted(tuple(r) for r in percall_df.collect())
+        assert served == percall and served
+        splan = served_df._jdf.queryExecution().executedPlan().toString()
+        pplan = percall_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in splan
+        assert splan.count("Exchange hashpartitioning") <= pplan.count(
+            "Exchange hashpartitioning"
+        )
+
+    # merge encodes the append with the STORED codebooks: == rebuild
+    half = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 != 0")
+    part = str(tmp_path / "pq_half")
+    similarity.semantic_index(
+        half, cents, "vec_id", "embedding", pq_codebooks=books
+    ).write(part)
+    merged = similarity.semantic_index_merge(
+        similarity.read_semantic_index(spark, part), rest, "vec_id", "embedding"
+    )
+    assert merged.pq_codebooks == books
+    m = {(r["__id"], tuple(r["codes"])) for r in merged.vectors.collect()}
+    b = {
+        (r["__id"], tuple(r["codes"]))
+        for r in similarity.semantic_index(
+            emb, cents, "vec_id", "embedding", pq_codebooks=books
+        ).vectors.collect()
+    }
+    assert m == b
+
+    # error paths: PQ serving demands a PQ-bearing index; rerank >= k
+    plain = similarity.semantic_index(emb, cents, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="no PQ codebooks"):
+        similarity.ivf_pq_topk_against_index(
+            plain, queries, "vec_id", "embedding", k=5
+        )
+    with pytest.raises(ValueError, match="rerank must be >= k"):
+        similarity.ivf_pq_topk_against_index(
+            idx, queries, "vec_id", "embedding", k=5, rerank=2
+        )
