@@ -103,9 +103,11 @@ import tempfile
 
 idx_dir = tempfile.mkdtemp(prefix="sem_idx_")
 try:
-    similarity.semantic_index(emb, centroids, "vec_id", "embedding").write(
-        idx_dir, mode="overwrite"
-    )
+    # pq_codebooks=: the PQ codes are born in the same build projection,
+    # so the ONE persisted index serves exact-cosine IVF *and* ADC
+    similarity.semantic_index(
+        emb, centroids, "vec_id", "embedding", pq_codebooks=books
+    ).write(idx_dir, mode="overwrite")
     idx = similarity.read_semantic_index(spark, idx_dir)
     served = {
         (r["query_id"], r["neighbor_id"])
@@ -119,6 +121,19 @@ try:
     print(
         f"\nserved from persisted index: {len(served)} pairs, "
         f"identical to per-call ivf = {served == per_call}"
+    )
+    adc_served = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_pq_topk_against_index(
+            idx, queries, "vec_id", "embedding", k=K, nprobe=2
+        ).collect()
+    }
+    adc_per_call = {
+        (r["query_id"], r["neighbor_id"]) for r in results["ivf_pq"].collect()
+    }
+    print(
+        f"ADC served from the same index: {len(adc_served)} pairs, "
+        f"identical to per-call ivf_pq = {adc_served == adc_per_call}"
     )
 finally:
     shutil.rmtree(idx_dir, ignore_errors=True)
