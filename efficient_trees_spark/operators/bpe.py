@@ -485,11 +485,12 @@ retrieval.Bm25Index` (train once where the corpus lives, encode anywhere).
         # closure — 262k LONG symbols can blow the byte bound while
         # passing the count bound (see _ID_MAP_LITERAL_MAX_BYTES).
         id_map_json = None
+        byte_gate_tripped = False
         if len(vocab) <= _ID_MAP_LITERAL_MAX:
             id_map_json = json.dumps(dict((s, i) for i, s in enumerate(vocab)))
             if len(id_map_json) > _ID_MAP_LITERAL_MAX_BYTES:
-                id_map_json = None
-        if strategy == "joined" and id_map_json is None:
+                byte_gate_tripped = True
+        if strategy == "joined" and (id_map_json is None or byte_gate_tripped):
             def map_ids_rel(seg: DataFrame) -> DataFrame:
                 vocab_df = seg.sparkSession.createDataFrame(
                     [(s, i) for i, s in enumerate(vocab)],

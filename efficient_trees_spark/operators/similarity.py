@@ -952,6 +952,65 @@ def _pq_codes_column(uvec: Column, codebooks, round_to: int) -> Column:
     return _bind(uvec, codes_of)
 
 
+# Estimated bytes per broadcast-hash-relation row of the query-batch-shaped
+# serving relations priced by _serving_broadcast_plan.  Deliberately
+# generous (UnsafeRow + hash-relation overhead included): the estimate
+# guards an executor-memory cliff, so erring toward the shuffled join costs
+# one exchange, not an OOM.
+_ADC_TABLE_ROW_BYTES = 64  # (query_id, [cell], j, code, partial-int)
+_PAIR_ROW_BYTES = 48  # (query_id, neighbor_id) shortlist rows
+
+
+def _serving_broadcast_plan(
+    queries: DataFrame,
+    vec_col: str,
+    broadcast: "bool | str",
+    budget: int,
+    table_rows_per_query: int,
+    rerank: "int | None",
+) -> tuple[bool, bool, bool]:
+    """Resolve the per-side broadcast decisions of a PQ/IVFPQ serving call:
+    ``(bc_table, bc_shortlist, bc_queries)``.
+
+    All three broadcast relations of an ADC serving plan are
+    query-batch-shaped — the ADC distance table (|Q| × nprobe × M × K_sub
+    small-int rows), the rerank shortlist (|Q| × k' id pairs) and the raw
+    query relation of the exact re-rank stage (|Q| vectors) — so ONE eager
+    count + max-dim pass over ``queries`` prices all three against
+    ``budget`` bytes.  ``broadcast=True/False`` forces every side;
+    ``'auto'`` (the default) sizes each side independently and degrades
+    only the oversized ones to shuffled hash joins (parity-tested: all
+    paths produce identical rows).  A bulk re-scorer feeding a
+    corpus-sized "query" batch now degrades instead of OOMing.  The count
+    is an eager driver action at plan-construction time — cache a derived
+    query relation first if its pipeline is expensive, or pass
+    ``broadcast=True``.  A STREAMING query batch cannot be counted, so
+    ``'auto'`` keeps the broadcast there (micro-batches are
+    trigger-bounded by construction)."""
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(
+            f"broadcast must be True, False, or 'auto'; got {broadcast!r}"
+        )
+    if broadcast in (True, False):
+        return broadcast, broadcast, broadcast
+    if queries.isStreaming:
+        return True, True, True
+    n_rows, max_dim = queries.agg(
+        F.count(F.lit(1)), F.max(F.size(as_double_array(vec_col)))
+    ).first()
+    n = n_rows or 0
+    bc_table = n * table_rows_per_query * _ADC_TABLE_ROW_BYTES <= budget
+    bc_shortlist = rerank is None or n * rerank * _PAIR_ROW_BYTES <= budget
+    bc_queries = n * ((max_dim or 0) * 8 + _VEC_ROW_OVERHEAD_BYTES) <= budget
+    return bc_table, bc_shortlist, bc_queries
+
+
+def _maybe_broadcast(rel: DataFrame, bc: bool) -> DataFrame:
+    """The serving-side join operand: broadcast inside the budget, shuffled
+    hash join past it (the hinted side is the build side either way)."""
+    return F.broadcast(rel) if bc else rel.hint("shuffle_hash")
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -960,6 +1019,8 @@ def pq_adc_topk(
     vec_col: str,
     k: int,
     round_to: int = 6,
+    broadcast: "bool | str" = "auto",
+    broadcast_budget_bytes: int = 256 << 20,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: rank corpus codes against per-query
     distance tables; score = 1 − ADC²/2, the PQ approximation of cosine on
@@ -974,14 +1035,23 @@ def pq_adc_topk(
     of D (64× smaller than shipping raw vectors here).  At billion-vector
     scale the same plan holds with the codes relation persisted once and
     reused across query batches; a `mapInArrow` table-lookup variant can
-    cut the explode but gives up engine-portable scoring."""
+    cut the explode but gives up engine-portable scoring.
+
+    The distance table is BROADCAST by default; ``broadcast='auto'``
+    prices it (|Q| × M × K_sub rows) against ``broadcast_budget_bytes``
+    with one eager count and degrades to a shuffled hash join past the
+    budget — see :func:`_serving_broadcast_plan` for the contract."""
+    bc_table, _, _ = _serving_broadcast_plan(
+        queries, vec_col, broadcast, broadcast_budget_bytes,
+        len(codebooks) * len(codebooks[0]), None,
+    )
     table = _pq_query_table(queries, codebooks, id_col, vec_col, round_to)
     codes = pq_encode(corpus, id_col, vec_col, codebooks, round_to).select(
         F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("j", "code")
     )
     scale = float(10**round_to)
     scored = (
-        codes.join(F.broadcast(table), ["j", "code"])
+        codes.join(_maybe_broadcast(table, bc_table), ["j", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(_adc_score(scale).alias("cos"))
@@ -1201,6 +1271,8 @@ def ivf_pq_topk(
     round_to: int = 6,
     residual: bool = False,
     rerank: int | None = None,
+    broadcast: "bool | str" = "auto",
+    broadcast_budget_bytes: int = 256 << 20,
 ) -> DataFrame:
     """IVF + PQ composed — the classic two-level ANN index (FAISS IVFPQ
     shape): the coarse quantizer restricts each query to its ``nprobe``
@@ -1236,7 +1308,18 @@ def ivf_pq_topk(
     re-join; ``inline_probe_cells``); the scoring join keys on (cell,
     subspace, code) against the broadcast (query × probed-cell × M ×
     K_sub) table, so non-probed cells never leave the scan.  Scoring is
-    the exact-integer ADC of :func:`pq_adc_topk`."""
+    the exact-integer ADC of :func:`pq_adc_topk`.
+
+    All three query-batch-shaped broadcast relations — the ADC table, the
+    rerank shortlist and the exact stage's raw query relation — default to
+    ``broadcast='auto'``: one eager count + max-dim pass prices each side
+    against ``broadcast_budget_bytes`` and degrades the oversized ones to
+    shuffled hash joins (:func:`_serving_broadcast_plan`; identical rows
+    either way, parity-tested)."""
+    bc_table, bc_shortlist, bc_queries = _serving_broadcast_plan(
+        queries, vec_col, broadcast, broadcast_budget_bytes,
+        nprobe * len(codebooks) * len(codebooks[0]), rerank,
+    )
     if residual:
         codes = residual_vectors(
             corpus, centroids, id_col, vec_col, nprobe=1, round_to=round_to
@@ -1301,7 +1384,7 @@ def ivf_pq_topk(
             )
     scale = float(10**round_to)
     scored = (
-        codes.join(F.broadcast(table), ["cell", "j", "code"])
+        codes.join(_maybe_broadcast(table, bc_table), ["cell", "j", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(_adc_score(scale).alias("cos"))
@@ -1324,8 +1407,8 @@ def ivf_pq_topk(
     c = _with_norm(corpus, id_col, vec_col, "neighbor")
     q = _with_norm(queries, id_col, vec_col, "query")
     exact = (
-        c.join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        c.join(_maybe_broadcast(shortlist, bc_shortlist), "neighbor_id")
+        .join(_maybe_broadcast(q, bc_queries), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1618,6 +1701,12 @@ def read_semantic_index(spark, path: str) -> SemanticIndex:
     params = spark.read.parquet(f"{path}/params").first()
     fields = params.__fields__
     version = params["format_version"] if "format_version" in fields else 1
+    if version is None:
+        # A params row written with an explicit-but-null version column is
+        # the legacy layout too (e.g. a v1 writer that got the column via
+        # schema merge) — fold into the v1 path instead of letting the
+        # range comparison below raise TypeError.
+        version = 1
     if not 1 <= version <= SemanticIndex.FORMAT_VERSION:
         raise ValueError(
             f"semantic index at {path!r} has on-disk format_version "
@@ -1889,6 +1978,8 @@ def ivf_pq_topk_against_index(
     k: int,
     nprobe: int = 2,
     rerank: int | None = None,
+    broadcast: "bool | str" = "auto",
+    broadcast_budget_bytes: int = 256 << 20,
 ) -> DataFrame:
     """IVFPQ/ADC top-k SERVED from a persisted :class:`SemanticIndex`
     built with ``pq_codebooks`` — the steady-state form of
@@ -1900,7 +1991,12 @@ def ivf_pq_topk_against_index(
     centroids and codebooks (parity-tested), including the optional
     exact-cosine ``rerank`` stage — whose raw vectors also come FROM THE
     INDEX (vector and norm are stored), so serving never touches the
-    original embedding files."""
+    original embedding files.
+
+    The same ``broadcast='auto'`` guard as :func:`ivf_pq_topk` prices the
+    ADC table, the rerank shortlist and the exact stage's query relation
+    against ``broadcast_budget_bytes`` and degrades oversized sides to
+    shuffled hash joins (:func:`_serving_broadcast_plan`)."""
     if index.pq_codebooks is None:
         raise ValueError(
             "this SemanticIndex carries no PQ codebooks; build it with "
@@ -1912,6 +2008,11 @@ def ivf_pq_topk_against_index(
             "this SemanticIndex's vectors relation has no 'codes' column "
             "(built before PQ support?); rebuild with pq_codebooks."
         )
+    bc_table, bc_shortlist, bc_queries = _serving_broadcast_plan(
+        queries, vec_col, broadcast, broadcast_budget_bytes,
+        nprobe * len(index.pq_codebooks) * len(index.pq_codebooks[0]),
+        rerank,
+    )
     round_to = index.round_to
     codes = index.vectors.select(
         F.col("__id").alias("neighbor_id"),
@@ -1944,7 +2045,7 @@ def ivf_pq_topk_against_index(
         )
     scale = float(10**round_to)
     scored = (
-        codes.join(F.broadcast(table), ["cell", "j", "code"])
+        codes.join(_maybe_broadcast(table, bc_table), ["cell", "j", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(_adc_score(scale).alias("cos"))
@@ -1972,8 +2073,8 @@ def ivf_pq_topk_against_index(
     )
     q = _with_norm(queries, id_col, vec_col, "query")
     exact = (
-        c.join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        c.join(_maybe_broadcast(shortlist, bc_shortlist), "neighbor_id")
+        .join(_maybe_broadcast(q, bc_queries), "query_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -683,9 +683,10 @@ def test_nearest_centroids_null_vector_ranks_last_like_window(
     spark, monkeypatch
 ):
     """A null vector scores null cosine against every centroid; the window
-    form ranks those probes LAST (desc-nulls-last) and the inline form
-    carries a leading null-flag field in its ascending sort key to match
-    — pinned here because no clean corpus exercises it."""
+    form ranks those probes LAST (desc-nulls-last) and the inline form's
+    single-reference ascending sort key maps null cosines to +Infinity
+    (``coalesce(nanvl(-cos, -inf), +inf)``) to match — pinned here because
+    no clean corpus exercises it."""
     rows = spark.createDataFrame(
         [(0, [1.0] * 4), (1, None)], "vid long, vec array<double>"
     )
@@ -719,8 +720,9 @@ def test_nearest_centroids_nan_cosine_ranks_first_like_window(
     genuine ±Infinity cosine unreachable in f64, NaN is what actually
     lands).  Spark orders NaN above +Infinity, so the window's desc
     ranks a NaN-cosine probe FIRST; the inline ascending sort key must
-    map NaN to -Infinity to agree, and the null-flag field must keep
-    null-cosine probes LAST without a sentinel collision."""
+    map NaN to -Infinity (``nanvl(-cos, -inf)``) to agree, while the
+    outer ``coalesce(..., +inf)`` keeps null-cosine probes LAST — the
+    two sentinel slots are vacant by Cauchy-Schwarz, so no collision."""
     # vid 1: dot with cent 2 = 2e308 -> inf, norm(v) = inf -> NaN cosine
     # for cell 2 but cos = 0.0 for the unit cells 0/1 (finite dot / inf).
     rows = spark.createDataFrame(
@@ -863,6 +865,52 @@ def test_ivfpq_corpus_sides_are_shuffle_free_and_match_fallback(spark, corpus, m
         ).collect()
     )
     assert inline_topk == fallback_topk and inline_topk
+
+
+def test_serving_broadcasts_auto_degrade_past_budget(spark, corpus, books):
+    """The query-batch-shaped serving broadcasts (ADC distance table,
+    rerank shortlist, exact-stage query relation) are priced against
+    broadcast_budget_bytes under the default broadcast='auto': inside the
+    budget the plan keeps every broadcast; past it (budget=0) every side
+    degrades to a shuffled hash join — ZERO broadcast exchanges on the
+    inline-assignment path — with bit-identical rows.  Guards a bulk
+    re-scorer feeding a corpus-sized "query" batch from an
+    executor-memory cliff."""
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8), (2, [1.0, -1.0] * 4)],
+        "cid long, cvec array<double>",
+    )
+    queries = corpus.limit(5)
+    kw = dict(k=3, nprobe=2, rerank=4)
+
+    wide = similarity.ivf_pq_topk(
+        corpus, queries, cents, books, "vid", "vec", **kw
+    )
+    tight = similarity.ivf_pq_topk(
+        corpus, queries, cents, books, "vid", "vec",
+        broadcast_budget_bytes=0, **kw,
+    )
+    assert "BroadcastExchange" in plan_of(wide)
+    assert "BroadcastExchange" not in plan_of(tight)
+    got_w = sorted(tuple(r) for r in wide.collect())
+    got_t = sorted(tuple(r) for r in tight.collect())
+    assert got_w == got_t and got_w
+
+    # plain ADC path: the one broadcast is the distance table
+    adc_w = similarity.pq_adc_topk(corpus, queries, books, "vid", "vec", k=3)
+    adc_t = similarity.pq_adc_topk(
+        corpus, queries, books, "vid", "vec", k=3, broadcast_budget_bytes=0
+    )
+    assert "BroadcastExchange" in plan_of(adc_w)
+    assert "BroadcastExchange" not in plan_of(adc_t)
+    assert sorted(map(tuple, adc_w.collect())) == sorted(
+        map(tuple, adc_t.collect())
+    )
+
+    with pytest.raises(ValueError, match="broadcast must be"):
+        similarity.pq_adc_topk(
+            corpus, queries, books, "vid", "vec", k=3, broadcast="maybe"
+        )
 
 
 def test_semantic_dedup_warns_when_guard_unset(spark):

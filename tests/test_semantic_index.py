@@ -276,6 +276,15 @@ def test_index_format_version_round_trip_and_guards(spark, emb, cents, tmp_path)
     with pytest.raises(ValueError, match="format_version 99"):
         similarity.read_semantic_index(spark, future)
 
+    # an explicit-but-NULL version column (e.g. a v1 writer that got the
+    # column via schema merge) is the legacy layout, not a TypeError
+    nullv = str(tmp_path / "nullv_idx")
+    idx.write(nullv)
+    spark.createDataFrame(
+        [(6, None)], "round_to int, format_version int"
+    ).write.mode("overwrite").parquet(f"{nullv}/params")
+    assert similarity.read_semantic_index(spark, nullv).round_to == 6
+
 
 def test_pq_index_round_trip_and_served_adc_parity(spark, emb, cents, tmp_path):
     """A SemanticIndex built with pq_codebooks persists codes + codebooks
@@ -335,6 +344,22 @@ def test_pq_index_round_trip_and_served_adc_parity(spark, emb, cents, tmp_path):
         ).vectors.collect()
     }
     assert m == b
+
+    # the serving broadcasts carry the 'auto' budget guard: past the
+    # budget every query-batch-shaped side (ADC table, shortlist, exact
+    # query relation) degrades to a shuffled hash join with identical rows
+    tight_df = similarity.ivf_pq_topk_against_index(
+        idx, queries, "vec_id", "embedding", k=5, nprobe=2, rerank=10,
+        broadcast_budget_bytes=0,
+    )
+    tplan = tight_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in tplan
+    wide_df = similarity.ivf_pq_topk_against_index(
+        idx, queries, "vec_id", "embedding", k=5, nprobe=2, rerank=10
+    )
+    assert sorted(tuple(r) for r in tight_df.collect()) == sorted(
+        tuple(r) for r in wide_df.collect()
+    )
 
     # error paths: PQ serving demands a PQ-bearing index; rerank >= k
     plain = similarity.semantic_index(emb, cents, "vec_id", "embedding")
