@@ -35,6 +35,22 @@ after the query sweep.  Round 9 proved byte-identical code ran 17.2 s in
 one host window and 32-58 s in another, so raw wall-times across records
 are not comparable; medians divided by the SAME record's probe time are.
 "total_over_mt_probe" carries that normalized headline on the record.
+
+Round 11 makes the record SELF-ADJUDICATING: the triangulation rule that
+had to be computed by hand across BENCH_r10 and its pin is now stamped on
+the record as "calibration_verdict" with its full numeric basis.  The rule
+(from the round-10 three-record experiment): fixed-work probes slow vs the
+pinned reference window => the host's CPU throughput itself drifted =>
+"cpu_drift" (raw walls are stale; compare via total_over_mt_probe).
+Probes CALM but self-CPU inflated vs the pinned band for identical work =>
+memory-bandwidth contention the short cache-light probes cannot see =>
+"contention" (distrust the record).  Both calm => "clean" (trust raw
+walls).  A config that doesn't match the pinned one (different sf, runs or
+query set), or a container without CPU accounting, stamps "unpinned".
+The sweep also samples self-CPU around EVERY timed query run
+("query_self_cpu_sec": per-query min/median/max CPU-seconds per run), so a
+poisoned window localizes to the queries it hit instead of poisoning the
+whole record anonymously.  Thresholds and pins are documented in SCALE.md.
 """
 
 from __future__ import annotations
@@ -167,6 +183,99 @@ def _mt_probe_sec(spark) -> float:
     return round(statistics.median(times), 3)
 
 
+# ---------------------------------------------------------------- verdict
+#
+# Pinned reference window: BENCH_PIN_r10.json — loadavg 0.1 at start,
+# probes at their observed floor, self-CPU 6462 s for the identical
+# 16-query x 5-run sf0.1 sweep (warmups + probes included; all fixed
+# work).  The pins are only meaningful for THAT configuration, so the
+# verdict degrades to "unpinned" when sf/runs/query-set differ.
+_PIN_CONFIG = {"sf": 0.1, "runs": 5, "queries": 16}
+_PIN_ST_PROBE_SEC = 0.914  # mean of the pin record's before/after brackets
+_PIN_MT_PROBE_SEC = 1.694
+_PIN_SELF_CPU_SEC = 6462.0
+# A bracketed probe (3-rep median) more than 25% over its pin is "slow";
+# single-rep mid-sweep rounds get 40% headroom (one rep, noisier).  The
+# self-CPU band is 25% too: the poisoned r10 driver record sat at 1.63x
+# with probes at 1.07-1.13x, the calm pin at 1.00x — both sides clear the
+# thresholds with margin.  Documented in SCALE.md.
+_PROBE_SLOW_RATIO = 1.25
+_PROBE_ROUND_SLOW_RATIO = 1.40
+_SELF_CPU_INFLATED_RATIO = 1.25
+
+
+def calibration_verdict(
+    st_mean: float,
+    mt_mean: float,
+    mt_rounds: list[float],
+    self_cpu_sec: "float | None",
+    sf: "float | None",
+    runs: int,
+    n_queries: int,
+) -> dict:
+    """The round-10 triangulation rule, computed from the record's own
+    fields: {"verdict": "clean" | "cpu_drift" | "contention" | "unpinned",
+    "basis": {...ratios, pins, thresholds...}}.
+
+    cpu_drift  — a fixed-work probe ran slow vs the pinned window (bracket
+                 over _PROBE_SLOW_RATIO, or any single mid-sweep round over
+                 _PROBE_ROUND_SLOW_RATIO): the host's effective CPU
+                 throughput drifted, raw walls are stale; compare records
+                 via total_over_mt_probe.
+    contention — probes calm but self-CPU inflated vs the pinned band for
+                 identical work: memory-bandwidth contention the short
+                 cache-light probes cannot see (the BENCH_r10 signature:
+                 probes 1.07-1.13x, self-CPU 1.63x).  Distrust the record.
+    clean      — both calm: trust raw walls.
+    unpinned   — the sweep isn't the pinned configuration (sf/runs/query
+                 count) or the container exposes no CPU accounting; the
+                 pins don't apply.
+    """
+    basis = {
+        "st_ratio": round(st_mean / _PIN_ST_PROBE_SEC, 3),
+        "mt_ratio": round(mt_mean / _PIN_MT_PROBE_SEC, 3),
+        "mt_rounds_max_ratio": (
+            round(max(mt_rounds) / _PIN_MT_PROBE_SEC, 3) if mt_rounds else None
+        ),
+        "self_cpu_ratio": (
+            round(self_cpu_sec / _PIN_SELF_CPU_SEC, 3)
+            if self_cpu_sec is not None
+            else None
+        ),
+        "pins": {
+            "st_probe_sec": _PIN_ST_PROBE_SEC,
+            "mt_probe_sec": _PIN_MT_PROBE_SEC,
+            "self_cpu_sec": _PIN_SELF_CPU_SEC,
+            "config": _PIN_CONFIG,
+        },
+        "thresholds": {
+            "probe_slow": _PROBE_SLOW_RATIO,
+            "probe_round_slow": _PROBE_ROUND_SLOW_RATIO,
+            "self_cpu_inflated": _SELF_CPU_INFLATED_RATIO,
+        },
+    }
+    config_matches = (
+        sf == _PIN_CONFIG["sf"]
+        and runs == _PIN_CONFIG["runs"]
+        and n_queries == _PIN_CONFIG["queries"]
+    )
+    if not config_matches or self_cpu_sec is None:
+        return {"verdict": "unpinned", "basis": basis}
+    probes_slow = (
+        basis["st_ratio"] > _PROBE_SLOW_RATIO
+        or basis["mt_ratio"] > _PROBE_SLOW_RATIO
+        or (
+            basis["mt_rounds_max_ratio"] is not None
+            and basis["mt_rounds_max_ratio"] > _PROBE_ROUND_SLOW_RATIO
+        )
+    )
+    if probes_slow:
+        return {"verdict": "cpu_drift", "basis": basis}
+    if basis["self_cpu_ratio"] > _SELF_CPU_INFLATED_RATIO:
+        return {"verdict": "contention", "basis": basis}
+    return {"verdict": "clean", "basis": basis}
+
+
 def read_self_cpu_sec() -> float | None:
     """This container's cumulative CPU seconds (cgroup cpuacct / cpu.stat).
 
@@ -280,12 +389,20 @@ def main() -> None:
     # transient sandbox slowdown hits one SAMPLE of many queries, not every
     # sample of one query.
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    cpu_samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     mt_rounds: list[float] = []
     for _ in range(runs):
         for name, fn in BENCH_QUERIES.items():
+            # self-CPU around each run (a cgroup-file read, ~µs): a
+            # poisoned window localizes to the queries whose CPU it
+            # inflated instead of poisoning the record anonymously
+            qc0 = read_self_cpu_sec()
             start = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - start)
+            qc1 = read_self_cpu_sec()
+            if qc0 is not None and qc1 is not None:
+                cpu_samples[name].append(qc1 - qc0)
         # one single-rep probe per interleaved round: contention arriving
         # MID-sweep (the pin-2 failure mode) shows up as a step in this
         # series where before/after brackets would average it away
@@ -325,16 +442,38 @@ def main() -> None:
     }
     cpu1 = read_self_cpu_sec()
     cpu_accounting = None
+    self_cpu = None
     if cpu0 is not None and cpu1 is not None:
         wall = time.monotonic() - wall0
+        self_cpu = cpu1 - cpu0
         # avg_cores_used = self CPU / wall: the series-comparable shape.
         # Same self_cpu_sec, longer wall => host starvation; inflated
         # self_cpu_sec => the work itself changed.
         cpu_accounting = {
-            "self_cpu_sec": round(cpu1 - cpu0, 1),
+            "self_cpu_sec": round(self_cpu, 1),
             "wall_sec": round(wall, 1),
-            "avg_cores_used": round((cpu1 - cpu0) / wall, 1) if wall else None,
+            "avg_cores_used": round(self_cpu / wall, 1) if wall else None,
         }
+    query_self_cpu = {
+        name: {
+            "min": round(min(cs), 1),
+            "median": round(statistics.median(cs), 1),
+            "max": round(max(cs), 1),
+        }
+        for name, cs in cpu_samples.items()
+        if cs
+    }
+    verdict = calibration_verdict(
+        (st_before + st_after) / 2,
+        mt_mean,
+        mt_rounds,
+        self_cpu,
+        sf,
+        runs,
+        len(BENCH_QUERIES),
+    )
+    calibration["calibration_verdict"] = verdict["verdict"]
+    calibration["verdict_basis"] = verdict["basis"]
     print(
         json.dumps(
             {
@@ -343,6 +482,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "dispersion": dispersion,
+                "query_self_cpu_sec": query_self_cpu or None,
                 "loadavg_start": load_start,
                 "loadavg_end": read_loadavg(),
                 "load_exceeded": load_exceeded,
