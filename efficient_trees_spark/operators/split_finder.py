@@ -30,6 +30,10 @@ stable under any partitioning.
 
 from __future__ import annotations
 
+import json
+import os
+import sys
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, Window
@@ -37,6 +41,31 @@ from pyspark.sql import functions as F
 
 from efficient_trees_spark.enums import Criterion
 from efficient_trees_spark.functions import exprs
+
+# Per-level stage attribution, dumped on a knob: set
+# SPARK_GRAFT_LEVEL_TIMINGS to a file path (JSONL appended, one line per
+# level job) or "stderr".  Exists because tree_fit_wide's wall time swung
+# 2.4x WITHIN one five-sample run on an idle host (GC excluded by
+# -Xlog:gc) and the bench median cannot say WHICH stage of the level loop
+# inflated — the cube Spark job, the driver-side cube merge, the malloc
+# trim, or the driver-local gains pass.  Timings are a few perf_counter
+# reads per LEVEL (not per row); the knob only gates the emit.
+_LEVEL_TIMINGS_ENV = "SPARK_GRAFT_LEVEL_TIMINGS"
+
+
+def _emit_level_timings(record: dict) -> None:
+    dest = os.environ.get(_LEVEL_TIMINGS_ENV)
+    if not dest:
+        return
+    line = json.dumps(record)
+    if dest == "stderr":
+        print(line, file=sys.stderr)
+        return
+    try:
+        with open(dest, "a") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:  # diagnostics must never fail the fit
+        print(f"level-timings emit failed: {exc}", file=sys.stderr)
 
 # Internal column names (never collide with user feature names because the
 # unpivoted relation only carries these fixed columns).
@@ -501,6 +530,8 @@ def find_best_splits_packed(
             n_parts * max(1, n_pending_nodes or 1) * cube_bytes <= cube_budget
         )
         distributions: dict[int, list] | None = None
+        stages: dict[str, float] = {}
+        t_level0 = time.perf_counter()
         if dense_ok:
             cubes = packed_histogram_cubes(
                 packed_df,
@@ -528,6 +559,8 @@ def find_best_splits_packed(
                 cube_rows = _arrow_cube_rows(cubes.toArrow())
             else:  # pragma: no cover - pre-Arrow-collect Spark
                 cube_rows = cubes.collect()
+            stages["cube_job_sec"] = time.perf_counter() - t_level0
+            t0 = time.perf_counter()
             pdf, distributions = merge_cubes_to_counts_pdf(
                 cube_rows,
                 feature_names,
@@ -540,8 +573,11 @@ def find_best_splits_packed(
             # inputs; return it to the OS before the next level piles on
             # (the DRIVER ratchets across levels otherwise, same allocator
             # behavior the workers showed — histogram._trim_malloc notes).
+            stages["driver_merge_sec"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             del cube_rows
             _trim_malloc()
+            stages["malloc_trim_sec"] = time.perf_counter() - t0
         else:
             counts = packed_histogram_counts(
                 packed_df,
@@ -557,6 +593,7 @@ def find_best_splits_packed(
                 code_dtype=code_dtype,
             )
             pdf = counts.toPandas()
+            stages["sparse_counts_job_sec"] = time.perf_counter() - t_level0
             if want_distributions:
                 mask = pdf[FEATURE] == DIST_FEATURE
                 distributions = {
@@ -568,6 +605,7 @@ def find_best_splits_packed(
                     for _, r in pdf[mask].iterrows()
                 }
                 pdf = pdf[~mask]
+        t0 = time.perf_counter()
         if pdf is None or pdf.empty:
             best: list[dict[str, Any]] = []
         else:
@@ -579,7 +617,18 @@ def find_best_splits_packed(
             best = _best_split_rows_local(
                 gains.toPandas(), feature_names, node_col
             )
+        stages["local_gains_sec"] = time.perf_counter() - t0
+        _emit_level_timings(
+            {
+                "path": "dense" if dense_ok else "sparse_local",
+                "n_pending_nodes": n_pending_nodes,
+                "n_parts": n_parts,
+                "level_total_sec": round(time.perf_counter() - t_level0, 3),
+                "stages": {k: round(v, 3) for k, v in stages.items()},
+            }
+        )
         return (best, distributions) if want_distributions else best
+    t_level0 = time.perf_counter()
     counts = packed_histogram_counts(
         packed_df,
         feature_names,
@@ -604,6 +653,14 @@ def find_best_splits_packed(
         precomputed_counts=counts,
     )
     best = _best_split_rows(gains, feature_names, node_col)
+    _emit_level_timings(
+        {
+            "path": "distributed",
+            "n_pending_nodes": n_pending_nodes,
+            "level_total_sec": round(time.perf_counter() - t_level0, 3),
+            "stages": {},
+        }
+    )
     return (best, None) if want_distributions else best
 
 

@@ -131,6 +131,36 @@ def test_wide_fit_arrow_expand_parity(spark):
     assert trees["arrow"] == trees["expand"]
 
 
+def test_level_timings_knob_emits_stage_attribution(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_LEVEL_TIMINGS dumps one JSONL line per level job with
+    per-stage walls (cube Spark job / driver merge / malloc trim / local
+    gains) — the instrument that attributed tree_fit_wide's intra-run
+    dispersion to the cube jobs (SCALE.md).  Unset, nothing is written
+    and the fit is identical."""
+    out = str(tmp_path / "lvl.jsonl")
+    data = build_wide_table(spark, SF_DIR, n_features=8)
+    monkeypatch.setenv("SPARK_GRAFT_LEVEL_TIMINGS", out)
+    m = DecisionTreeClassifier(
+        max_depth=2, criterion=Criterion.ENTROPY, max_bins=8, hist_method="arrow"
+    )
+    m.fit(data, "target")
+    monkeypatch.delenv("SPARK_GRAFT_LEVEL_TIMINGS")
+    lines = [json.loads(ln) for ln in open(out)]
+    assert len(lines) == 2  # depth-2 fit: one line per level job
+    for rec in lines:
+        assert rec["path"] == "dense"
+        assert rec["level_total_sec"] > 0
+        assert set(rec["stages"]) == {
+            "cube_job_sec", "driver_merge_sec", "malloc_trim_sec",
+            "local_gains_sec",
+        }
+    m2 = DecisionTreeClassifier(
+        max_depth=2, criterion=Criterion.ENTROPY, max_bins=8, hist_method="arrow"
+    )
+    m2.fit(data, "target")
+    assert m2.tree == m.tree
+
+
 def test_hist_method_validation(spark):
     data = build_wide_table(spark, SF_DIR, n_features=4)
     with pytest.raises(ValueError, match="strategy='level'"):
