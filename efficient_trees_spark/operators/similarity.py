@@ -285,6 +285,14 @@ def nearest_centroids(
 # Past this many centroids the plan-literal assignment form would bloat
 # the expression tree (k x dim inline literals); the lazy join+window form
 # takes over.  256 x 64-dim = 16k literals — comfortably inside codegen.
+# The ceiling was probed past the cap (tools/probe_scale.py with
+# PROBE_SCALE_INLINE_MAX, sf0.1, round 11): inline still WINS on
+# execution wall at k=500 (1.15x/1.44x at x1/x50 rows) and k=1000
+# (1.09x/1.28x), but per-call PLAN CONSTRUCTION (py4j literal shipping +
+# Catalyst planning) grows ~linearly with k — ~2 s at k=250, ~4.5 s at
+# 500, ~8.8 s at 1000 (warm) — and dominates any non-corpus-sized batch.
+# The knee is a plan-cost knee, not an execution knee; 256 keeps the
+# per-call driver cost bounded while the join+window fallback stays lazy.
 _LITERAL_ASSIGN_MAX_K = 256
 
 

@@ -61,8 +61,17 @@ def scaled_embeddings(spark, sf_dir: str, mult: int):
 
 # Centroid count knob: vec_id % CENT_MOD = 1 over the 2000 base vectors.
 # 31 -> ~65 centroids (the original rungs); 8 -> ~250, one step under
-# _LITERAL_ASSIGN_MAX_K = 256 — the k-ceiling premium measurement.
+# _LITERAL_ASSIGN_MAX_K = 256 — the k-ceiling premium measurement;
+# 4 -> 500 and 2 -> 1000 for the past-the-cap knee sweep (requires
+# PROBE_SCALE_INLINE_MAX to keep the inline form inline).
 CENT_MOD = int(os.environ.get("PROBE_SCALE_CENT_MOD", "31"))
+
+# Past-the-cap sweep: raise the inline ceiling for the measurement only
+# (the shipped _LITERAL_ASSIGN_MAX_K stays 256 unless the sweep says
+# otherwise).  Expected failure modes at large k are plan size (k x dim
+# float literals) and py4j literal-construction cost, so the rung records
+# plan_construction_sec (build + full physical planning) alongside wall.
+INLINE_MAX = os.environ.get("PROBE_SCALE_INLINE_MAX")
 
 
 def centroids_of(emb):
@@ -101,9 +110,15 @@ def main() -> None:
         n = emb.count()  # also materializes the persist
 
         def inline_df():
-            return similarity.nearest_centroids(
-                emb, base_cents, "vec_id", "embedding", nprobe=NPROBE
-            )
+            orig = similarity._LITERAL_ASSIGN_MAX_K
+            if INLINE_MAX is not None:
+                similarity._LITERAL_ASSIGN_MAX_K = int(INLINE_MAX)
+            try:
+                return similarity.nearest_centroids(
+                    emb, base_cents, "vec_id", "embedding", nprobe=NPROBE
+                )
+            finally:
+                similarity._LITERAL_ASSIGN_MAX_K = orig
 
         def fallback_df():
             orig = similarity._LITERAL_ASSIGN_MAX_K
@@ -115,6 +130,18 @@ def main() -> None:
             finally:
                 similarity._LITERAL_ASSIGN_MAX_K = orig
 
+        # plan-construction cost (py4j literal shipping + Catalyst
+        # analysis + physical planning), timed cold before any execution:
+        # the expected failure axis of large-k literal centroid sets
+        def plan_sec(mk) -> float:
+            t0 = time.monotonic()
+            df = mk()
+            df._jdf.queryExecution().executedPlan()
+            return round(time.monotonic() - t0, 3)
+
+        inline_plan_sec = plan_sec(inline_df)
+        fallback_plan_sec = plan_sec(fallback_df)
+
         noop(inline_df())  # warmup
         noop(fallback_df())
         inline_t = statistics.median(timed(inline_df()) for _ in range(RUNS))
@@ -125,6 +152,8 @@ def main() -> None:
             "centroids": k,
             "inline_sec": round(inline_t, 3),
             "fallback_sec": round(fb_t, 3),
+            "inline_plan_sec": inline_plan_sec,
+            "fallback_plan_sec": fallback_plan_sec,
             "speedup": round(fb_t / inline_t, 2) if inline_t else None,
             "inline_exchanges": exchange_count(inline_df()),
             "fallback_exchanges": exchange_count(fallback_df()),
