@@ -1686,8 +1686,43 @@ class SemanticIndex:
     FORMAT_VERSION = 2
 
     def write(self, path: str, mode: str = "error") -> None:
-        import json
+        """Persist to ``path`` (vectors/centroids/params parquet).
 
+        ``write()`` to a FRESH path is also the COMPACTION step: k chained
+        :func:`semantic_index_merge` calls build a union-of-unions lazy
+        plan over k+1 parquet reads whose match/serve plans re-scan every
+        source — writing materializes it into one flat relation; re-read
+        with :func:`read_semantic_index` and drop the chain (recommended
+        cadence: compact after ~10 merges, or when match latency drifts).
+
+        Writing INTO a path any of this index's relations was lazily read
+        from refuses loudly: ``overwrite`` deletes the source under the
+        scan that feeds it (the classic lazy-read self-overwrite
+        corruption trap — Spark only sometimes detects it) and ``append``
+        silently duplicates rows.  Write to a fresh path and swap."""
+        import json
+        import os as _os
+
+        if mode in ("overwrite", "append"):
+            target = _os.path.abspath(path)
+            for rel, part in (
+                (self.vectors, "vectors"),
+                (self.centroids.df, "centroids"),
+            ):
+                try:
+                    files = rel.inputFiles()
+                except Exception:  # non-file-backed plans have no inputs
+                    files = []
+                if any(f"{target}/" in f for f in files):
+                    raise ValueError(
+                        f"refusing to {mode} the semantic index into "
+                        f"{path!r}: its {part} relation lazily READS from "
+                        "that path, so overwriting would delete the "
+                        "source mid-scan (and append would duplicate "
+                        "rows).  Write to a fresh path and swap — that "
+                        "write is also the compaction step after merge "
+                        "chains."
+                    )
         self.vectors.write.mode(mode).parquet(f"{path}/vectors")
         self.centroids.df.select("cid", "cvec").write.mode(mode).parquet(
             f"{path}/centroids"
@@ -1816,7 +1851,14 @@ def semantic_index_merge(
     index's centroids — cell meaning is stable across appends); vector
     rows union.  Append ids must be disjoint from the old corpus;
     ``validate=True`` runs the same eager semi-join overlap guard as
-    ``bm25_index_merge``/``minhash_index_merge``."""
+    ``bm25_index_merge``/``minhash_index_merge``.
+
+    The result is LAZY: each merge stacks one more union (and, for a
+    disk-backed ``old``, one more parquet read) onto the plan, and every
+    match/serve call re-scans all of them.  Compact a merge chain by
+    ``write()``-ing to a FRESH path and re-reading
+    (:meth:`SemanticIndex.write` documents the cadence and the
+    self-overwrite guard)."""
     if validate:
         new_ids = new_vectors.select(F.col(id_col).alias("__id")).distinct()
         overlap = old.vectors.select("__id").join(new_ids, "__id").limit(1).first()

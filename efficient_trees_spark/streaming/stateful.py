@@ -36,9 +36,9 @@ cannot import name 'descriptor' from 'google.protobuf'``; the RocksDB
 state-store provider itself initializes fine).  On a cluster with
 protobuf available the sketch above is the drop-in upgrade — it removes
 the GroupState timeout dance (real timers), supports state TTL, and
-queues multiple state variables per key.  Re-checked round 10:
-``import google.protobuf`` still fails (``No module named 'google'``) —
-the migration stays environment-blocked.
+queues multiple state variables per key.  Re-checked round 10 and again
+round 11: ``import google.protobuf`` still fails (``No module named
+'google'``) — the migration stays environment-blocked.
 """
 
 from __future__ import annotations

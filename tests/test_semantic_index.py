@@ -286,6 +286,39 @@ def test_index_format_version_round_trip_and_guards(spark, emb, cents, tmp_path)
     assert similarity.read_semantic_index(spark, nullv).round_to == 6
 
 
+def test_write_refuses_self_overwrite_and_compacts_to_fresh_path(
+    spark, emb, cents, tmp_path
+):
+    """write(mode='overwrite'/'append') into the path the index lazily
+    reads from is the classic silent-corruption trap (source deleted
+    mid-scan / rows duplicated) — it must refuse loudly.  Writing the
+    merged chain to a FRESH path is the compaction step and must
+    round-trip the merged contents."""
+    p1 = str(tmp_path / "idx1")
+    similarity.semantic_index(
+        emb.filter("vec_id % 2 = 0"), cents, "vec_id", "embedding"
+    ).write(p1)
+    idx = similarity.read_semantic_index(spark, p1)
+    merged = similarity.semantic_index_merge(
+        idx, emb.filter("vec_id % 2 != 0"), "vec_id", "embedding"
+    )
+    for mode in ("overwrite", "append"):
+        with pytest.raises(ValueError, match="refusing to"):
+            merged.write(p1, mode=mode)
+        with pytest.raises(ValueError, match="refusing to"):
+            idx.write(p1, mode=mode)
+    # a fresh path compacts the union-of-parquet chain into one relation
+    p2 = str(tmp_path / "idx2")
+    merged.write(p2)
+    back = similarity.read_semantic_index(spark, p2)
+    assert back.vectors.count() == emb.count()
+    assert "Union" not in back.vectors._jdf.queryExecution().optimizedPlan().toString()
+    # an in-memory index (no file inputs) still overwrites freely
+    similarity.semantic_index(emb, cents, "vec_id", "embedding").write(
+        p2, mode="overwrite"
+    )
+
+
 def test_pq_index_round_trip_and_served_adc_parity(spark, emb, cents, tmp_path):
     """A SemanticIndex built with pq_codebooks persists codes + codebooks
     (format_version 2), and ivf_pq_topk_against_index from the LOADED
