@@ -1324,6 +1324,10 @@ def ivf_pq_topk(
     against ``broadcast_budget_bytes`` and degrades the oversized ones to
     shuffled hash joins (:func:`_serving_broadcast_plan`; identical rows
     either way, parity-tested)."""
+    if rerank is not None and rerank < k:
+        # validate BEFORE the 'auto' sizing pass: a bad parameter must not
+        # cost an eager Spark job over the query pipeline first
+        raise ValueError(f"rerank must be >= k ({k}), got {rerank}")
     bc_table, bc_shortlist, bc_queries = _serving_broadcast_plan(
         queries, vec_col, broadcast, broadcast_budget_bytes,
         nprobe * len(codebooks) * len(codebooks[0]), rerank,
@@ -1405,8 +1409,6 @@ def ivf_pq_topk(
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
-    if rerank < k:
-        raise ValueError(f"rerank must be >= k ({k}), got {rerank}")
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= rerank)
@@ -1641,6 +1643,29 @@ def semantic_dedup(
 # shuffles (plan-gated).
 
 
+def _comparable_path(p: str) -> str:
+    """A scheme-insensitive comparable form of a storage path, for the
+    self-overwrite guard: ``file:///root/x`` and ``/root/x`` (and its
+    symlinked spellings) must compare equal, and ``s3a://bucket/idx``
+    must match the ``s3a://bucket/idx/vectors/part-*`` entries
+    ``inputFiles()`` reports — ``os.path.abspath`` alone mangles URI
+    paths into ``/cwd/s3a:/...`` and silently defeats the guard on
+    object stores."""
+    import os as _os
+
+    if "://" in p:
+        # URI: authority + path is the identity (s3a://bucket/x ->
+        # bucket/x; hdfs://nn:8020/x -> nn:8020/x); local file URIs
+        # resolve symlinks like bare paths do
+        scheme, rest = p.split("://", 1)
+        if scheme == "file":
+            return _os.path.realpath("/" + rest.lstrip("/")).rstrip("/")
+        return rest.rstrip("/")
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    return _os.path.realpath(_os.path.abspath(p)).rstrip("/")
+
+
 class SemanticIndex:
     """Corpus-side state for incremental embedding near-dup matching:
     ``(\\_\\_id, vec, norm, cell)`` rows plus the centroid relation they
@@ -1701,10 +1726,9 @@ class SemanticIndex:
         corruption trap — Spark only sometimes detects it) and ``append``
         silently duplicates rows.  Write to a fresh path and swap."""
         import json
-        import os as _os
 
         if mode in ("overwrite", "append"):
-            target = _os.path.abspath(path)
+            target = _comparable_path(path)
             for rel, part in (
                 (self.vectors, "vectors"),
                 (self.centroids.df, "centroids"),
@@ -1713,7 +1737,10 @@ class SemanticIndex:
                     files = rel.inputFiles()
                 except Exception:  # non-file-backed plans have no inputs
                     files = []
-                if any(f"{target}/" in f for f in files):
+                if any(
+                    _comparable_path(f).startswith(target + "/")
+                    for f in files
+                ):
                     raise ValueError(
                         f"refusing to {mode} the semantic index into "
                         f"{path!r}: its {part} relation lazily READS from "
@@ -1935,19 +1962,12 @@ def semantic_match_against_index(
     degrades to past the budget — turns the join into a shuffled hash
     join for TB-scale new batches (both sides exchange on the cell key,
     parity-tested).  All paths produce identical matches."""
-    if broadcast not in (True, False, "auto"):
-        raise ValueError(
-            f"broadcast must be True, False, or 'auto'; got {broadcast!r}"
-        )
-    if broadcast == "auto":
-        if new_vectors.isStreaming:
-            broadcast = True
-        else:
-            n_rows, max_dim = new_vectors.agg(
-                F.count(F.lit(1)), F.max(F.size(as_double_array(vec_col)))
-            ).first()
-            est = (n_rows or 0) * ((max_dim or 0) * 8 + _VEC_ROW_OVERHEAD_BYTES)
-            broadcast = est <= broadcast_budget_bytes
+    # same policy object as the ADC serving family: the new batch is the
+    # "query relation" side, priced count x max-dim against the budget
+    _, _, broadcast = _serving_broadcast_plan(
+        new_vectors, vec_col, broadcast, broadcast_budget_bytes,
+        table_rows_per_query=0, rerank=None,
+    )
     new = _assigned_vectors(
         new_vectors, index.centroids, id_col, vec_col, index.round_to
     ).select(
@@ -1956,7 +1976,7 @@ def semantic_match_against_index(
         F.col("norm").alias("__new_norm"),
         "cell",
     )
-    new_side = F.broadcast(new) if broadcast else new.hint("shuffle_hash")
+    new_side = _maybe_broadcast(new, broadcast)
     cos = F.round(
         dot(as_double_array("vec"), F.col("__new_vec"))
         / (F.col("norm") * F.col("__new_norm")),
@@ -2058,6 +2078,9 @@ def ivf_pq_topk_against_index(
             "this SemanticIndex's vectors relation has no 'codes' column "
             "(built before PQ support?); rebuild with pq_codebooks."
         )
+    if rerank is not None and rerank < k:
+        # validate BEFORE the 'auto' sizing pass (see ivf_pq_topk)
+        raise ValueError(f"rerank must be >= k ({k}), got {rerank}")
     bc_table, bc_shortlist, bc_queries = _serving_broadcast_plan(
         queries, vec_col, broadcast, broadcast_budget_bytes,
         nprobe * len(index.pq_codebooks) * len(index.pq_codebooks[0]),
@@ -2108,8 +2131,6 @@ def ivf_pq_topk_against_index(
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
-    if rerank < k:
-        raise ValueError(f"rerank must be >= k ({k}), got {rerank}")
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= rerank)

@@ -286,6 +286,29 @@ def test_index_format_version_round_trip_and_guards(spark, emb, cents, tmp_path)
     assert similarity.read_semantic_index(spark, nullv).round_to == 6
 
 
+def test_comparable_path_is_scheme_insensitive(tmp_path):
+    """The self-overwrite guard must fire for URI paths too: abspath alone
+    mangles 's3a://bucket/idx' into '/cwd/s3a:/...' and the guard would
+    silently no-op on object stores; file:/// and bare local spellings of
+    the same directory (and symlinked forms) must compare equal."""
+    cp = similarity._comparable_path
+    assert cp("s3a://bucket/idx") == "bucket/idx"
+    assert cp("s3a://bucket/idx/vectors/part-0.parquet").startswith(
+        cp("s3a://bucket/idx") + "/"
+    )
+    assert cp("hdfs://nn:8020/warehouse/idx/") == "nn:8020/warehouse/idx"
+    d = str(tmp_path / "idx")
+    assert cp(f"file://{d}/vectors/part-0.parquet").startswith(cp(d) + "/")
+    # distinct paths must NOT match (prefix means directory, not string)
+    assert not cp("s3a://bucket/idx2/vectors/p.parquet").startswith(
+        cp("s3a://bucket/idx") + "/"
+    )
+    # symlinked local spelling resolves to the same key
+    link = tmp_path / "link"
+    link.symlink_to(tmp_path)
+    assert cp(str(link / "idx")) == cp(d)
+
+
 def test_write_refuses_self_overwrite_and_compacts_to_fresh_path(
     spark, emb, cents, tmp_path
 ):

@@ -59,12 +59,14 @@ def main() -> None:
         wall = time.perf_counter() - t0
         c1 = read_self_cpu_sec()
 
-        n_lines = sum(1 for _ in open(TIMINGS_PATH))
-        levels = [
-            json.loads(line)
-            for line in open(TIMINGS_PATH).readlines()[marks[-1]:n_lines]
-        ]
-        marks.append(n_lines)
+        # the emit is best-effort (split_finder swallows OSError), so a
+        # missing/truncated timings file must not lose the wall samples
+        try:
+            lines = open(TIMINGS_PATH).readlines()
+        except OSError:
+            lines = []
+        levels = [json.loads(line) for line in lines[marks[-1]:]]
+        marks.append(len(lines))
         samples.append(
             {
                 "run": i,
