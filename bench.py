@@ -51,6 +51,26 @@ The sweep also samples self-CPU around EVERY timed query run
 ("query_self_cpu_sec": per-query min/median/max CPU-seconds per run), so a
 poisoned window localizes to the queries it hit instead of poisoning the
 whole record anonymously.  Thresholds and pins are documented in SCALE.md.
+
+Round 11 (late) adds the probe class the field report showed was missing:
+a memory-BANDWIDTH probe (N threads streaming-summing private 128 MiB
+mmap-backed arrays — saturates the socket, so its wall tracks effective
+bandwidth) — the round's contention-stamped sweeps all had CALM CPU
+probes, because SHA-256 and chained xxhash64 on register values never
+touch memory; bandwidth contention was only inferrable from self-CPU
+after a full sweep.  The bw probe makes it visible in seconds: brackets
+before/after the sweep, one sample per interleaved round
+("bw_probe_rounds" — mid-sweep bursts localize), and the new pre-Spark
+CALM-WINDOW GATE ($SPARK_GRAFT_BENCH_CALM_WAIT, default 600 s, 0
+disables) polls st+bw probes and delays the sweep — bounded, annotated,
+never counted against the record's wall/self-CPU — until a calm window or
+budget exhaustion, so landing a clean record is automatic instead of
+retry luck.  The probe is EVIDENCE, not a verdict authority: self-CPU on
+the record's own work decides contention; the bw basis ratios say whether
+the environment corroborates (slow => environmental) or contradicts
+(calm => the work itself got more expensive).  Only the PRE-Spark bracket
+is pin-comparable — a resident idle JVM shifts the probe ~1.2-1.3x
+(measured), so the after-bracket and rounds read comparatively.
 """
 
 from __future__ import annotations
@@ -146,6 +166,60 @@ def _st_probe_sec() -> float:
 _ST_PROBE_MB = 1024  # 1 GiB hashed: ~1-2 s on a calm core
 
 
+_BW_PROBE_THREADS = min(32, os.cpu_count() or 8)
+_BW_PROBE_MB = 128  # per thread; threads x 128 MiB resident during the probe
+_BW_PROBE_PASSES = 8
+
+
+def _bw_probe_sec() -> float:
+    """Memory-BANDWIDTH calibration probe: N threads each streaming-summing
+    a private 128 MiB float64 array (numpy releases the GIL, the sums are
+    memory-bound, and N x ~15 GB/s of aggregate demand saturates the socket)
+    — fixed work whose wall time tracks effective memory bandwidth, the
+    resource the cache-light CPU probes (SHA-256, chained xxhash64 on a
+    register value) are BLIND to.  Round 11's field report showed five
+    sweeps with calm CPU probes and self-CPU inflated 1.46-1.92x — bandwidth
+    contention that could only be inferred from CPU accounting after the
+    fact; this probe makes it visible in seconds, before Spark even starts.
+
+    The buffers are anonymous mmaps viewed through numpy, NOT np.ones:
+    numpy madvises MADV_HUGEPAGE on large allocations, and with THP
+    defrag=madvise (this host) every faulted huge page pays SYNCHRONOUS
+    direct compaction — measured here as an allocation running ~25 minutes
+    of pure system time on a fragmented post-Spark host.  Plain mmap is
+    never madvised, so pages are ordinary 4K faults; the untimed fill
+    below makes them resident before the first timed pass.  Median of 3
+    reps."""
+    import mmap
+    import threading
+
+    import numpy as np
+
+    n = _BW_PROBE_THREADS
+    size = _BW_PROBE_MB * (1 << 20)
+    maps = [mmap.mmap(-1, size) for _ in range(n)]
+    arrays = [np.frombuffer(m, dtype=np.float64) for m in maps]
+    for a in arrays:
+        a[:] = 1.0  # untimed: fault every page in
+
+    def work(a: "np.ndarray") -> None:
+        for _ in range(_BW_PROBE_PASSES):
+            float(a.sum())
+
+    times = []
+    for _ in range(3):
+        threads = [threading.Thread(target=work, args=(a,)) for a in arrays]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        times.append(time.perf_counter() - t0)
+    # no explicit mmap close: thread closures and loop vars still hold
+    # exported buffer views; refcounting frees maps at scope exit
+    return round(statistics.median(times), 3)
+
+
 _MT_PROBE_ROWS = 512_000_000
 _MT_PROBE_DEPTH = 12  # chained xxhash64 calls per row: CPU-bound codegen
 
@@ -202,6 +276,18 @@ _PIN_SELF_CPU_SEC = 6462.0
 _PROBE_SLOW_RATIO = 1.25
 _PROBE_ROUND_SLOW_RATIO = 1.40
 _SELF_CPU_INFLATED_RATIO = 1.25
+# Bandwidth probe pin: PROVISIONAL, from the round-11 cross-window minimum
+# (the same minima-are-calm rule the tree_fit_wide band uses; no
+# verdict-clean window appeared that round to pin from, so re-derive when
+# one does).  Calm-CPU windows sampled 0.29-0.41 s; a concurrent
+# tree_fit_wide inflated the probe to 0.93-2.45 s (3.2-8.4x) while the st
+# probe barely moved — hence the generous 1.5x threshold: clear separation
+# from real load, headroom over the probe's own calm-window dispersion.
+# Set to None to disable the calm-wait gate's bw check.  The probe is
+# EVIDENCE (basis ratios + the gate), not a verdict authority: self-CPU on
+# the record's own work decides contention.  Provenance in SCALE.md.
+_PIN_BW_PROBE_SEC: "float | None" = 0.29
+_BW_SLOW_RATIO = 1.5
 
 
 def calibration_verdict(
@@ -212,6 +298,8 @@ def calibration_verdict(
     sf: "float | None",
     runs: int,
     n_queries: int,
+    bw_pre: "float | None" = None,
+    bw_rounds: "list[float] | None" = None,
 ) -> dict:
     """The round-10 triangulation rule, computed from the record's own
     fields: {"verdict": "clean" | "cpu_drift" | "contention" | "unpinned",
@@ -223,9 +311,13 @@ def calibration_verdict(
                  throughput drifted, raw walls are stale; compare records
                  via total_over_mt_probe.
     contention — probes calm but self-CPU inflated vs the pinned band for
-                 identical work: memory-bandwidth contention the short
-                 cache-light probes cannot see (the BENCH_r10 signature:
-                 probes 1.07-1.13x, self-CPU 1.63x).  Distrust the record.
+                 identical work: contention the short cache-light probes
+                 cannot see (the BENCH_r10 signature: probes 1.07-1.13x,
+                 self-CPU 1.63x).  Distrust the record.  The bw_ratio /
+                 bw_rounds_max_ratio basis fields say whether the
+                 bandwidth probe corroborates (slow => environmental) or
+                 contradicts (all calm => the work itself got more
+                 expensive: investigate the code).
     clean      — both calm: trust raw walls.
     unpinned   — the sweep isn't the pinned configuration (sf/runs/query
                  count) or the container exposes no CPU accounting; the
@@ -242,16 +334,32 @@ def calibration_verdict(
             if self_cpu_sec is not None
             else None
         ),
+        # pre-Spark bracket only: the pin is a pre-Spark floor, and a
+        # RESIDENT idle JVM shifts the probe ~1.2-1.3x (measured) — the
+        # after-bracket and rounds are a comparative series, not
+        # pin-comparable absolutes
+        "bw_ratio": (
+            round(bw_pre / _PIN_BW_PROBE_SEC, 3)
+            if bw_pre is not None and _PIN_BW_PROBE_SEC is not None
+            else None
+        ),
+        "bw_rounds_max_ratio": (
+            round(max(bw_rounds) / _PIN_BW_PROBE_SEC, 3)
+            if bw_rounds and _PIN_BW_PROBE_SEC is not None
+            else None
+        ),
         "pins": {
             "st_probe_sec": _PIN_ST_PROBE_SEC,
             "mt_probe_sec": _PIN_MT_PROBE_SEC,
             "self_cpu_sec": _PIN_SELF_CPU_SEC,
+            "bw_probe_sec": _PIN_BW_PROBE_SEC,
             "config": _PIN_CONFIG,
         },
         "thresholds": {
             "probe_slow": _PROBE_SLOW_RATIO,
             "probe_round_slow": _PROBE_ROUND_SLOW_RATIO,
             "self_cpu_inflated": _SELF_CPU_INFLATED_RATIO,
+            "bw_probe_slow": _BW_SLOW_RATIO,
         },
     }
     config_matches = (
@@ -271,6 +379,13 @@ def calibration_verdict(
     )
     if probes_slow:
         return {"verdict": "cpu_drift", "basis": basis}
+    # Self-CPU on the record's OWN work is the contention authority — a
+    # slow bw probe with self-CPU in band means bandwidth contention
+    # existed around the brackets but did not materially touch the sweep
+    # (trust the record); bw_ratio stays in the basis as evidence.  The
+    # converse reading matters more: self-CPU inflated with EVERY bw
+    # sample calm (brackets and rounds) says the work itself got more
+    # expensive — investigate the code, not the host (SCALE.md).
     if basis["self_cpu_ratio"] > _SELF_CPU_INFLATED_RATIO:
         return {"verdict": "contention", "basis": basis}
     return {"verdict": "clean", "basis": basis}
@@ -335,6 +450,58 @@ def wait_for_quiet_machine() -> tuple[list[float] | None, bool]:
     return load, exceeded
 
 
+def wait_for_calm_window() -> "dict | None":
+    """Poll the pre-Spark fixed-work probes (single-threaded SHA-256 and
+    the memory-bandwidth streaming sum) and wait — bounded by
+    $SPARK_GRAFT_BENCH_CALM_WAIT seconds (default 600; 0 disables) — for a
+    window where both sit inside their pinned thresholds.  loadavg only
+    sees in-container competitors; these probes see the HOST (frequency
+    drift and bandwidth contention from other tenants), which is what
+    actually poisoned the round-11 sweep series.  Runs BEFORE the record's
+    wall/self-CPU baseline, so waiting never counts against the record.
+    Returns an annotation dict for the calibration block, or None when
+    disabled.  Proceeds (annotated) on budget exhaustion — the driver
+    always gets a record."""
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_CALM_WAIT", "600"))
+    if budget <= 0:
+        return None
+    poll = 45.0
+    waited = 0.0
+    attempts = 0
+    last = {}
+    calm = False
+    while True:
+        st = _st_probe_sec()
+        bw = _bw_probe_sec()
+        attempts += 1
+        last = {"st_probe_sec": st, "bw_probe_sec": bw}
+        st_ok = st <= _PIN_ST_PROBE_SEC * _PROBE_SLOW_RATIO
+        bw_ok = (
+            _PIN_BW_PROBE_SEC is None
+            or bw <= _PIN_BW_PROBE_SEC * _BW_SLOW_RATIO
+        )
+        if st_ok and bw_ok:
+            calm = True
+            break
+        if waited + poll > budget:
+            break
+        print(
+            f"bench: window not calm (st {st:.2f}s"
+            f"{'' if st_ok else ' SLOW'}, bw {bw:.2f}s"
+            f"{'' if bw_ok else ' SLOW'}), waiting "
+            f"({waited:.0f}/{budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(poll)
+        waited += poll
+    return {
+        "calm": calm,
+        "waited_sec": round(waited, 0),
+        "attempts": attempts,
+        "final_probes": last,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
@@ -342,9 +509,11 @@ def main() -> None:
     sf = float(match.group(1)) if match else None
 
     load_start, load_exceeded = wait_for_quiet_machine()
+    calm_wait = wait_for_calm_window()
     cpu0 = read_self_cpu_sec()
     wall0 = time.monotonic()
     st_before = _st_probe_sec()
+    bw_before = _bw_probe_sec()
 
     spark = get_spark(app_name="efficient-trees-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -391,6 +560,7 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     cpu_samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     mt_rounds: list[float] = []
+    bw_rounds: list[float] = []
     for _ in range(runs):
         for name, fn in BENCH_QUERIES.items():
             # self-CPU around each run (a cgroup-file read, ~µs): a
@@ -409,9 +579,15 @@ def main() -> None:
         t0 = time.perf_counter()
         _mt_probe_once(spark)
         mt_rounds.append(round(time.perf_counter() - t0, 3))
+        # one bandwidth probe per round too: a mid-sweep bandwidth burst
+        # that the CPU probes can't see localizes to the rounds it hit
+        # (untimed, threads joined before the next query; its ~30 CPU-s
+        # per round land in self_cpu_sec — ~2% of the pinned band)
+        bw_rounds.append(_bw_probe_sec())
 
     mt_after = _mt_probe_sec(spark)
     st_after = _st_probe_sec()
+    bw_after = _bw_probe_sec()
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
@@ -425,6 +601,16 @@ def main() -> None:
         # this series localizes mid-sweep contention to the rounds it
         # poisoned (the before/after brackets average it away)
         "mt_probe_rounds": mt_rounds,
+        # memory-bandwidth probe: N threads streaming-summing private
+        # 256 MiB arrays — sees the bandwidth contention the cache-light
+        # CPU probes are blind to (round-11 field report)
+        "bw_probe_sec": {"before": bw_before, "after": bw_after},
+        "bw_probe_rounds": bw_rounds,
+        "bw_probe_threads": _BW_PROBE_THREADS,
+        "bw_probe_mb": _BW_PROBE_MB,
+        # calm-window gate: pre-Spark probe polling (bounded) before the
+        # record's baseline — None when disabled via CALM_WAIT=0
+        "calm_wait": calm_wait,
         "st_probe_mb": _ST_PROBE_MB,
         "mt_probe_rows": _MT_PROBE_ROWS,
         "mt_probe_depth": _MT_PROBE_DEPTH,
@@ -471,6 +657,8 @@ def main() -> None:
         sf,
         runs,
         len(BENCH_QUERIES),
+        bw_pre=bw_before,
+        bw_rounds=bw_rounds,
     )
     calibration["calibration_verdict"] = verdict["verdict"]
     calibration["verdict_basis"] = verdict["basis"]

@@ -109,3 +109,63 @@ def test_off_config_or_missing_cpu_reads_unpinned():
         calibration_verdict(0.9, 1.7, [], None, 0.1, 5, 16)["verdict"]
         == "unpinned"
     )
+
+
+def test_bw_probe_is_evidence_not_authority(monkeypatch):
+    """The bandwidth probe corroborates or contradicts — it never decides.
+    Self-CPU on the record's OWN work is the contention authority: a slow
+    bw bracket with self-CPU in band means the contention missed the sweep
+    (clean); self-CPU inflated with every bw sample calm points at the
+    code, not the host — both readings live in the basis ratios."""
+    import bench
+
+    monkeypatch.setattr(bench, "_PIN_BW_PROBE_SEC", 0.30)
+    # slow bw, self-CPU in band: the sweep itself was untouched => clean,
+    # with the bw evidence on the basis
+    v = bench.calibration_verdict(
+        0.93, 1.72, [1.7], 6400.0, 0.1, 5, 16, bw_pre=0.60, bw_rounds=[0.9]
+    )
+    assert v["verdict"] == "clean"
+    assert v["basis"]["bw_ratio"] == 2.0
+    assert v["basis"]["bw_rounds_max_ratio"] == 3.0
+    # self-CPU inflated, bw calm everywhere: still "contention" (distrust
+    # raw walls) but the basis shows the contradiction that says
+    # "investigate the code"
+    v2 = bench.calibration_verdict(
+        0.93, 1.72, [1.7], 9800.0, 0.1, 5, 16, bw_pre=0.30, bw_rounds=[0.31]
+    )
+    assert v2["verdict"] == "contention"
+    assert v2["basis"]["bw_ratio"] == 1.0
+    # no bw pin: ratios are None, verdicts unchanged
+    monkeypatch.setattr(bench, "_PIN_BW_PROBE_SEC", None)
+    v3 = bench.calibration_verdict(
+        0.93, 1.72, [1.7], 6400.0, 0.1, 5, 16, bw_pre=0.60, bw_rounds=[0.9]
+    )
+    assert v3["verdict"] == "clean"
+    assert v3["basis"]["bw_ratio"] is None
+    assert v3["basis"]["bw_rounds_max_ratio"] is None
+
+
+def test_calm_wait_gate_disabled_and_calm_paths(monkeypatch):
+    import bench
+
+    # CALM_WAIT=0 disables the gate entirely
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_CALM_WAIT", "0")
+    assert bench.wait_for_calm_window() is None
+    # calm probes return immediately (attempt 1, zero wait) without sleep
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_CALM_WAIT", "600")
+    monkeypatch.setattr(bench, "_st_probe_sec", lambda: 0.93)
+    monkeypatch.setattr(bench, "_bw_probe_sec", lambda: 0.40)
+    monkeypatch.setattr(bench, "_PIN_BW_PROBE_SEC", 0.40)
+    out = bench.wait_for_calm_window()
+    assert out["calm"] is True
+    assert out["attempts"] == 1
+    assert out["waited_sec"] == 0
+    assert out["final_probes"] == {"st_probe_sec": 0.93, "bw_probe_sec": 0.40}
+    # a hot window with a zero budget records not-calm without sleeping:
+    # budget exhausted on the first sample (poll loop never sleeps past it)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_CALM_WAIT", "0.001")
+    monkeypatch.setattr(bench, "_st_probe_sec", lambda: 9.9)
+    out2 = bench.wait_for_calm_window()
+    assert out2["calm"] is False
+    assert out2["attempts"] == 1
