@@ -13,7 +13,10 @@ def spark():
     session = get_spark(
         app_name="efficient-trees-spark-tests",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "4g"},
+        # UI enabled so test_shuffle_budget can read stage byte metrics
+        # (REST); the port auto-increments if 4040 is taken, and the
+        # status store costs a few MB over a 46-minute suite.
+        extra_conf={"spark.driver.memory": "4g", "spark.ui.enabled": "true"},
     )
     yield session
     session.stop()

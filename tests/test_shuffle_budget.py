@@ -1,0 +1,87 @@
+"""Shuffle BYTE budgets on the shuffle-clean bench queries.
+
+The round-11 shuffle audit (tools/shuffle_audit.py, SHUFFLE_AUDIT.json)
+measured the aggregation/join family moving almost nothing: q1 shuffles
+1.1 KiB of partial-agg state for a 5.7 MiB read, q5's five-table join
+moves 496 BYTES (every dimension broadcast), the cosine-threshold scan
+moves zero.  Plan gates elsewhere assert exchange COUNTS; these tests pin
+the byte volumes, which see what a plan gate can't — a partial
+aggregation that silently stopped combining still has the same Exchange
+node, but its shuffle bytes jump from KBs to the raw relation size.
+
+Budgets are 8-60x the measured sf0.001 values (q1 1044 B, q5 102 B,
+exact-dedup 19.2 KiB — re-measure with tools/shuffle_audit.py), far
+under the failure signature (a lost broadcast or lost partial agg
+shuffles the ~200 KB sf0.001 relation), so host noise can't flake them:
+byte counts are deterministic for a fixed plan, which is the point of
+auditing bytes instead of walls on a noisy host.
+
+Metrics come from the session's REST store (UI enabled in conftest).
+The store is fed by an async listener queue, so totals are read only
+after listenerBus().waitUntilEmpty() — without the drain, a pass's bytes
+smear into the next delta (the round-11 audit's first pitfall).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from efficient_trees_spark.workloads.dedup_queries import dedup_exact_bag
+from efficient_trees_spark.workloads.relational import (
+    q1_pricing_summary,
+    q5_region_nation_volume,
+)
+from efficient_trees_spark.workloads.similarity_queries import (
+    ann_cosine_threshold,
+)
+
+
+def _shuffle_write_total(spark) -> int:
+    base = spark.sparkContext.uiWebUrl
+    if base is None:  # pragma: no cover - UI disabled in this session
+        pytest.skip("spark.ui.enabled is false: no stage metrics endpoint")
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+    with urllib.request.urlopen(url) as resp:
+        stages = json.load(resp)
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def _audit(spark, sf_small: str, fn) -> int:
+    """Bytes shuffled by one steady-state pass of fn (one warmup first:
+    AQE settles, codegen caches build)."""
+    fn(spark, sf_small).write.mode("overwrite").format("noop").save()
+    before = _shuffle_write_total(spark)
+    fn(spark, sf_small).write.mode("overwrite").format("noop").save()
+    return _shuffle_write_total(spark) - before
+
+
+def test_q1_partial_agg_shuffles_kilobytes(spark, sf_small):
+    # partial-agg state only: 6 groups x a handful of agg buffers across
+    # 8 shuffle partitions (measured 1044 B).  A broken map-side combine
+    # would shuffle the ~200 KB relation.
+    assert _audit(spark, sf_small, q1_pricing_summary) < 16 * 1024
+
+
+def test_q5_broadcast_join_shuffles_bytes(spark, sf_small):
+    # every dimension broadcasts: the only shuffle is the final tiny agg
+    # (measured 102 B at sf0.001, 496 B at sf0.1).  A demoted broadcast
+    # (SMJ) would shuffle both join sides.
+    assert _audit(spark, sf_small, q5_region_nation_volume) < 8 * 1024
+
+
+def test_cosine_threshold_shuffles_nothing(spark, sf_small):
+    # literal-centroid-free brute scan + filter: a pure map plan, zero
+    # exchanges, zero bytes — exactly zero, not "small".
+    assert _audit(spark, sf_small, ann_cosine_threshold) == 0
+
+
+def test_exact_dedup_shuffles_fingerprints_only(spark, sf_small):
+    # one shuffle keyed on the content fingerprint: bytes are
+    # fingerprint-relation-sized (measured 19.2 KiB), never the documents
+    # themselves re-materialized per bucket.
+    assert _audit(spark, sf_small, dedup_exact_bag) < 128 * 1024
