@@ -88,6 +88,12 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str, by: str = "conte
     ``by='content'`` uses the normalized-content md5; ``by='bag'`` the
     order-insensitive token-bag md5.  One shuffle on the fingerprint; group
     sizes are tiny (true duplicates), so no skew concern.
+
+    Deliberately NOT fanned out (``fan_out_small_input``): the fingerprint
+    projection is one md5 per row — too cheap to amortize a raw-text
+    round-robin shuffle of the input (r11 A/B: fanning regressed the bench
+    leg 0.70 s -> 1.03 s; the shingle operators below, whose map side is
+    ~100x heavier, win ~2x from the same treatment).
     """
     fp = text.content_fingerprint(text_col) if by == "content" else text.bag_fingerprint(text_col)
     with_fp = df.select(F.col(id_col), fp.alias("fp"))
@@ -104,8 +110,14 @@ def token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Distinct by construction: ``array_distinct`` runs inside the row BEFORE
     the explode, so no dedup shuffle ever happens — a document's token set
-    lives in one array cell."""
-    return df.select(
+    lives in one array cell.
+
+    Fanned out first (no-op on many-split cluster inputs): tokenization is
+    the map-side cost of every shingle consumer, and a few-split local
+    input serialized it onto the scan's split count (r11)."""
+    from efficient_trees_spark.sources.io import fan_out_small_input
+
+    return fan_out_small_input(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(text.tokens(text_col))).alias("token"),
     )
@@ -119,7 +131,14 @@ def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     eliminate common subexpressions inside higher-order-function lambdas, so
     referencing ``tokens(text)`` n times per gram would re-run the whole
     regex tokenization per array element (~40x slowdown measured)."""
-    with_toks = df.select(F.col(id_col), text.tokens(text_col).alias("__toks"))
+    from efficient_trees_spark.sources.io import fan_out_small_input
+
+    # Fan out before tokenizing (cluster no-op): the regex tokenization +
+    # per-window md5 below are the map-side cost of every shingle consumer,
+    # and a few-split local input ran them on the scan's split count (r11).
+    with_toks = fan_out_small_input(df).select(
+        F.col(id_col), text.tokens(text_col).alias("__toks")
+    )
     toks = F.col("__toks")
     # positions 1..len-n+1 (1-based element_at).  Guard the short-doc case
     # explicitly: sequence(1, 0) is DESCENDING in Spark ([1,0]), not empty.

@@ -72,9 +72,16 @@ def _fan_out_small_input(prepared: DataFrame) -> DataFrame:
     identical partitions in both paths — arrow/expand bit-parity holds by
     construction.  Exact (unbinned) fits keep the source partitioning: their
     map side is pure codegen and the repartition was A/B-measured slower
-    (see the note in ``_prepare``)."""
+    (see the note in ``_prepare``).  Partition count via the ~1 ms file-size
+    estimate when the lineage is a plain scan pipeline (r11 — the ``df.rdd``
+    probe costs ~0.4 s of physical planning per call), the probe otherwise."""
+    from efficient_trees_spark.sources.io import estimate_scan_partitions
+
     sc = prepared.sparkSession.sparkContext
-    if prepared.rdd.getNumPartitions() < sc.defaultParallelism:
+    n = estimate_scan_partitions(prepared)
+    if n is None:
+        n = prepared.rdd.getNumPartitions()
+    if n < sc.defaultParallelism:
         return prepared.repartition(sc.defaultParallelism)
     return prepared
 

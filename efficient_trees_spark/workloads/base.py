@@ -53,7 +53,13 @@ def require_pinned_scale(actual: int, expected: int, workload_name: str, what: s
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # Resolve through the session catalog (sources.io.source_view): first
+    # call per session reads + registers, later calls are ~15 ms catalog
+    # lookups instead of ~290 ms re-read + re-analysis (r11, guide §6).
+    # Testdata paths are immutable, so the cached listing can't go stale.
+    from efficient_trees_spark.sources.io import source_view
+
+    df = source_view(spark, f"{sf_dir}/{table}.parquet")
     # events.parquet stores ts as parquet TIMESTAMP(NANOS); Spark 4.1 reads it
     # natively as timestamp_ntz (micros, truncated like DuckDB). NTZ rejects
     # epoch arithmetic (cast to BIGINT / unix_micros), so pin the session to

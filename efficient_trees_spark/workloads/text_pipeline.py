@@ -263,8 +263,14 @@ _BPE_CTES, _BPE_LEGS = _bpe_oracle_parts()
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from efficient_trees_spark.operators import bpe, lm
+    from efficient_trees_spark.sources.io import fan_out_small_input
 
-    docs = load(spark, sf_dir, "documents")
+    # Shared fan-out for every leg (cluster no-op): the lang leg's stopword
+    # scoring and the BPE word-frequency pass tokenized a single-split
+    # local scan on one core (r11); lm already fans internally (now a
+    # no-op on this pre-fanned relation).  All legs' aggregates are exact
+    # integers / pinned orders — results partition-invariant.
+    docs = fan_out_small_input(load(spark, sf_dir, "documents"))
     lang = (
         docs.select(text.tokens("text").alias("__toks"))
         .select(text.lang_id(F.lit(""), toks=F.col("__toks")).alias("key"))
@@ -418,7 +424,16 @@ _QUALITY = f"""
     tags=("text", "dedup", "bench"),
 )
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from efficient_trees_spark.sources.io import fan_out_small_input
+
+    # Fan out the few-split local scan before the scoring projection
+    # (cluster no-op, splits >> cores there): tokenize + quality + lang-ID
+    # are the pipeline's entire map-side cost and ran 1-of-32 cores on the
+    # single-split sf0.1 documents parquet (r11; measured 2.75 -> 1.4 s,
+    # outputs bit-identical at sf0.001/0.01/0.1 — every aggregate here is
+    # exact-integer or a deterministic min_by total order, and the avg is
+    # unchanged because partial-agg inputs are identical rows).
+    docs = fan_out_small_input(load(spark, sf_dir, "documents"))
     # Tokenize/normalize ONCE as named columns; every stat reuses them
     # (Catalyst won't share the regexp across separate expression trees —
     # this binding is a measured 2.3x on the projection stage).

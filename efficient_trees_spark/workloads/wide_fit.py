@@ -153,7 +153,11 @@ def tree_fit_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the prediction distribution so the result is a stable tiny frame.
     """
     path = ensure_wide_table(spark, sf_dir)
-    data = spark.read.parquet(path).na.fill(0.0)
+    # catalog-resolved: the 190-column footer/analysis is paid once per
+    # session, not once per construction (immutable once _SUCCESS exists)
+    from efficient_trees_spark.sources.io import source_view
+
+    data = source_view(spark, path).na.fill(0.0)
     model = DecisionTreeClassifier(
         max_depth=4, criterion=Criterion.ENTROPY, max_bins=32
     )

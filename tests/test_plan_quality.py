@@ -139,11 +139,15 @@ def test_bucketed_join_is_shuffle_free(spark):
 
 def test_curation_pipeline_two_shuffles_no_python(spark):
     """The composed curation pass must cost exactly its two aggregations
-    (dedup groupBy, language groupBy) — no join-back shuffle, no Python
-    stages; everything else is projection over the scan."""
+    (dedup groupBy, language groupBy) plus the r11 few-split fan-out — a
+    round-robin repartition of the raw docs ahead of the scoring
+    projection (local-mode parallelism guard; no-op on a many-split
+    cluster scan) — no join-back shuffle, no Python stages; everything
+    else is projection over the scan."""
     df = REGISTRY["docs_curation_pipeline"].fn(spark, SF_DIR)
     plan = plan_of(df, "simple")
-    assert plan.count("Exchange") == 2
+    assert plan.count("Exchange") == 3
+    assert plan.count("Exchange hashpartitioning") == 2  # the two aggs
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

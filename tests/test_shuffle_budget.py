@@ -4,7 +4,9 @@ The round-11 shuffle audit (tools/shuffle_audit.py, SHUFFLE_AUDIT.json)
 measured the aggregation/join family moving almost nothing: q1 shuffles
 1.1 KiB of partial-agg state for a 5.7 MiB read, q5's five-table join
 moves 496 BYTES (every dimension broadcast), the cosine-threshold scan
-moves zero.  Plan gates elsewhere assert exchange COUNTS; these tests pin
+moves only its r11 corpus fan-out (a bounded round-robin repartition of
+the few-split local input).  Plan gates elsewhere assert exchange
+COUNTS; these tests pin
 the byte volumes, which see what a plan gate can't — a partial
 aggregation that silently stopped combining still has the same Exchange
 node, but its shuffle bytes jump from KBs to the raw relation size.
@@ -74,14 +76,21 @@ def test_q5_broadcast_join_shuffles_bytes(spark, sf_small):
     assert _audit(spark, sf_small, q5_region_nation_volume) < 8 * 1024
 
 
-def test_cosine_threshold_shuffles_nothing(spark, sf_small):
-    # literal-centroid-free brute scan + filter: a pure map plan, zero
-    # exchanges, zero bytes — exactly zero, not "small".
-    assert _audit(spark, sf_small, ann_cosine_threshold) == 0
+def test_cosine_threshold_shuffles_corpus_fanout_only(spark, sf_small):
+    # r11: brute_force_scores round-robin fans out a few-split corpus so
+    # the O(N x Q) scoring uses every core (measured ~2x at sf0.1; no-op
+    # on many-split cluster scans).  The only bytes moved are that one
+    # corpus-sized repartition (~26 KiB at sf0.001) — never the pair
+    # relation (a lost broadcast would shuffle Q x N rows, megabytes even
+    # at sf0.001).
+    moved = _audit(spark, sf_small, ann_cosine_threshold)
+    assert 0 < moved < 256 * 1024
 
 
 def test_exact_dedup_shuffles_fingerprints_only(spark, sf_small):
     # one shuffle keyed on the content fingerprint: bytes are
     # fingerprint-relation-sized (measured 19.2 KiB), never the documents
-    # themselves re-materialized per bucket.
+    # themselves re-materialized per bucket.  (r11 measured and REJECTED a
+    # fan-out of the raw input here: the one-md5-per-row map side is too
+    # cheap to amortize the extra corpus-sized shuffle.)
     assert _audit(spark, sf_small, dedup_exact_bag) < 128 * 1024
