@@ -165,6 +165,12 @@ def jaccard_pairs(
     share rare shingles, so dropping ultra-common shingles is lossless in
     practice and removes the skew.
     """
+    # The shingle relation is consumed FOUR times here (a, b, and sizes on
+    # both pair sides), but an r11 A/B REJECTED materializing it with a
+    # local checkpoint (0.65-1.0x): the relation is map-only — re-deriving
+    # it is an embarrassingly parallel tokenize with no exchange, while
+    # storing the (doc, shingle) blow-up paid block-manager serialization
+    # + memory churn that degraded later runs in the same session.
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.select(F.col(id_col).alias("id_a"), F.col(shingle_col))
     b = shingles.select(F.col(id_col).alias("id_b"), F.col(shingle_col))
@@ -221,7 +227,17 @@ def minhash_signatures(
     (universal hashing), aggregated with k ``min``s: a single shuffle whose
     width is k int64 columns, independent of document length.
     """
-    shingles = shingle_relation(df, id_col, text_col, ngram)
+    return _signatures_from_shingles(
+        shingle_relation(df, id_col, text_col, ngram), id_col, num_hashes
+    )
+
+
+def _signatures_from_shingles(
+    shingles: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Signature aggregation over an existing shingle relation — split out
+    (r11) so compositions that already materialized the shingles
+    (:func:`minhash_near_duplicates`) don't re-derive them."""
     based = shingles.select(id_col, minhash_base(F.col("shingle")).alias("__base"))
     hashes = minhash_family(F.col("__base"), num_hashes)
     hashed = based.select(id_col, *[h.alias(f"h_{i}") for i, h in enumerate(hashes)])
@@ -295,9 +311,22 @@ def minhash_near_duplicates(
     ngram: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates → exact
-    Jaccard verification on the candidate set only (never all pairs)."""
+    Jaccard verification on the candidate set only (never all pairs).
+
+    Deliberately left fully lazy even though the composition re-derives
+    the shingle pipeline six times (the band self-join consumes the
+    signatures twice; verification reads shingles as a and b; sizes joins
+    back on both pair sides): an r11 A/B measured BOTH materialization
+    granularities losing — checkpointing shingles+signatures 0.65x (the
+    (doc, shingle) blow-up paid block-manager serialization + memory churn
+    that degraded later same-session runs), and checkpointing just the
+    doc-sized signatures 0.90x (the RDD plan boundary hides stats from the
+    planner, and the saved re-derivation is a map-only, embarrassingly
+    parallel pass that costs less than the materialization round-trip).
+    Contrast bm25_topk, where each redundant branch carries a full
+    shuffle and the same checkpoint is a measured 1.66x win."""
     shingles = shingle_relation(df, id_col, text_col, ngram)
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram)
+    sigs = _signatures_from_shingles(shingles, id_col, num_hashes)
     candidates = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
@@ -892,7 +921,15 @@ def decontaminate_bloom(
 def _window_relation(docs: DataFrame, id_col: str, text_col: str, n: int):
     """(base, wins): per-doc tokens + ``(id, start, window-hash)`` — windows
     built map-side with let-bound HOFs, one md5 per window, docs shorter
-    than ``n`` contributing no windows."""
+    than ``n`` contributing no windows.
+
+    Deliberately left fully lazy: callers consume ``wins`` twice and
+    ``base`` once more (three tokenize passes, two window-md5 passes), but
+    an r11 A/B REJECTED materializing them with local checkpoints (0.66x):
+    both relations are map-only — re-derivation is an embarrassingly
+    parallel pass with no exchange — while storing the token arrays and
+    the per-window rows paid block-manager serialization + memory churn
+    that degraded later runs in the same session."""
     from efficient_trees_spark.sources.io import fan_out_small_input
 
     docs = fan_out_small_input(docs)

@@ -359,9 +359,27 @@ def bm25_topk(
     decontamination-scale query relation, so the broadcast decision is
     sized rather than assumed (``bm25_search`` keeps ``True`` — its
     contract is repeated SMALL batches against a persisted index, where
-    eager sizing per batch would cost an extra job each call)."""
+    eager sizing per batch would cost an extra job each call).
+
+    The postings relation is materialized ONCE per call via a lazy local
+    checkpoint (r11).  Left fully lazy, the one-shot plan pays the corpus
+    scan + tokenize + explode + postings aggregation THREE times — the
+    scoring join, dfreq, and stats branches each re-derive it, and column
+    pruning specializes each branch's partial aggregate so Spark's
+    exchange reuse never fires (measured: the sf0.1 plan carried three
+    `Scan parquet -> Generate -> HashAggregate` pipelines and ~48 CPU-s
+    for ~3 s of wall).  Checkpointing the postings RDD collapses that to
+    one corpus pass; dfreq/stats then re-aggregate the materialized
+    postings (token-relation-sized, disk-backed past memory).  Eagerness
+    is deferred (``eager=False``) so plan construction stays lazy; the
+    blocks live only for this call's lineage and are recomputed from the
+    parquet inputs on every invocation.  Note the standard localCheckpoint
+    caveat: losing an executor mid-query fails the job instead of
+    recomputing (non-issue for a one-shot call; serving flows use
+    ``Bm25Index.write``/``persist`` instead)."""
+    index = bm25_index(docs, doc_id=doc_id, text_col=text_col)
     return bm25_search(
-        bm25_index(docs, doc_id=doc_id, text_col=text_col),
+        _index_from_postings(index.postings.localCheckpoint(eager=False)),
         queries,
         query_id=query_id,
         query_text=query_text,
