@@ -1260,47 +1260,82 @@ def _accumulate_cubes(
     count cubes (and per-node class totals when requested) — the numeric
     core shared by the sparse-row and dense-cube emitters.  Slot addressing
     is RAGGED (``_cube_geometry``): feature j's counts land at
-    ``slot_off[j] + bin``, its NaN bucket at ``slot_off[j] + lens[j]``."""
+    ``slot_off[j] + bin``, its NaN bucket at ``slot_off[j] + lens[j]``.
+
+    r11 rewrite of the numeric pass (guide §4.2 — this loop IS the
+    per-level cube job, the bench's dominant stage): the old form upcast
+    the whole (rows × features) code matrix to int64 (an 8x memory-traffic
+    blow-up on a memory-bandwidth-bound stage), then ran one boolean mask
+    + two fancy-indexed copies PER PENDING NODE.  Now the slot index stays
+    in the code dtype, the flat bin index is built int32 in place, invalid
+    cells (NULL / edge-less features) are routed to a sentinel slot that
+    is simply dropped after counting, and all nodes are counted by ONE
+    ``bincount`` over a (node, slot) combined index — no per-node passes.
+    Counts are exact integers either way; parity is pinned by the
+    histogram relation tests and the golden fits."""
     np_code, nan_code, null_code, _ = _code_info(code_dtype)
     acc: dict[int, np.ndarray] = {}
     dist_acc: dict[int, np.ndarray] = {}
     flat_size = flat_slots * n_classes
-    feat_base = slot_off[:-1][None, :]
-    cap = np.maximum(lens - 1, 0)[None, :]
-    has_edges = (lens > 0)[None, :]
-    nan_slot = lens[None, :]  # within-feature NaN slot index
+    stride = flat_size + 1  # + the invalid-cell sentinel slot
+    feat_base32 = slot_off[:-1].astype(np.int32)[None, :]
+    cap_c = np.maximum(lens - 1, 0).astype(np_code)[None, :]
+    nan_slot_c = lens.astype(np_code)[None, :]  # lens <= max edges < code max
+    no_edge_cols = np.flatnonzero(lens == 0)
 
     for batch in batches:
         n_rows = batch.num_rows
         if n_rows == 0:
             continue
         mat = _unpack_binary(batch.column(packed_col), width, np_code)
-        target = batch.column(tcol).to_numpy(zero_copy_only=False).astype(np.int64)
+        target32 = batch.column(tcol).to_numpy(zero_copy_only=False).astype(
+            np.int32
+        )
         nodes = route_codes(mat, routing_splits, null_code=null_code)
         keep = nodes >= 0
         if not keep.any():
             continue
         if not keep.all():
-            mat, target, nodes = mat[keep], target[keep], nodes[keep]
+            mat, target32, nodes = mat[keep], target32[keep], nodes[keep]
         if width != n_feat or subset:
             mat = mat[:, pos]  # histogram only the subset's columns
-        m64 = mat.astype(np.int64)
-        idx = np.where(m64 == nan_code, nan_slot, np.minimum(m64, cap))
-        valid = (m64 != null_code) & has_edges
-        flat = (feat_base + idx) * n_classes + target[:, None]
-        for nv in np.unique(nodes):
-            a = acc.get(int(nv))
+        is_nan = mat == nan_code
+        invalid = mat == null_code
+        if no_edge_cols.size:
+            invalid[:, no_edge_cols] = True
+        idx = np.minimum(mat, cap_c)  # code dtype; nan/null fixed below
+        np.copyto(idx, np.broadcast_to(nan_slot_c, idx.shape), where=is_nan)
+        flat = feat_base32 + idx  # int32 (rows × features), in-place below
+        flat *= n_classes
+        flat += target32[:, None]
+        flat[invalid] = flat_size  # sentinel slot, dropped after bincount
+        uniq, inv = np.unique(nodes, return_inverse=True)
+        if uniq.size * stride <= np.iinfo(np.int32).max:
+            comb = flat
+            comb += (inv.astype(np.int32) * np.int32(stride))[:, None]
+        else:  # u2 codes × many pending nodes can overflow int32
+            comb = flat.astype(np.int64)
+            comb += (inv.astype(np.int64) * stride)[:, None]
+        counts = np.bincount(comb.ravel(), minlength=uniq.size * stride)
+        counts = counts.reshape(uniq.size, stride)
+        if emit_node_totals:
+            dist = np.bincount(
+                inv.astype(np.int64) * n_classes + target32,
+                minlength=uniq.size * n_classes,
+            ).reshape(uniq.size, n_classes)
+        for k in range(uniq.size):
+            nv = int(uniq[k])
+            a = acc.get(nv)
             if a is None:
-                a = acc[int(nv)] = np.zeros(flat_size, dtype=np.int64)
-            node_rows = nodes == nv
-            sel = flat[node_rows][valid[node_rows]]
-            if sel.size:
-                a += np.bincount(sel, minlength=flat_size)
+                acc[nv] = counts[k, :flat_size].copy()
+            else:
+                a += counts[k, :flat_size]
             if emit_node_totals:
-                d = dist_acc.get(int(nv))
+                d = dist_acc.get(nv)
                 if d is None:
-                    d = dist_acc[int(nv)] = np.zeros(n_classes, dtype=np.int64)
-                d += np.bincount(target[node_rows], minlength=n_classes)
+                    dist_acc[nv] = dist[k].copy()
+                else:
+                    d += dist[k]
     return acc, dist_acc
 
 
