@@ -211,6 +211,19 @@ def candidate_split_gains(
             cum, keys, n_classes, criterion, include_child_counts
         )
 
+    # Unbounded-candidates path: the counts relation below is consumed by
+    # THREE branches (totals, the bucketed phase-1 window, and the
+    # bucket-totals offsets), and left lazy each branch re-runs the corpus
+    # scan + the melt Expand + the counts shuffle — column pruning
+    # specializes the branches so exchange reuse never fires (r11; the
+    # bench plan carried four scan+Expand+Exchange pipelines).  A lazy
+    # local checkpoint materializes the aggregated (keys, value, counts)
+    # relation once per call — it is candidate-sized (distinct values),
+    # far smaller than the melt it replaces, and recomputed from the
+    # source on every invocation.  The bounded/arrow branch above has a
+    # single consumer and stays fully lazy.
+    counts = counts.localCheckpoint(eager=False)
+
     # Per-(node,feature) totals as a grouped aggregate + broadcast join — NOT
     # an unbounded-frame window: WindowExec buffers the whole partition for
     # an unbounded frame, which serializes and spills on high-cardinality
