@@ -260,16 +260,27 @@ def band_rows(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.encode(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.col(f"sig_{b * band_size + r}").cast("string")
-                                        for r in range(band_size)
-                                    ],
-                                ),
-                                "utf-8",
+                        # unhex(md5): the bucket key is internal (never in
+                        # any result or persisted index — signatures are
+                        # what MinHashIndex stores), and the 16-byte binary
+                        # halves the banded self-join's shuffle bytes vs
+                        # the 32-char hex string (guide §2.3, r11).  unhex
+                        # is bijective on md5 output, so bucket membership
+                        # — and every candidate pair — is identical.
+                        F.unhex(
+                            F.md5(
+                                F.encode(
+                                    F.concat_ws(
+                                        ",",
+                                        *[
+                                            F.col(f"sig_{b * band_size + r}").cast(
+                                                "string"
+                                            )
+                                            for r in range(band_size)
+                                        ],
+                                    ),
+                                    "utf-8",
+                                )
                             )
                         ).alias("band_hash"),
                     )
@@ -948,14 +959,21 @@ def _window_relation(docs: DataFrame, id_col: str, text_col: str, n: int):
                 F.col("n_tokens") >= n,
                 F.transform(
                     F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    # unhex(md5): the window hash is an internal agg/join
+                    # key only (no result exposes it), and 16-byte binary
+                    # halves the dominant shuffle of this operator family
+                    # — the (doc, start, h) window relation feeding the
+                    # duplicated-hash aggregation (guide §2.3, r11).
+                    # unhex is bijective on md5 hex, so the duplicated-
+                    # window set and every downstream span is identical.
                     lambda i: F.struct(
                         i.cast("long").alias("start"),
-                        F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, n))).alias(
-                            "h"
-                        ),
+                        F.unhex(
+                            F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, n)))
+                        ).alias("h"),
                     ),
                 ),
-            ).otherwise(F.array().cast("array<struct<start:bigint,h:string>>"))
+            ).otherwise(F.array().cast("array<struct<start:bigint,h:binary>>"))
         ).alias("w"),
     ).select(F.col(id_col), F.col("w.start").alias("start"), F.col("w.h").alias("h"))
     return base, wins
