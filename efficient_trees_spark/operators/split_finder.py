@@ -34,6 +34,7 @@ import json
 import os
 import sys
 import time
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, Window
@@ -453,6 +454,49 @@ _LOCAL_GAINS_MAX_ROWS = 2_000_000
 # distributed SUM path takes over (thousands-of-partitions clusters).
 _DENSE_CUBE_MAX_BYTES = 256 << 20
 
+_LOCAL_FOLD_RULE = "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+
+
+@contextmanager
+def _no_local_relation_fold(spark):
+    """Run the per-level local-gains query with ``ConvertToLocalRelation``
+    excluded from the optimizer.
+
+    The prefix-sum relation the gains query reads is a driver-local
+    ``LocalRelation``, and that rule eagerly evaluates Project-over-
+    LocalRelation AT PLAN TIME with a single-threaded interpreted
+    projection — the whole staged entropy/gini pipeline was running
+    row-at-a-time inside the optimizer, charged to "planning" (the
+    second ``toPandas()`` of the same DataFrame was 3-4x cheaper than the
+    first; excluded, the first run matches the second).  Excluding the
+    rule only moves WHERE the same Catalyst expressions are evaluated
+    (whole-stage codegen across cores instead of the optimizer's
+    interpreter — both call the same JVM arithmetic), so the gains are
+    bit-identical either way: pinned by
+    ``test_local_gains_fold_free_parity_and_conf_restore``.
+
+    Scoped set/restore of the session conf: fits are sequential (the
+    packed level loop runs no concurrent jobs and ``ensemble.py`` trains
+    trees one at a time), and any pre-existing exclusion list is
+    preserved.
+    """
+    key = "spark.sql.optimizer.excludedRules"
+    prev = spark.conf.get(key, None)
+    if prev and _LOCAL_FOLD_RULE in prev:
+        rules = prev
+    elif prev:
+        rules = f"{prev},{_LOCAL_FOLD_RULE}"
+    else:
+        rules = _LOCAL_FOLD_RULE
+    spark.conf.set(key, rules)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
 
 def find_best_splits_packed(
     packed_df: DataFrame,
@@ -622,14 +666,16 @@ def find_best_splits_packed(
         if pdf is None or pdf.empty:
             best: list[dict[str, Any]] = []
         else:
-            cum = _local_prefix_sums(pdf, packed_df.sparkSession, n_classes, node_col)
-            gains = _gains_from_prefix_sums(
-                cum, [node_col, FEATURE], n_classes, criterion,
-                include_child_counts=True,
-            )
-            best = _best_split_rows_local(
-                gains.toPandas(), feature_names, node_col
-            )
+            with _no_local_relation_fold(packed_df.sparkSession):
+                cum = _local_prefix_sums(
+                    pdf, packed_df.sparkSession, n_classes, node_col
+                )
+                gains = _gains_from_prefix_sums(
+                    cum, [node_col, FEATURE], n_classes, criterion,
+                    include_child_counts=True,
+                )
+                gains_pdf = gains.toPandas()
+            best = _best_split_rows_local(gains_pdf, feature_names, node_col)
         stages["local_gains_sec"] = time.perf_counter() - t0
         _emit_level_timings(
             {

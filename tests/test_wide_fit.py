@@ -349,12 +349,21 @@ def test_packed_relation_caches_at_one_byte_per_cell(spark):
     )
     packed = pack_raw_features(prepared, feats, "__target_idx", dtype="f4")
     edges = quantile_edges_packed(packed, feats, 16, 64, dtype="f4")
+    # Other operators legitimately leave lazy localCheckpoint blocks in the
+    # shared session's RDD cache until GC (split-gains counts, BM25 postings
+    # — r11), so attribute ONLY the relation this test persists instead of
+    # taking max over the whole cache.
+    before = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     codes = encode_packed(packed, feats, edges, "__target_idx", dtype="f4").persist()
     try:
         rows = codes.count()
-        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        infos = [
+            i
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.id() not in before
+        ]
         assert infos, "encoded relation was not cached"
-        mem = max(i.memSize() + i.diskSize() for i in infos)
+        mem = sum(i.memSize() + i.diskSize() for i in infos)
         cells = rows * width
         assert cells > 1_000_000
         # measured 1.03 B/cell (uint8 blob + int target + batch overhead);
@@ -555,3 +564,78 @@ def test_stats_merges_with_counts(spark):
     assert exact_edges == exact_plain
     # per-partition ROW counts (not non-null) summed once per partition
     assert total_rows == 701
+
+
+def test_local_gains_fold_free_parity_and_conf_restore(spark):
+    """The packed local-gains query runs with ``ConvertToLocalRelation``
+    excluded (split_finder._no_local_relation_fold): the optimizer
+    otherwise evaluates the whole staged entropy/gini pipeline
+    row-at-a-time, single-threaded, at PLAN time.  The exclusion only
+    moves where the same Catalyst expressions are evaluated, so the gains
+    must be BIT-identical folded vs fold-free — pinned here over NaN
+    candidates, per-class zeros, and 3 classes — and the session conf
+    must be restored afterwards."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    nodes, feats, bins, ncls = 3, 5, 9, 3
+    n = nodes * feats * bins
+    pdf = pd.DataFrame(
+        {
+            "__node_id": np.repeat(np.arange(nodes, dtype=np.int32), feats * bins),
+            split_finder.FEATURE: np.tile(
+                np.repeat([f"f_{j}" for j in range(feats)], bins), nodes
+            ),
+            split_finder.FEATURE_VALUE: np.tile(
+                np.arange(bins, dtype=np.float64) / bins, nodes * feats
+            ),
+            "count_examples": np.zeros(n, dtype=np.int64),
+        }
+    )
+    for c in range(ncls):
+        col = rng.integers(0, 97, n)
+        col[rng.random(n) < 0.3] = 0  # per-class zeros exercise the p>0 CASE
+        pdf[f"class_{c}_count"] = col
+        pdf["count_examples"] += col
+    # a histogram row exists only because >= 1 example landed in it
+    zero = pdf["count_examples"] == 0
+    pdf.loc[zero, "class_0_count"] += 1
+    pdf.loc[zero, "count_examples"] += 1
+    # the last slot of each feature is the NaN candidate, like the real cube
+    pdf.loc[pdf.index % bins == bins - 1, split_finder.FEATURE_VALUE] = NAN
+
+    key = "spark.sql.optimizer.excludedRules"
+    prev = spark.conf.get(key, None)
+
+    def run(fold_free):
+        cum = split_finder._local_prefix_sums(pdf, spark, ncls, "__node_id")
+        gains = split_finder._gains_from_prefix_sums(
+            cum,
+            ["__node_id", split_finder.FEATURE],
+            ncls,
+            Criterion.ENTROPY,
+            include_child_counts=True,
+        )
+        if fold_free:
+            with split_finder._no_local_relation_fold(spark):
+                out = gains.toPandas()
+                plan = gains._jdf.queryExecution().optimizedPlan().toString()
+            # structural pin: the relation must NOT have been folded away
+            assert "Project" in plan, plan
+        else:
+            out = gains.toPandas()
+        return out.sort_values(
+            ["__node_id", "feature", "feature_value"]
+        ).reset_index(drop=True)
+
+    folded, free = run(False), run(True)
+    assert spark.conf.get(key, None) == prev  # conf restored
+    assert len(folded) == len(free) > 0
+    for col in ("information_gain", "parent_criterion"):
+        a = folded[col].to_numpy(np.float64).view(np.int64)
+        b = free[col].to_numpy(np.float64).view(np.int64)
+        assert (a == b).all(), col
+    for col in ("left_counts", "right_counts"):
+        assert all(
+            list(x) == list(y) for x, y in zip(folded[col], free[col])
+        ), col
