@@ -259,15 +259,21 @@ def _mt_probe_sec(spark) -> float:
 
 # ---------------------------------------------------------------- verdict
 #
-# Pinned reference window: BENCH_PIN_r10.json — loadavg 0.1 at start,
-# probes at their observed floor, self-CPU 6462 s for the identical
-# 16-query x 5-run sf0.1 sweep (warmups + probes included; all fixed
-# work).  The pins are only meaningful for THAT configuration, so the
-# verdict degrades to "unpinned" when sf/runs/query-set differ.
+# Pinned reference window: BENCH_PIN_r11.json — the round-11 optimized
+# code's first verdict-CLEAN record (loadavg 0.09 at start, calm-gate
+# passed first attempt, self-CPU 4372 s for the 16-query x 5-run sf0.1
+# sweep, 0.677x the r10-code pin — the optimization round's CPU win
+# measured on identical sweep structure).  Re-pinned from the r10 window
+# (st 0.914 / mt 1.694 / self-CPU 6462, BENCH_PIN_r10.json) because the
+# round-11 rewrites changed how much CPU the "identical work" costs: a
+# post-optimization record compared against the old-code CPU pin would
+# need 1.85x real contention before the 1.25x threshold fired.  The pins
+# are only meaningful for THAT configuration, so the verdict degrades to
+# "unpinned" when sf/runs/query-set differ.
 _PIN_CONFIG = {"sf": 0.1, "runs": 5, "queries": 16}
-_PIN_ST_PROBE_SEC = 0.914  # mean of the pin record's before/after brackets
-_PIN_MT_PROBE_SEC = 1.694
-_PIN_SELF_CPU_SEC = 6462.0
+_PIN_ST_PROBE_SEC = 0.711  # mean of the pin record's before/after brackets
+_PIN_MT_PROBE_SEC = 1.654
+_PIN_SELF_CPU_SEC = 4372.0
 # A bracketed probe (3-rep median) more than 25% over its pin is "slow";
 # single-rep mid-sweep rounds get 40% headroom (one rep, noisier).  The
 # self-CPU band is 25% too: the poisoned r10 driver record sat at 1.63x
@@ -276,17 +282,17 @@ _PIN_SELF_CPU_SEC = 6462.0
 _PROBE_SLOW_RATIO = 1.25
 _PROBE_ROUND_SLOW_RATIO = 1.40
 _SELF_CPU_INFLATED_RATIO = 1.25
-# Bandwidth probe pin: PROVISIONAL, from the round-11 cross-window minimum
-# (the same minima-are-calm rule the tree_fit_wide band uses; no
-# verdict-clean window appeared that round to pin from, so re-derive when
-# one does).  Calm-CPU windows sampled 0.29-0.41 s; a concurrent
-# tree_fit_wide inflated the probe to 0.93-2.45 s (3.2-8.4x) while the st
-# probe barely moved — hence the generous 1.5x threshold: clear separation
-# from real load, headroom over the probe's own calm-window dispersion.
-# Set to None to disable the calm-wait gate's bw check.  The probe is
-# EVIDENCE (basis ratios + the gate), not a verdict authority: self-CPU on
-# the record's own work decides contention.  Provenance in SCALE.md.
-_PIN_BW_PROBE_SEC: "float | None" = 0.29
+# Bandwidth probe pin: from BENCH_PIN_r11.json's clean window (bracket
+# mean 0.244 s; mid-sweep rounds 0.228-0.277).  The provisional r11
+# cross-window minimum was 0.29; the clean pin confirms and tightens it.
+# A concurrent tree_fit_wide inflates the probe to 0.93-2.45 s (3.2-8.4x)
+# while the st probe barely moves — hence the generous 1.5x threshold:
+# clear separation from real load, headroom over the probe's own
+# calm-window dispersion.  Set to None to disable the calm-wait gate's bw
+# check.  The probe is EVIDENCE (basis ratios + the gate), not a verdict
+# authority: self-CPU on the record's own work decides contention.
+# Provenance in SCALE.md.
+_PIN_BW_PROBE_SEC: "float | None" = 0.244
 _BW_SLOW_RATIO = 1.5
 
 
@@ -300,10 +306,19 @@ def calibration_verdict(
     n_queries: int,
     bw_pre: "float | None" = None,
     bw_rounds: "list[float] | None" = None,
+    pins: "dict | None" = None,
 ) -> dict:
     """The round-10 triangulation rule, computed from the record's own
     fields: {"verdict": "clean" | "cpu_drift" | "contention" | "unpinned",
     "basis": {...ratios, pins, thresholds...}}.
+
+    ``pins`` selects the reference window (defaults to the module's
+    CURRENT pins, read at call time).  The rule is window-relative by
+    construction — a record is adjudicated against the pin window its
+    series was measured in — so re-pinning for a new code generation
+    (r11: the optimized code burns 0.677x the CPU of the r10 pin's
+    "identical work") must not silently re-stamp historical records;
+    tests replay the r10 records against the r10 pins explicitly.
 
     cpu_drift  — a fixed-work probe ran slow vs the pinned window (bracket
                  over _PROBE_SLOW_RATIO, or any single mid-sweep round over
@@ -323,14 +338,25 @@ def calibration_verdict(
                  count) or the container exposes no CPU accounting; the
                  pins don't apply.
     """
+    if pins is None:
+        pins = {
+            "st_probe_sec": _PIN_ST_PROBE_SEC,
+            "mt_probe_sec": _PIN_MT_PROBE_SEC,
+            "self_cpu_sec": _PIN_SELF_CPU_SEC,
+            "bw_probe_sec": _PIN_BW_PROBE_SEC,
+            "config": _PIN_CONFIG,
+        }
+    pin_bw = pins.get("bw_probe_sec")
     basis = {
-        "st_ratio": round(st_mean / _PIN_ST_PROBE_SEC, 3),
-        "mt_ratio": round(mt_mean / _PIN_MT_PROBE_SEC, 3),
+        "st_ratio": round(st_mean / pins["st_probe_sec"], 3),
+        "mt_ratio": round(mt_mean / pins["mt_probe_sec"], 3),
         "mt_rounds_max_ratio": (
-            round(max(mt_rounds) / _PIN_MT_PROBE_SEC, 3) if mt_rounds else None
+            round(max(mt_rounds) / pins["mt_probe_sec"], 3)
+            if mt_rounds
+            else None
         ),
         "self_cpu_ratio": (
-            round(self_cpu_sec / _PIN_SELF_CPU_SEC, 3)
+            round(self_cpu_sec / pins["self_cpu_sec"], 3)
             if self_cpu_sec is not None
             else None
         ),
@@ -339,22 +365,16 @@ def calibration_verdict(
         # after-bracket and rounds are a comparative series, not
         # pin-comparable absolutes
         "bw_ratio": (
-            round(bw_pre / _PIN_BW_PROBE_SEC, 3)
-            if bw_pre is not None and _PIN_BW_PROBE_SEC is not None
+            round(bw_pre / pin_bw, 3)
+            if bw_pre is not None and pin_bw is not None
             else None
         ),
         "bw_rounds_max_ratio": (
-            round(max(bw_rounds) / _PIN_BW_PROBE_SEC, 3)
-            if bw_rounds and _PIN_BW_PROBE_SEC is not None
+            round(max(bw_rounds) / pin_bw, 3)
+            if bw_rounds and pin_bw is not None
             else None
         ),
-        "pins": {
-            "st_probe_sec": _PIN_ST_PROBE_SEC,
-            "mt_probe_sec": _PIN_MT_PROBE_SEC,
-            "self_cpu_sec": _PIN_SELF_CPU_SEC,
-            "bw_probe_sec": _PIN_BW_PROBE_SEC,
-            "config": _PIN_CONFIG,
-        },
+        "pins": pins,
         "thresholds": {
             "probe_slow": _PROBE_SLOW_RATIO,
             "probe_round_slow": _PROBE_ROUND_SLOW_RATIO,
@@ -363,9 +383,9 @@ def calibration_verdict(
         },
     }
     config_matches = (
-        sf == _PIN_CONFIG["sf"]
-        and runs == _PIN_CONFIG["runs"]
-        and n_queries == _PIN_CONFIG["queries"]
+        sf == pins["config"]["sf"]
+        and runs == pins["config"]["runs"]
+        and n_queries == pins["config"]["queries"]
     )
     if not config_matches or self_cpu_sec is None:
         return {"verdict": "unpinned", "basis": basis}

@@ -21,11 +21,26 @@ sys.path.insert(0, str(REPO))
 
 from bench import calibration_verdict  # noqa: E402
 
+# The rule is window-relative: a record is adjudicated against the pin
+# window its series was measured in.  bench.py's CURRENT pins moved to the
+# round-11 optimized code's clean record (BENCH_PIN_r11.json — the rewrites
+# cut the sweep's self-CPU to 0.677x, so the old CPU band would need 1.85x
+# real contention before firing); the r10 records below replay against the
+# r10 pins they were measured under.
+R10_PINS = {
+    "st_probe_sec": 0.914,
+    "mt_probe_sec": 1.694,
+    "self_cpu_sec": 6462.0,
+    "bw_probe_sec": 0.29,
+    "config": {"sf": 0.1, "runs": 5, "queries": 16},
+}
 
-def _verdict_of_record(rec: dict) -> dict:
+
+def _verdict_of_record(rec: dict, pins: dict | None = None) -> dict:
     cal = rec["calibration"]
     st = (cal["st_probe_sec"]["before"] + cal["st_probe_sec"]["after"]) / 2
     mt = (cal["mt_probe_sec"]["before"] + cal["mt_probe_sec"]["after"]) / 2
+    bw = cal.get("bw_probe_sec") or {}
     return calibration_verdict(
         st,
         mt,
@@ -34,14 +49,30 @@ def _verdict_of_record(rec: dict) -> dict:
         rec["sf"],
         rec["runs_per_query"],
         len(rec["queries"]),
+        bw_pre=bw.get("before"),
+        bw_rounds=cal.get("bw_probe_rounds"),
+        pins=pins,
     )
 
 
 def test_r10_pin_record_reads_clean_from_its_own_fields():
     rec = json.loads((REPO / "BENCH_PIN_r10.json").read_text())
-    v = _verdict_of_record(rec)
+    v = _verdict_of_record(rec, pins=R10_PINS)
     assert v["verdict"] == "clean"
     assert v["basis"]["self_cpu_ratio"] == 1.0
+
+
+def test_r11_pin_record_reads_clean_under_current_pins():
+    """BENCH_PIN_r11.json is the round-11 optimized code's verdict-clean
+    record AND the source of bench.py's current default pins — it must
+    read clean under them (all ratios at/below 1.0 up to rounding, one
+    mid-sweep mt round at 1.21x, inside the 1.4x single-round band)."""
+    rec = json.loads((REPO / "BENCH_PIN_r11.json").read_text())
+    v = _verdict_of_record(rec)  # default = current pins
+    assert v["verdict"] == "clean"
+    assert v["basis"]["self_cpu_ratio"] == 1.0
+    assert v["basis"]["st_ratio"] <= 1.01
+    assert v["basis"]["bw_ratio"] is not None and v["basis"]["bw_ratio"] <= 1.01
 
 
 def test_r10_driver_record_reads_contention_from_its_own_fields():
@@ -66,7 +97,7 @@ def test_r10_driver_record_reads_contention_from_its_own_fields():
     )
     st = (float(st_m.group(1)) + float(st_m.group(2))) / 2
     mt = (float(mt_m.group(1)) + float(mt_m.group(2))) / 2
-    v = calibration_verdict(st, mt, rounds, cpu, 0.1, 5, 16)
+    v = calibration_verdict(st, mt, rounds, cpu, 0.1, 5, 16, pins=R10_PINS)
     assert v["verdict"] == "contention"
     assert v["basis"]["self_cpu_ratio"] > 1.6
     assert v["basis"]["mt_ratio"] < 1.25
@@ -76,37 +107,51 @@ def test_slow_bracket_probe_reads_cpu_drift():
     # mt probe 2x the pin: the round-8/round-9 window shift signature —
     # even with self-CPU inflated too, the probe signal takes precedence
     # (raw walls are stale either way; normalization is the remedy)
-    v = calibration_verdict(0.92, 3.4, [3.3, 3.5], 11000.0, 0.1, 5, 16)
+    v = calibration_verdict(
+        0.92, 3.4, [3.3, 3.5], 11000.0, 0.1, 5, 16, pins=R10_PINS
+    )
     assert v["verdict"] == "cpu_drift"
 
 
 def test_mid_sweep_round_spike_reads_cpu_drift():
     # brackets calm, one interleaved round at 1.5x the pin: contention
     # arrived mid-sweep and the probes DID see it
-    v = calibration_verdict(0.92, 1.70, [1.7, 2.55, 1.69], 6500.0, 0.1, 5, 16)
+    v = calibration_verdict(
+        0.92, 1.70, [1.7, 2.55, 1.69], 6500.0, 0.1, 5, 16, pins=R10_PINS
+    )
     assert v["verdict"] == "cpu_drift"
 
 
 def test_calm_record_reads_clean():
-    v = calibration_verdict(0.93, 1.72, [1.7, 1.75], 6600.0, 0.1, 5, 16)
+    v = calibration_verdict(
+        0.93, 1.72, [1.7, 1.75], 6600.0, 0.1, 5, 16, pins=R10_PINS
+    )
     assert v["verdict"] == "clean"
 
 
 def test_off_config_or_missing_cpu_reads_unpinned():
     assert (
-        calibration_verdict(0.9, 1.7, [], 6400.0, 0.01, 5, 16)["verdict"]
+        calibration_verdict(0.9, 1.7, [], 6400.0, 0.01, 5, 16, pins=R10_PINS)[
+            "verdict"
+        ]
         == "unpinned"
     )
     assert (
-        calibration_verdict(0.9, 1.7, [], 6400.0, 0.1, 3, 16)["verdict"]
+        calibration_verdict(0.9, 1.7, [], 6400.0, 0.1, 3, 16, pins=R10_PINS)[
+            "verdict"
+        ]
         == "unpinned"
     )
     assert (
-        calibration_verdict(0.9, 1.7, [], 6400.0, 0.1, 5, 12)["verdict"]
+        calibration_verdict(0.9, 1.7, [], 6400.0, 0.1, 5, 12, pins=R10_PINS)[
+            "verdict"
+        ]
         == "unpinned"
     )
     assert (
-        calibration_verdict(0.9, 1.7, [], None, 0.1, 5, 16)["verdict"]
+        calibration_verdict(0.9, 1.7, [], None, 0.1, 5, 16, pins=R10_PINS)[
+            "verdict"
+        ]
         == "unpinned"
     )
 
@@ -119,11 +164,12 @@ def test_bw_probe_is_evidence_not_authority(monkeypatch):
     code, not the host — both readings live in the basis ratios."""
     import bench
 
-    monkeypatch.setattr(bench, "_PIN_BW_PROBE_SEC", 0.30)
+    pins_bw = dict(R10_PINS, bw_probe_sec=0.30)
     # slow bw, self-CPU in band: the sweep itself was untouched => clean,
     # with the bw evidence on the basis
     v = bench.calibration_verdict(
-        0.93, 1.72, [1.7], 6400.0, 0.1, 5, 16, bw_pre=0.60, bw_rounds=[0.9]
+        0.93, 1.72, [1.7], 6400.0, 0.1, 5, 16, bw_pre=0.60, bw_rounds=[0.9],
+        pins=pins_bw,
     )
     assert v["verdict"] == "clean"
     assert v["basis"]["bw_ratio"] == 2.0
@@ -132,14 +178,15 @@ def test_bw_probe_is_evidence_not_authority(monkeypatch):
     # raw walls) but the basis shows the contradiction that says
     # "investigate the code"
     v2 = bench.calibration_verdict(
-        0.93, 1.72, [1.7], 9800.0, 0.1, 5, 16, bw_pre=0.30, bw_rounds=[0.31]
+        0.93, 1.72, [1.7], 9800.0, 0.1, 5, 16, bw_pre=0.30, bw_rounds=[0.31],
+        pins=pins_bw,
     )
     assert v2["verdict"] == "contention"
     assert v2["basis"]["bw_ratio"] == 1.0
     # no bw pin: ratios are None, verdicts unchanged
-    monkeypatch.setattr(bench, "_PIN_BW_PROBE_SEC", None)
     v3 = bench.calibration_verdict(
-        0.93, 1.72, [1.7], 6400.0, 0.1, 5, 16, bw_pre=0.60, bw_rounds=[0.9]
+        0.93, 1.72, [1.7], 6400.0, 0.1, 5, 16, bw_pre=0.60, bw_rounds=[0.9],
+        pins=dict(R10_PINS, bw_probe_sec=None),
     )
     assert v3["verdict"] == "clean"
     assert v3["basis"]["bw_ratio"] is None
@@ -153,7 +200,10 @@ def test_calm_wait_gate_disabled_and_calm_paths(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_CALM_WAIT", "0")
     assert bench.wait_for_calm_window() is None
     # calm probes return immediately (attempt 1, zero wait) without sleep
+    # (the gate compares against the CURRENT module pins, so pin st too —
+    # the values here predate the r11 re-pin)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_CALM_WAIT", "600")
+    monkeypatch.setattr(bench, "_PIN_ST_PROBE_SEC", 0.914)
     monkeypatch.setattr(bench, "_st_probe_sec", lambda: 0.93)
     monkeypatch.setattr(bench, "_bw_probe_sec", lambda: 0.40)
     monkeypatch.setattr(bench, "_PIN_BW_PROBE_SEC", 0.40)
