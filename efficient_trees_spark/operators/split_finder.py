@@ -309,20 +309,30 @@ def candidate_split_gains(
     return _gains_from_prefix_sums(cum, keys, n_classes, criterion, include_child_counts)
 
 
-def _gains_from_prefix_sums(
-    cum: DataFrame,
-    keys: list[str],
+# Built Column lists for `_gains_from_prefix_sums`, keyed by the call shape.
+# Constructing the staged projections costs ~0.2 s of py4j round trips PER
+# CALL (measured: ~60 Column ops, each a gateway call) and the expressions
+# are pure functions of (keys, n_classes, criterion, include_child_counts)
+# — unresolved trees, reusable across any DataFrame with the schema.  The
+# cache key carries the py4j gateway's id so a restarted JVM (new gateway)
+# never sees stale handles.
+_GAINS_EXPR_CACHE: dict[tuple, tuple] = {}
+
+
+def _gains_select_lists(
+    keys: tuple[str, ...],
     n_classes: int,
     criterion: Criterion,
     include_child_counts: bool,
-) -> DataFrame:
-    """Prefix-sum relation (keys, feature_value, cum_class_*, cum_n,
-    sum_class_*, sum_n) → per-candidate information gains.  Shared by the
-    two-phase bucketed scan (exact mode) and the single-window bounded path
-    (binned mode)."""
-    # Drop the maximal value of each feature: a split there leaves the right
-    # child empty (reference F3, tree.py:274-277).
-    cum = cum.filter(F.col("sum_n") > F.col("cum_n"))
+) -> tuple[list, list, list]:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    gw = id(sc._gateway) if sc is not None else None
+    cache_key = (gw, keys, n_classes, criterion, include_child_counts)
+    hit = _GAINS_EXPR_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
 
     # Staged projections with NAMED intermediates, mirroring the reference's
     # chained selects (tree.py:278-330).  Building one inlined Column would
@@ -345,7 +355,7 @@ def _gains_from_prefix_sums(
             ).alias("right_counts"),
         ]
         carry += [F.col("left_counts"), F.col("right_counts")]
-    props = cum.select(
+    props_select = [
         *first_carry,
         *[
             (F.col(f"cum_class_{i}") / F.col("cum_n")).alias(f"left_p_{i}")
@@ -362,8 +372,8 @@ def _gains_from_prefix_sums(
             (F.col(f"sum_class_{i}") / F.col("sum_n")).alias(f"parent_p_{i}")
             for i in range(n_classes)
         ],
-    )
-    crits = props.select(
+    ]
+    crits_select = [
         *carry,
         exprs.criterion_expr(
             criterion, [F.col(f"left_p_{i}") for i in range(n_classes)]
@@ -374,13 +384,47 @@ def _gains_from_prefix_sums(
         exprs.criterion_expr(
             criterion, [F.col(f"parent_p_{i}") for i in range(n_classes)]
         ).alias("parent_criterion"),
-    )
+    ]
     child = exprs.weighted_child_criterion(
         F.col("left_criterion"),
         F.col("right_criterion"),
         F.col("cum_n"),
         F.col("sum_n"),
     )
+    final_select = [
+        *keys,
+        FEATURE_VALUE,
+        exprs.information_gain(F.col("parent_criterion"), child).alias(
+            "information_gain"
+        ),
+        "parent_criterion",
+        *(["left_counts", "right_counts"] if include_child_counts else []),
+    ]
+    out = (props_select, crits_select, final_select)
+    _GAINS_EXPR_CACHE[cache_key] = out
+    return out
+
+
+def _gains_from_prefix_sums(
+    cum: DataFrame,
+    keys: list[str],
+    n_classes: int,
+    criterion: Criterion,
+    include_child_counts: bool,
+) -> DataFrame:
+    """Prefix-sum relation (keys, feature_value, cum_class_*, cum_n,
+    sum_class_*, sum_n) → per-candidate information gains.  Shared by the
+    two-phase bucketed scan (exact mode) and the single-window bounded path
+    (binned mode)."""
+    # Drop the maximal value of each feature: a split there leaves the right
+    # child empty (reference F3, tree.py:274-277).
+    cum = cum.filter(F.col("sum_n") > F.col("cum_n"))
+
+    props_select, crits_select, final_select = _gains_select_lists(
+        tuple(keys), n_classes, criterion, include_child_counts
+    )
+    props = cum.select(*props_select)
+    crits = props.select(*crits_select)
     # Reference F4 — filter(information_gain.is_not_nan()) (tree.py:331) — is
     # deliberately ABSENT: it exists because Polars produces NaN from
     # 0*log2(0), which the Spark formulation guards at the source (p>0 CASE,
@@ -389,15 +433,7 @@ def _gains_from_prefix_sums(
     # pushes isnan(gain) down into the broadcast-join condition with the whole
     # criterion expression inlined, evaluating the entropy math 2-3x per row
     # (measured 2x wall-clock on 600k candidate rows).
-    return crits.select(
-        *keys,
-        FEATURE_VALUE,
-        exprs.information_gain(F.col("parent_criterion"), child).alias(
-            "information_gain"
-        ),
-        "parent_criterion",
-        *(["left_counts", "right_counts"] if include_child_counts else []),
-    )
+    return crits.select(*final_select)
 
 
 def find_best_splits_per_node(
@@ -665,6 +701,15 @@ def find_best_splits_packed(
         t0 = time.perf_counter()
         if pdf is None or pdf.empty:
             best: list[dict[str, Any]] = []
+        elif criterion == Criterion.GINI:
+            # Gini is pure rational float64 arithmetic, bit-reproducible
+            # driver-side (see _local_gains_gini_numpy) — skip the
+            # per-level Catalyst roundtrip and its ~0.5 s of fixed
+            # plan/launch/collect latency.  Entropy keeps the Catalyst
+            # path below: its log2 is transcendental and only the JVM's
+            # own evaluation is bit-stable against the distributed form.
+            gains_pdf = _local_gains_gini_numpy(pdf, n_classes, node_col)
+            best = _best_split_rows_local(gains_pdf, feature_names, node_col)
         else:
             with _no_local_relation_fold(packed_df.sparkSession):
                 cum = _local_prefix_sums(
@@ -775,28 +820,45 @@ def _best_split_rows_local(
     ]
 
 
-def _local_prefix_sums(
-    pdf, spark, n_classes: int, node_col: str
-) -> DataFrame | None:
-    """Per-(node, feature) prefix sums of the collected histogram relation,
-    driver-side — exact int64 arithmetic, identical to the window-sum form.
-    Ordering replicates the window spec bit-for-bit: ascending
-    feature_value with NaN LAST (Spark sorts double NaN greatest); values
-    are unique per group by construction (they come out of a groupBy on
-    exactly these keys).  Returns the cum relation as a LOCAL DataFrame
-    (created through pyarrow so the NaN candidate survives as NaN, not
-    null), or None when no rows survive."""
+def _prefix_sum_arrays(pdf, n_classes: int, node_col: str):
+    """Sorted counts relation + exact int64 prefix/total sums, shared by
+    the Catalyst local-gains relation and the numpy gini twin.  Ordering
+    replicates the window spec bit-for-bit: ascending feature_value with
+    NaN LAST (Spark sorts double NaN greatest); values are unique per
+    (node, feature) group by construction (they come out of a groupBy on
+    exactly these keys)."""
     import numpy as np
-    import pyarrow as pa
 
     from efficient_trees_spark.functions.exprs import class_count_col
 
-    if pdf.empty:
-        return None
     pdf = pdf.sort_values(
         [node_col, FEATURE, FEATURE_VALUE], na_position="last", kind="mergesort"
     ).reset_index(drop=True)
     grp = pdf.groupby([node_col, FEATURE], sort=False)
+    arrays: dict = {}
+    for i in range(n_classes):
+        col = class_count_col(i)
+        arrays[f"cum_class_{i}"] = grp[col].cumsum().to_numpy(np.int64)
+        arrays[f"sum_class_{i}"] = grp[col].transform("sum").to_numpy(np.int64)
+    arrays["cum_n"] = grp["count_examples"].cumsum().to_numpy(np.int64)
+    arrays["sum_n"] = grp["count_examples"].transform("sum").to_numpy(np.int64)
+    return pdf, arrays
+
+
+def _local_prefix_sums(
+    pdf, spark, n_classes: int, node_col: str
+) -> DataFrame | None:
+    """Per-(node, feature) prefix sums of the collected histogram relation,
+    driver-side — exact int64 arithmetic, identical to the window-sum form
+    (ordering contract in :func:`_prefix_sum_arrays`).  Returns the cum
+    relation as a LOCAL DataFrame (created through pyarrow so the NaN
+    candidate survives as NaN, not null), or None when no rows survive."""
+    import numpy as np
+    import pyarrow as pa
+
+    if pdf.empty:
+        return None
+    pdf, sums = _prefix_sum_arrays(pdf, n_classes, node_col)
     arrays: dict[str, pa.Array] = {
         node_col: pa.array(pdf[node_col].to_numpy(np.int32), type=pa.int32()),
         FEATURE: pa.array(pdf[FEATURE].tolist(), type=pa.string()),
@@ -804,20 +866,8 @@ def _local_prefix_sums(
             pdf[FEATURE_VALUE].to_numpy(np.float64), type=pa.float64()
         ),
     }
-    for i in range(n_classes):
-        col = class_count_col(i)
-        arrays[f"cum_class_{i}"] = pa.array(
-            grp[col].cumsum().to_numpy(np.int64), type=pa.int64()
-        )
-        arrays[f"sum_class_{i}"] = pa.array(
-            grp[col].transform("sum").to_numpy(np.int64), type=pa.int64()
-        )
-    arrays["cum_n"] = pa.array(
-        grp["count_examples"].cumsum().to_numpy(np.int64), type=pa.int64()
-    )
-    arrays["sum_n"] = pa.array(
-        grp["count_examples"].transform("sum").to_numpy(np.int64), type=pa.int64()
-    )
+    for name, vals in sums.items():
+        arrays[name] = pa.array(vals, type=pa.int64())
     tbl = pa.table(arrays)
     # createDataFrame(pyarrow.Table) is Spark 4.x; mirror the toArrow guard
     # the collect paths use so pre-Arrow-table Spark takes a row-list build
@@ -829,6 +879,78 @@ def _local_prefix_sums(
         for f in tbl.schema
     )
     return spark.createDataFrame(tbl.to_pylist(), schema)  # pragma: no cover
+
+
+def _local_gains_gini_numpy(pdf, n_classes: int, node_col: str):
+    """Driver-side twin of ``_local_prefix_sums`` → ``_gains_from_prefix_sums``
+    for ``Criterion.GINI`` — returns the gains relation as a pandas frame
+    with the exact columns/values the Catalyst roundtrip's ``toPandas()``
+    yields, without the per-level Spark job (measured 0.4–0.6 s of fixed
+    plan/launch/collect latency per tree level at the sf0.1 shapes).
+
+    Bit-parity argument: the gini pipeline is pure RATIONAL float64
+    arithmetic — divide, multiply, add, subtract are IEEE-754
+    correctly-rounded operations, so NumPy and the JVM produce identical
+    bits whenever the operation order is identical; this function mirrors
+    ``exprs.gini_expr`` (left-fold ``1.0 - ((p0*p0 + p1*p1) + …)``),
+    ``exprs.weighted_child_criterion`` (``(cum_n/sum_n)*left +
+    ((sum_n-cum_n)/sum_n)*right``, int64 subtractions before the double
+    casts, exactly as Catalyst inserts them) and ``exprs.information_gain``
+    term-for-term.  ENTROPY stays on the Catalyst path: log2 is
+    transcendental (not correctly rounded — JVM ``Math.log`` and NumPy's
+    libm differ in the last ulp), and argmax ties between equal-gain
+    candidates are load-bearing.  Pinned bit-identical to the Catalyst
+    form by ``test_local_gains_numpy_gini_matches_catalyst``."""
+    import numpy as np
+    import pandas as pd
+
+    pdf, arr = _prefix_sum_arrays(pdf, n_classes, node_col)
+    # Drop the maximal value of each feature: a split there leaves the
+    # right child empty (reference F3, tree.py:274-277).
+    keep = arr["sum_n"] > arr["cum_n"]
+    cum_n_i = arr["cum_n"][keep]
+    sum_n_i = arr["sum_n"][keep]
+    right_n_i = sum_n_i - cum_n_i
+    cum_n = cum_n_i.astype(np.float64)
+    sum_n = sum_n_i.astype(np.float64)
+    right_n = right_n_i.astype(np.float64)
+
+    def gini(p_cols: list) -> "np.ndarray":
+        acc = p_cols[0] * p_cols[0]
+        for p in p_cols[1:]:
+            acc = acc + p * p
+        return 1.0 - acc
+
+    n_rows = int(keep.sum())
+    left_counts = np.empty((n_rows, n_classes), dtype=np.int64)
+    right_counts = np.empty((n_rows, n_classes), dtype=np.int64)
+    left_p, right_p, parent_p = [], [], []
+    for i in range(n_classes):
+        cum_i = arr[f"cum_class_{i}"][keep]
+        sum_i = arr[f"sum_class_{i}"][keep]
+        left_counts[:, i] = cum_i
+        right_counts[:, i] = sum_i - cum_i
+        left_p.append(cum_i.astype(np.float64) / cum_n)
+        right_p.append((sum_i - cum_i).astype(np.float64) / right_n)
+        parent_p.append(sum_i.astype(np.float64) / sum_n)
+    left_g = gini(left_p)
+    right_g = gini(right_p)
+    parent_g = gini(parent_p)
+    child = cum_n / sum_n * left_g + right_n / sum_n * right_g
+    gain = parent_g - child
+
+    out = pd.DataFrame(
+        {
+            node_col: pdf[node_col].to_numpy(np.int32)[keep],
+            FEATURE: pdf[FEATURE].to_numpy()[keep],
+            FEATURE_VALUE: pdf[FEATURE_VALUE].to_numpy(np.float64)[keep],
+            "information_gain": gain,
+            "parent_criterion": parent_g,
+        }
+    )
+    out["left_counts"] = list(left_counts)
+    out["right_counts"] = list(right_counts)
+    return out
 
 
 def _best_split_rows(

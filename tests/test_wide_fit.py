@@ -639,3 +639,99 @@ def test_local_gains_fold_free_parity_and_conf_restore(spark):
         assert all(
             list(x) == list(y) for x, y in zip(folded[col], free[col])
         ), col
+
+
+def test_local_gains_numpy_gini_matches_catalyst(spark):
+    """The packed local path computes GINI gains driver-side
+    (``split_finder._local_gains_gini_numpy``) instead of the per-level
+    Catalyst roundtrip — legitimate only because the gini pipeline is pure
+    rational float64 arithmetic (IEEE correctly-rounded ops), mirrored
+    term-for-term.  Pin BIT-identity against the Catalyst form over NaN
+    candidates, per-class zeros, 3 classes, single-candidate features
+    (fully filtered by the max-value rule) and large counts."""
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    nodes, feats, bins, ncls = 3, 5, 9, 3
+    n = nodes * feats * bins
+    pdf = pd.DataFrame(
+        {
+            "__node_id": np.repeat(np.arange(nodes, dtype=np.int32), feats * bins),
+            split_finder.FEATURE: np.tile(
+                np.repeat([f"f_{j}" for j in range(feats)], bins), nodes
+            ),
+            split_finder.FEATURE_VALUE: np.tile(
+                np.arange(bins, dtype=np.float64) / bins, nodes * feats
+            ),
+            "count_examples": np.zeros(n, dtype=np.int64),
+        }
+    )
+    for c in range(ncls):
+        col = rng.integers(0, 97, n)
+        col[rng.random(n) < 0.3] = 0  # per-class zeros exercise p = 0
+        pdf[f"class_{c}_count"] = col
+        pdf["count_examples"] += col
+    zero = pdf["count_examples"] == 0
+    pdf.loc[zero, "class_0_count"] += 1
+    pdf.loc[zero, "count_examples"] += 1
+    # the last slot of each feature is the NaN candidate, like the real cube
+    pdf.loc[pdf.index % bins == bins - 1, split_finder.FEATURE_VALUE] = NAN
+    # one single-candidate feature per node: its only row IS the maximum, so
+    # the cum < sum filter must drop the whole feature in both forms
+    single = pd.DataFrame(
+        {
+            "__node_id": np.arange(nodes, dtype=np.int32),
+            split_finder.FEATURE: "f_single",
+            split_finder.FEATURE_VALUE: 1.0,
+            "count_examples": np.int64(7),
+            "class_0_count": np.int64(3),
+            "class_1_count": np.int64(4),
+            "class_2_count": np.int64(0),
+        }
+    )
+    # large counts: int64 -> double casts well past int32
+    big = pd.DataFrame(
+        {
+            "__node_id": np.int32(0),
+            split_finder.FEATURE: "f_big",
+            split_finder.FEATURE_VALUE: [0.0, 1.0],
+            "count_examples": np.array([1 << 40, (1 << 40) + 3], dtype=np.int64),
+            "class_0_count": np.array([1 << 39, 1 << 38], dtype=np.int64),
+            "class_1_count": np.array([1 << 39, (1 << 39) + (1 << 38) + 3], dtype=np.int64),
+            "class_2_count": np.array([0, 0], dtype=np.int64),
+        }
+    )
+    pdf = pd.concat([pdf, single, big], ignore_index=True)
+
+    def sort(out):
+        return out.sort_values(
+            ["__node_id", "feature", "feature_value"]
+        ).reset_index(drop=True)
+
+    with split_finder._no_local_relation_fold(spark):
+        cum = split_finder._local_prefix_sums(pdf, spark, ncls, "__node_id")
+        catalyst = sort(
+            split_finder._gains_from_prefix_sums(
+                cum,
+                ["__node_id", split_finder.FEATURE],
+                ncls,
+                Criterion.GINI,
+                include_child_counts=True,
+            ).toPandas()
+        )
+    local = sort(split_finder._local_gains_gini_numpy(pdf, ncls, "__node_id"))
+
+    assert len(catalyst) == len(local) > 0
+    assert not (catalyst["feature"] == "f_single").any()  # max-value filter
+    assert (catalyst["feature"].to_numpy() == local["feature"].to_numpy()).all()
+    a = catalyst["feature_value"].to_numpy(np.float64)
+    b = local["feature_value"].to_numpy(np.float64)
+    assert (a.view(np.int64) == b.view(np.int64)).all()  # NaN-exact
+    for col in ("information_gain", "parent_criterion"):
+        av = catalyst[col].to_numpy(np.float64).view(np.int64)
+        bv = local[col].to_numpy(np.float64).view(np.int64)
+        assert (av == bv).all(), col
+    for col in ("left_counts", "right_counts"):
+        assert all(
+            list(x) == list(y) for x, y in zip(catalyst[col], local[col])
+        ), col
