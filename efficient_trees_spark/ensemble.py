@@ -110,7 +110,7 @@ class RandomForestClassifier:
             # tree._fan_out_small_input): every Arrow pass below — and each
             # tree's per-level histograms — parallelizes over this relation's
             # partitions.  No-op when the source already has >= cores splits.
-            prepared = _fan_out_small_input(prepared)
+            prepared, ens_n_parts = _fan_out_small_input(prepared)
             from efficient_trees_spark.operators.histogram import (
                 _MAX_PACKED_EDGES,
                 _MAX_PACKED16_EDGES,
@@ -137,7 +137,8 @@ class RandomForestClassifier:
             dtype = "f4" if shrink_features else "f8"
             n_bins, stats = proto._binned_edge_params()
             bin_edges, _ = _two_scan_binned_edges(
-                prepared, feature_names, n_bins, stats, dtype
+                prepared, feature_names, n_bins, stats, dtype,
+                n_parts=ens_n_parts,
             )
             proto.bin_edges_ = bin_edges
             max_card = max((len(e) for e in bin_edges.values()), default=0)
@@ -195,6 +196,9 @@ class RandomForestClassifier:
                         packed=packed,
                         packed_all_features=feature_names if packed else None,
                         packed_code_dtype=packed_code_dtype,
+                        # sample() is a 1:1 partition map over the persisted
+                        # code relation — the bag keeps the fan-out's count
+                        packed_n_parts=ens_n_parts if packed else None,
                     )
                 )
         finally:

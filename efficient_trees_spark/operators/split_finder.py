@@ -547,6 +547,7 @@ def find_best_splits_packed(
     n_pending_nodes: int | None = None,
     want_distributions: bool = False,
     code_dtype: str = "u1",
+    n_input_parts: int | None = None,
 ) -> list[dict[str, Any]] | tuple[list[dict[str, Any]], dict[int, list] | None]:
     """:func:`find_best_splits_per_node` over the packed bin-code matrix
     (uint8, or uint16 when a feature needs more than 253 edges —
@@ -611,7 +612,15 @@ def find_best_splits_packed(
             slots * n_classes * 8
             + (n_classes * 8 if want_distributions else 0)
         )
-        n_parts = packed_df.rdd.getNumPartitions()
+        # Budget decision only (dense vs sparse are bit-identical): prefer
+        # the caller's known count — under AQE, probing .rdd on a plan that
+        # contains the fan-out Exchange EXECUTES the shuffle stage (a full
+        # extra source pass per fit; see tree._fan_out_small_input).
+        n_parts = (
+            n_input_parts
+            if n_input_parts is not None
+            else packed_df.rdd.getNumPartitions()
+        )
         # Also bounded by the configured spark.driver.maxResultSize (dense
         # int64 cubes serialize at most at raw size, so half the cap is
         # clearly safe) — a cluster with a small maxResultSize must fall

@@ -74,16 +74,25 @@ def _fan_out_small_input(prepared: DataFrame) -> DataFrame:
     map side is pure codegen and the repartition was A/B-measured slower
     (see the note in ``_prepare``).  Partition count via the ~1 ms file-size
     estimate when the lineage is a plain scan pipeline (r11 — the ``df.rdd``
-    probe costs ~0.4 s of physical planning per call), the probe otherwise."""
+    probe costs ~0.4 s of physical planning per call), the probe otherwise.
+
+    Returns ``(df, n_parts)`` — the relation plus its KNOWN partition count
+    (``repartition(n)`` pins exactly n; AQE does not coalesce an explicit
+    user repartition).  Callers thread the count through the fit instead of
+    re-probing: under AQE, ``df.rdd`` on a plan that now contains this
+    fan-out Exchange EXECUTES the shuffle stage to resolve the final plan —
+    a full extra source pass per probe (measured ~1.2 s at the sf0.1
+    4-feature shape; see OPTIMIZATION_r11.md)."""
     from efficient_trees_spark.sources.io import estimate_scan_partitions
 
     sc = prepared.sparkSession.sparkContext
     n = estimate_scan_partitions(prepared)
     if n is None:
+        # pre-fan-out lineage: no Exchange below, so .rdd is planning only
         n = prepared.rdd.getNumPartitions()
     if n < sc.defaultParallelism:
-        return prepared.repartition(sc.defaultParallelism)
-    return prepared
+        return prepared.repartition(sc.defaultParallelism), sc.defaultParallelism
+    return prepared, n
 
 
 def _packed_partition_target(
@@ -109,8 +118,12 @@ def _packed_partition_target(
 
 
 def _coalesce_for_pack(
-    prepared: DataFrame, n_rows: int | None, width: int, bytes_per_cell: int = 1
-) -> DataFrame:
+    prepared: DataFrame,
+    n_rows: int | None,
+    width: int,
+    bytes_per_cell: int = 1,
+    n_parts: int | None = None,
+) -> tuple[DataFrame, int | None]:
     """Right-size the partitioning the pack+encode pass — and therefore the
     PERSISTED code cache every per-level histogram job re-reads — inherits.
 
@@ -128,17 +141,24 @@ def _coalesce_for_pack(
     counts ride the edge-stats / distinct merges (``with_counts``), so
     sizing costs no extra job; partition-count-only reduction changes no
     per-row value — trees are bit-identical (histograms are exact integer
-    sums, edges are already placed)."""
+    sums, edges are already placed).
+
+    ``n_parts`` is the caller's known partition count (from the fan-out,
+    which pins it) — passed so the probe never runs ``.rdd`` on an
+    Exchange-bearing plan (under AQE that executes the shuffle stage: a
+    full extra source pass).  Returns ``(df, n_parts)`` with the output's
+    count, threaded on to the per-level histogram budget."""
     if not n_rows:
-        return prepared
+        return prepared, None
     sc = prepared.sparkSession.sparkContext
-    n_parts = prepared.rdd.getNumPartitions()
+    if n_parts is None:
+        n_parts = prepared.rdd.getNumPartitions()
     want = _packed_partition_target(
         n_parts, n_rows, width * bytes_per_cell, sc.defaultParallelism
     )
     if want < n_parts:
-        return prepared.coalesce(want)
-    return prepared
+        return prepared.coalesce(want), want
+    return prepared, n_parts
 
 
 def _two_scan_binned_edges(
@@ -147,6 +167,7 @@ def _two_scan_binned_edges(
     n_bins: int,
     stats: int,
     dtype: str,
+    n_parts: int | None = None,
 ) -> tuple[dict[str, list[float]], int]:
     """Pass 1 of the binned two-scan flow, shared by the single-tree fit
     and the forest: per-partition order statistics over the COLUMNAR
@@ -170,7 +191,10 @@ def _two_scan_binned_edges(
     )
 
     stats_df = partition_order_stats(prepared, feature_names, stats, dtype=dtype)
-    n_parts = prepared.rdd.getNumPartitions()
+    if n_parts is None:
+        # Budget decision only — both branches are bit-identical; but avoid
+        # probing .rdd on an Exchange-bearing plan (AQE executes the stage).
+        n_parts = prepared.rdd.getNumPartitions()
     est_stats_bytes = n_parts * len(feature_names) * (2 * stats * 8 + 48)
     if est_stats_bytes > stats_collect_budget(prepared.sparkSession):
         bin_edges, feat_counts = merge_order_stats_distributed(
@@ -440,8 +464,9 @@ class DecisionTreeClassifier:
                 stacklevel=2,
             )
 
+        known_parts: int | None = None
         if self.max_bins is not None or hist_method == "arrow":
-            prepared = _fan_out_small_input(prepared)
+            prepared, known_parts = _fan_out_small_input(prepared)
         # Kept for the auto-exact fallback: the melt path must see the
         # double-typed relation, not the arrow path's f32-narrowed one.
         prepared_base = prepared
@@ -488,7 +513,8 @@ class DecisionTreeClassifier:
                 # measured data-proportional chunk of peak executor memory.
                 n_bins, stats = self._binned_edge_params()
                 bin_edges, n_rows_est = _two_scan_binned_edges(
-                    prepared, feature_names, n_bins, stats, dtype
+                    prepared, feature_names, n_bins, stats, dtype,
+                    n_parts=known_parts,
                 )
                 self.bin_edges_ = bin_edges
                 max_card = max(
@@ -503,11 +529,12 @@ class DecisionTreeClassifier:
                     packed_code_dtype = (
                         "u1" if max_card <= _MAX_PACKED_EDGES else "u2"
                     )
-                    prepared = _coalesce_for_pack(
+                    prepared, known_parts = _coalesce_for_pack(
                         prepared,
                         n_rows_est,
                         len(feature_names),
                         bytes_per_cell=1 if packed_code_dtype == "u1" else 2,
+                        n_parts=known_parts,
                     )
                     prepared = pack_encode_features(
                         prepared,
@@ -566,11 +593,12 @@ class DecisionTreeClassifier:
                     packed_code_dtype = (
                         "u1" if max_card <= _MAX_PACKED_EDGES else "u2"
                     )
-                    prepared = _coalesce_for_pack(
+                    prepared, known_parts = _coalesce_for_pack(
                         prepared,
                         n_rows_est,
                         len(feature_names),
                         bytes_per_cell=1 if packed_code_dtype == "u1" else 2,
+                        n_parts=known_parts,
                     )
                     prepared = pack_encode_features(
                         prepared,
@@ -602,6 +630,7 @@ class DecisionTreeClassifier:
                 bin_edges=bin_edges if hist_method == "arrow" else None,
                 packed=packed_mode,
                 packed_code_dtype=packed_code_dtype,
+                packed_n_parts=known_parts if packed_mode else None,
             )
         elif strategy == "node":
             self.tree = self._build_tree(
@@ -849,6 +878,7 @@ class DecisionTreeClassifier:
         packed: bool = False,
         packed_all_features: list[str] | None = None,
         packed_code_dtype: str = "u1",
+        packed_n_parts: int | None = None,
     ) -> dict[str, Any]:
         """PLANET-style breadth-first growth (the published strategy behind
         MLlib's trees, here with exact distinct-value splits): each level runs
@@ -906,6 +936,7 @@ class DecisionTreeClassifier:
                                 n_pending_nodes=len(frontier),
                                 want_distributions=need_root_dist,
                                 code_dtype=packed_code_dtype,
+                                n_input_parts=packed_n_parts,
                             )
 
                     else:
