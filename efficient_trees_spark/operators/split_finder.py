@@ -222,8 +222,12 @@ def candidate_split_gains(
     # relation once per call — it is candidate-sized (distinct values),
     # far smaller than the melt it replaces, and recomputed from the
     # source on every invocation.  The bounded/arrow branch above has a
-    # single consumer and stays fully lazy.
-    counts = counts.localCheckpoint(eager=False)
+    # single consumer and stays fully lazy.  A caller-supplied counts
+    # relation is already materialized (find_best_splits_per_node
+    # checkpoints before its size probe) — re-checkpointing it would copy
+    # the blocks for nothing.
+    if precomputed_counts is None:
+        counts = counts.localCheckpoint(eager=False)
 
     # Per-(node,feature) totals as a grouped aggregate + broadcast join — NOT
     # an unbounded-frame window: WindowExec buffers the whole partition for
@@ -460,7 +464,53 @@ def find_best_splits_per_node(
     lexicographic; position and threshold are negated so the whole order is
     a single max, and (gain, position, threshold) is unique per candidate so
     no arbitrary tie remains.
+
+    Exact-mode GINI levels take a driver-local shortcut when the aggregated
+    candidate relation fits ``_LOCAL_GAINS_MAX_ROWS`` (the same budget the
+    packed path uses): the relation is checkpointed (the unbounded pipeline
+    materializes it anyway), its row count read off the materialized blocks,
+    and under budget the prefix sums + gini gains + argmax run driver-side
+    (``_local_gains_gini_numpy`` + ``_best_split_rows_local`` — both pinned
+    bit-identical to the distributed forms), replacing the two-phase
+    bucketed windows, broadcast joins and max_by shuffle with ONE collect.
+    Entropy and over-budget relations keep the distributed pipeline.
     """
+    if (
+        criterion == Criterion.GINI
+        and hist_method == "expand"
+        and not bounded_candidates
+    ):
+        keys = [node_col, FEATURE]
+        long_df = melt_features(
+            df, feature_names, target_idx_col, extra_id_cols=[node_col]
+        )
+        counts = (
+            long_df.groupBy(*keys, FEATURE_VALUE)
+            .agg(
+                *exprs.conditional_class_counts(target_idx_col, n_classes),
+                F.count(F.lit(1)).alias("count_examples"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if counts.count() <= _LOCAL_GAINS_MAX_ROWS:
+            gains_pdf = _local_gains_gini_numpy(
+                counts.toPandas(), n_classes, node_col
+            )
+            return _best_split_rows_local(gains_pdf, feature_names, node_col)
+        gains = candidate_split_gains(
+            df,
+            feature_names,
+            n_classes,
+            criterion,
+            target_idx_col,
+            node_col=node_col,
+            include_child_counts=True,
+            hist_method=hist_method,
+            bin_edges=bin_edges,
+            bounded_candidates=False,
+            precomputed_counts=counts,
+        )
+        return _best_split_rows(gains, feature_names, node_col)
     gains = candidate_split_gains(
         df,
         feature_names,

@@ -771,3 +771,32 @@ def test_binned_fit_never_probes_rdd_on_parquet_source(spark, monkeypatch):
     )
     model.fit(li, "target")
     assert model.tree == expected.tree
+
+
+def test_exact_gini_local_gains_tree_matches_distributed(spark, monkeypatch):
+    """find_best_splits_per_node's exact-mode gini shortcut (checkpoint the
+    candidate counts, collect, numpy gains + local argmax) must fit trees
+    BIT-identical to the distributed two-phase-window + max_by pipeline it
+    replaces.  Force the distributed form by zeroing the budget and compare
+    whole trees on a relation with NULLs, NaNs and a high-cardinality
+    continuous feature."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.when(F.col("l_quantity") > 45, F.lit(None)).otherwise(
+            F.col("l_quantity")
+        ).alias("q_nullable"),
+        F.when(F.col("l_discount") > 0.09, F.lit(float("nan"))).otherwise(
+            F.col("l_extendedprice")
+        ).alias("price_nanable"),
+        "l_discount", "l_tax",
+        F.col("l_returnflag").alias("target"),
+    )
+
+    def fit_tree():
+        m = DecisionTreeClassifier(max_depth=3, criterion=Criterion.GINI)
+        m.fit(li, "target")
+        return m.tree
+
+    local_tree = fit_tree()
+    monkeypatch.setattr(split_finder, "_LOCAL_GAINS_MAX_ROWS", 0)
+    distributed_tree = fit_tree()
+    assert local_tree == distributed_tree
