@@ -259,21 +259,25 @@ def _mt_probe_sec(spark) -> float:
 
 # ---------------------------------------------------------------- verdict
 #
-# Pinned reference window: BENCH_PIN_r11.json — the round-11 optimized
-# code's first verdict-CLEAN record (loadavg 0.09 at start, calm-gate
-# passed first attempt, self-CPU 4372 s for the 16-query x 5-run sf0.1
-# sweep, 0.677x the r10-code pin — the optimization round's CPU win
-# measured on identical sweep structure).  Re-pinned from the r10 window
-# (st 0.914 / mt 1.694 / self-CPU 6462, BENCH_PIN_r10.json) because the
-# round-11 rewrites changed how much CPU the "identical work" costs: a
-# post-optimization record compared against the old-code CPU pin would
-# need 1.85x real contention before the 1.25x threshold fired.  The pins
-# are only meaningful for THAT configuration, so the verdict degrades to
-# "unpinned" when sf/runs/query-set differ.
+# Pinned reference window.  PROBE pins (st/mt/bw) come from the calmest
+# verdict-clean record of the round, BENCH_PIN_r11.json (loadavg 0.09 at
+# start, calm-gate passed first attempt) — they are HOST-window
+# properties, so they track the observed floor.  The SELF-CPU pin is a
+# CODE property ("what does the identical sweep cost on this code") and
+# tracks the code: it is re-pinned from BENCH_FINAL_r11.json, the
+# verdict-clean record at the round's FINAL head (3295 s — 0.754x the
+# mid-round pin record's 4372 s after the local-gains/partition-probe
+# commits, and 0.51x the r10 code's 6462 s).  Re-pinned from the r10
+# window (st 0.914 / mt 1.694 / self-CPU 6462, BENCH_PIN_r10.json)
+# because the round-11 rewrites changed how much CPU the "identical
+# work" costs: a post-optimization record compared against the old-code
+# CPU pin would need ~2x real contention before the 1.25x threshold
+# fired.  The pins are only meaningful for THAT configuration, so the
+# verdict degrades to "unpinned" when sf/runs/query-set differ.
 _PIN_CONFIG = {"sf": 0.1, "runs": 5, "queries": 16}
 _PIN_ST_PROBE_SEC = 0.711  # mean of the pin record's before/after brackets
 _PIN_MT_PROBE_SEC = 1.654
-_PIN_SELF_CPU_SEC = 4372.0
+_PIN_SELF_CPU_SEC = 3295.0
 # A bracketed probe (3-rep median) more than 25% over its pin is "slow";
 # single-rep mid-sweep rounds get 40% headroom (one rep, noisier).  The
 # self-CPU band is 25% too: the poisoned r10 driver record sat at 1.63x
