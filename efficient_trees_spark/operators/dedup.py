@@ -232,17 +232,35 @@ def minhash_signatures(
     )
 
 
+def _quoted(name: str) -> str:
+    return f"`{name.replace('`', '``')}`"
+
+
 def _signatures_from_shingles(
     shingles: DataFrame, id_col: str, num_hashes: int
 ) -> DataFrame:
     """Signature aggregation over an existing shingle relation — split out
     (r11) so compositions that already materialized the shingles
-    (:func:`minhash_near_duplicates`) don't re-derive them."""
+    (:func:`minhash_near_duplicates`) don't re-derive them.
+
+    The k hash columns and k min-aggregates are built as parsed SQL
+    strings (``selectExpr`` / one ``F.expr`` per aggregate), not chained
+    Column operators: at k=128 the operator chain costs ~0.45 s of py4j
+    round trips PER CONSTRUCTION (histogram.array_cast_expr rationale;
+    measured r11).  Bare integer literals parse to the same IntegerType
+    literals ``F.lit`` produced (every coefficient and MINHASH_PRIME fits
+    int32), so the expression trees — and the signatures — are
+    identical."""
     based = shingles.select(id_col, minhash_base(F.col("shingle")).alias("__base"))
-    hashes = minhash_family(F.col("__base"), num_hashes)
-    hashed = based.select(id_col, *[h.alias(f"h_{i}") for i, h in enumerate(hashes)])
+    hashed = based.selectExpr(
+        _quoted(id_col),
+        *[
+            f"({a} * __base + {b}) % {MINHASH_PRIME} AS h_{i}"
+            for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+        ],
+    )
     return hashed.groupBy(id_col).agg(
-        *[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(h_{i}) AS sig_{i}") for i in range(num_hashes)]
     )
 
 
@@ -253,41 +271,28 @@ def band_rows(
     bucket keys (band hash = md5 of the band's comma-joined components);
     the shared banding primitive for self-join and cross-corpus matching."""
     n_bands = num_hashes // band_size
-    return signatures.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # unhex(md5): the bucket key is internal (never in
-                        # any result or persisted index — signatures are
-                        # what MinHashIndex stores), and the 16-byte binary
-                        # halves the banded self-join's shuffle bytes vs
-                        # the 32-char hex string (guide §2.3, r11).  unhex
-                        # is bijective on md5 output, so bucket membership
-                        # — and every candidate pair — is identical.
-                        F.unhex(
-                            F.md5(
-                                F.encode(
-                                    F.concat_ws(
-                                        ",",
-                                        *[
-                                            F.col(f"sig_{b * band_size + r}").cast(
-                                                "string"
-                                            )
-                                            for r in range(band_size)
-                                        ],
-                                    ),
-                                    "utf-8",
-                                )
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
+    # unhex(md5): the bucket key is internal (never in any result or
+    # persisted index — signatures are what MinHashIndex stores), and the
+    # 16-byte binary halves the banded self-join's shuffle bytes vs the
+    # 32-char hex string (guide §2.3, r11).  unhex is bijective on md5
+    # output, so bucket membership — and every candidate pair — is
+    # identical.  Built as ONE parsed SQL string instead of ~10 Column
+    # operator calls per band (~0.23 s of py4j round trips per
+    # construction at 32 bands; same expressions, same values).
+    def band_struct(b: int) -> str:
+        parts = ", ".join(
+            f"CAST(sig_{b * band_size + r} AS STRING)"
+            for r in range(band_size)
+        )
+        return (
+            f"struct({b} AS band, "
+            f"unhex(md5(encode(concat_ws(',', {parts}), 'utf-8'))) "
+            f"AS band_hash)"
+        )
+
+    all_bands = ", ".join(band_struct(b) for b in range(n_bands))
+    return signatures.selectExpr(
+        _quoted(id_col), f"explode(array({all_bands})) AS bb"
     ).select(id_col, "bb.band", "bb.band_hash")
 
 
