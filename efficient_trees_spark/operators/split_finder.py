@@ -493,10 +493,9 @@ def find_best_splits_per_node(
             .localCheckpoint(eager=False)
         )
         if counts.count() <= _LOCAL_GAINS_MAX_ROWS:
-            gains_pdf = _local_gains_gini_numpy(
-                counts.toPandas(), n_classes, node_col
+            return _best_splits_gini_local(
+                counts.toPandas(), n_classes, feature_names, node_col
             )
-            return _best_split_rows_local(gains_pdf, feature_names, node_col)
         gains = candidate_split_gains(
             df,
             feature_names,
@@ -762,13 +761,14 @@ def find_best_splits_packed(
             best: list[dict[str, Any]] = []
         elif criterion == Criterion.GINI:
             # Gini is pure rational float64 arithmetic, bit-reproducible
-            # driver-side (see _local_gains_gini_numpy) — skip the
-            # per-level Catalyst roundtrip and its ~0.5 s of fixed
+            # driver-side (see _gini_gains_arrays) — skip the per-level
+            # Catalyst roundtrip and its ~0.5 s of fixed
             # plan/launch/collect latency.  Entropy keeps the Catalyst
             # path below: its log2 is transcendental and only the JVM's
             # own evaluation is bit-stable against the distributed form.
-            gains_pdf = _local_gains_gini_numpy(pdf, n_classes, node_col)
-            best = _best_split_rows_local(gains_pdf, feature_names, node_col)
+            best = _best_splits_gini_local(
+                pdf, n_classes, feature_names, node_col
+            )
         else:
             with _no_local_relation_fold(packed_df.sparkSession):
                 cum = _local_prefix_sums(
@@ -881,26 +881,54 @@ def _best_split_rows_local(
 
 def _prefix_sum_arrays(pdf, n_classes: int, node_col: str):
     """Sorted counts relation + exact int64 prefix/total sums, shared by
-    the Catalyst local-gains relation and the numpy gini twin.  Ordering
-    replicates the window spec bit-for-bit: ascending feature_value with
-    NaN LAST (Spark sorts double NaN greatest); values are unique per
-    (node, feature) group by construction (they come out of a groupBy on
-    exactly these keys)."""
+    the Catalyst local-gains relation and the numpy gini twin.  Within
+    each (node, feature) group the ordering replicates the window spec
+    bit-for-bit: ascending feature_value with NaN LAST (Spark sorts
+    double NaN greatest; numpy also sorts NaN last); values are unique
+    per group by construction (they come out of a groupBy on exactly
+    these keys), so no within-group tie exists.  GROUP order is feature
+    first-appearance rather than lexicographic — every consumer is
+    group-order-independent (prefix sums are per-group; the argmax key
+    is total), and the numpy lexsort is ~5x the pandas string mergesort
+    at the 600k-row exact-fit shape (measured r11).
+
+    Per-group cumsums come from one GLOBAL int64 cumsum minus each
+    group's starting offset — exact: int64 never loses precision and the
+    global total is bounded by total examples x features (~2e15 at the
+    100 TB shape, far inside int64)."""
     import numpy as np
+    import pandas as pd
 
     from efficient_trees_spark.functions.exprs import class_count_col
 
-    pdf = pdf.sort_values(
-        [node_col, FEATURE, FEATURE_VALUE], na_position="last", kind="mergesort"
-    ).reset_index(drop=True)
-    grp = pdf.groupby([node_col, FEATURE], sort=False)
+    nodes = pdf[node_col].to_numpy(np.int64)
+    feat_codes, _ = pd.factorize(pdf[FEATURE], sort=False)
+    values = pdf[FEATURE_VALUE].to_numpy(np.float64)
+    order = np.lexsort((values, feat_codes, nodes))
+    pdf = pdf.iloc[order].reset_index(drop=True)
+
+    ns = nodes[order]
+    fs = feat_codes[order]
+    new_grp = np.empty(len(ns), dtype=bool)
+    if len(ns):
+        new_grp[0] = True
+        new_grp[1:] = (ns[1:] != ns[:-1]) | (fs[1:] != fs[:-1])
+    starts = np.flatnonzero(new_grp)
+    gid = np.cumsum(new_grp) - 1
+
+    def cum_and_sum(col: str):
+        x = pdf[col].to_numpy(np.int64)
+        cs = np.cumsum(x)
+        base = np.zeros(len(starts), dtype=np.int64)
+        base[1:] = cs[starts[1:] - 1]
+        tot = np.add.reduceat(x, starts) if len(starts) else np.zeros(0, np.int64)
+        return cs - base[gid], tot[gid]
+
     arrays: dict = {}
     for i in range(n_classes):
         col = class_count_col(i)
-        arrays[f"cum_class_{i}"] = grp[col].cumsum().to_numpy(np.int64)
-        arrays[f"sum_class_{i}"] = grp[col].transform("sum").to_numpy(np.int64)
-    arrays["cum_n"] = grp["count_examples"].cumsum().to_numpy(np.int64)
-    arrays["sum_n"] = grp["count_examples"].transform("sum").to_numpy(np.int64)
+        arrays[f"cum_class_{i}"], arrays[f"sum_class_{i}"] = cum_and_sum(col)
+    arrays["cum_n"], arrays["sum_n"] = cum_and_sum("count_examples")
     return pdf, arrays
 
 
@@ -940,28 +968,27 @@ def _local_prefix_sums(
     return spark.createDataFrame(tbl.to_pylist(), schema)  # pragma: no cover
 
 
-def _local_gains_gini_numpy(pdf, n_classes: int, node_col: str):
-    """Driver-side twin of ``_local_prefix_sums`` → ``_gains_from_prefix_sums``
-    for ``Criterion.GINI`` — returns the gains relation as a pandas frame
-    with the exact columns/values the Catalyst roundtrip's ``toPandas()``
-    yields, without the per-level Spark job (measured 0.4–0.6 s of fixed
-    plan/launch/collect latency per tree level at the sf0.1 shapes).
+def _gini_gains_arrays(pdf, n_classes: int, node_col: str):
+    """Shared numpy core of the driver-side GINI gains: prefix sums →
+    max-value filter → gains, all as flat arrays (no per-row Python
+    objects).  Returns ``(nodes, features, values, gain, parent_g,
+    left_counts 2d, right_counts 2d)`` over the surviving candidates.
 
     Bit-parity argument: the gini pipeline is pure RATIONAL float64
     arithmetic — divide, multiply, add, subtract are IEEE-754
     correctly-rounded operations, so NumPy and the JVM produce identical
-    bits whenever the operation order is identical; this function mirrors
+    bits whenever the operation order is identical; this mirrors
     ``exprs.gini_expr`` (left-fold ``1.0 - ((p0*p0 + p1*p1) + …)``),
     ``exprs.weighted_child_criterion`` (``(cum_n/sum_n)*left +
     ((sum_n-cum_n)/sum_n)*right``, int64 subtractions before the double
-    casts, exactly as Catalyst inserts them) and ``exprs.information_gain``
-    term-for-term.  ENTROPY stays on the Catalyst path: log2 is
-    transcendental (not correctly rounded — JVM ``Math.log`` and NumPy's
-    libm differ in the last ulp), and argmax ties between equal-gain
-    candidates are load-bearing.  Pinned bit-identical to the Catalyst
-    form by ``test_local_gains_numpy_gini_matches_catalyst``."""
+    casts, exactly as Catalyst inserts them) and
+    ``exprs.information_gain`` term-for-term.  ENTROPY stays on the
+    Catalyst path: log2 is transcendental (not correctly rounded — JVM
+    ``Math.log`` and NumPy's libm differ in the last ulp), and argmax
+    ties between equal-gain candidates are load-bearing.  Pinned
+    bit-identical to the Catalyst form by
+    ``test_local_gains_numpy_gini_matches_catalyst``."""
     import numpy as np
-    import pandas as pd
 
     pdf, arr = _prefix_sum_arrays(pdf, n_classes, node_col)
     # Drop the maximal value of each feature: a split there leaves the
@@ -998,18 +1025,81 @@ def _local_gains_gini_numpy(pdf, n_classes: int, node_col: str):
     child = cum_n / sum_n * left_g + right_n / sum_n * right_g
     gain = parent_g - child
 
+    import numpy as _np
+
+    nodes = pdf[node_col].to_numpy(_np.int64)[keep]
+    features = pdf[FEATURE].to_numpy()[keep]
+    values = pdf[FEATURE_VALUE].to_numpy(_np.float64)[keep]
+    return nodes, features, values, gain, parent_g, left_counts, right_counts
+
+
+def _local_gains_gini_numpy(pdf, n_classes: int, node_col: str):
+    """The full gains relation as a pandas frame with the exact
+    columns/values the Catalyst roundtrip's ``toPandas()`` yields —
+    kept as the parity surface (`test_local_gains_numpy_gini_matches_
+    catalyst` compares it bit-for-bit against the Catalyst form); the
+    production fit path uses :func:`_best_splits_gini_local`, which
+    never materializes per-row Python lists."""
+    import pandas as pd
+
+    nodes, features, values, gain, parent_g, lc, rc = _gini_gains_arrays(
+        pdf, n_classes, node_col
+    )
     out = pd.DataFrame(
         {
-            node_col: pdf[node_col].to_numpy(np.int32)[keep],
-            FEATURE: pdf[FEATURE].to_numpy()[keep],
-            FEATURE_VALUE: pdf[FEATURE_VALUE].to_numpy(np.float64)[keep],
+            node_col: nodes.astype("int32"),
+            FEATURE: features,
+            FEATURE_VALUE: values,
             "information_gain": gain,
             "parent_criterion": parent_g,
         }
     )
-    out["left_counts"] = list(left_counts)
-    out["right_counts"] = list(right_counts)
+    out["left_counts"] = list(lc)
+    out["right_counts"] = list(rc)
     return out
+
+
+def _best_splits_gini_local(
+    pdf, n_classes: int, feature_names: list[str], node_col: str
+) -> list[dict[str, Any]]:
+    """Fused driver-side GINI gains + argmax: the winners-only form of
+    ``_best_split_rows_local(_local_gains_gini_numpy(...))`` — identical
+    total order (gain desc, feature position asc, threshold asc with the
+    NaN candidate mapped to -inf), but one ``np.lexsort`` over flat
+    arrays instead of a pandas multi-key sort plus 2x per-row list
+    columns (measured ~1.5 s -> ~0.3 s per level at the 600k-candidate
+    exact-fit shape).  ``-gain`` as an ascending key is an exact
+    reversal for the non-NaN doubles gains are (0.0 and -0.0 tie either
+    way and fall to the next key, as in the pandas form)."""
+    import numpy as np
+
+    nodes, features, values, gain, parent_g, lc, rc = _gini_gains_arrays(
+        pdf, n_classes, node_col
+    )
+    if not len(nodes):
+        return []
+    pos_of = {name: i for i, name in enumerate(feature_names)}
+    import pandas as pd
+
+    codes, uniques = pd.factorize(features, sort=False)
+    pos = np.asarray([pos_of[u] for u in uniques], dtype=np.int64)[codes]
+    vkey = np.where(np.isnan(values), -np.inf, values)
+    order = np.lexsort((vkey, pos, -gain, nodes))
+    sn = nodes[order]
+    first = np.flatnonzero(np.r_[True, sn[1:] != sn[:-1]])
+    top = order[first]
+    return [
+        {
+            "node_id": int(nodes[i]),
+            "feature": features[i],
+            "threshold": float(values[i]),
+            "information_gain": float(gain[i]),
+            "parent_criterion": float(parent_g[i]),
+            "left_counts": [int(x) for x in lc[i]],
+            "right_counts": [int(x) for x in rc[i]],
+        }
+        for i in top
+    ]
 
 
 def _best_split_rows(

@@ -800,3 +800,66 @@ def test_exact_gini_local_gains_tree_matches_distributed(spark, monkeypatch):
     monkeypatch.setattr(split_finder, "_LOCAL_GAINS_MAX_ROWS", 0)
     distributed_tree = fit_tree()
     assert local_tree == distributed_tree
+
+
+def test_best_splits_gini_local_matches_two_step_form():
+    """The fused winners-only gini path (`_best_splits_gini_local`) must
+    reproduce `_best_split_rows_local(_local_gains_gini_numpy(...))`
+    exactly — same total order (gain desc, position asc, threshold asc,
+    NaN threshold -> -inf key), same winner rows — on a multi-node
+    relation engineered with exact gain TIES across features and NaN
+    candidates.  Pure driver code, no Spark session needed."""
+    import pandas as pd
+
+    rng = np.random.default_rng(41)
+    nodes, feats, bins, ncls = 5, 6, 7, 3
+    n = nodes * feats * bins
+    pdf = pd.DataFrame(
+        {
+            "__node_id": np.repeat(np.arange(nodes, dtype=np.int32), feats * bins),
+            split_finder.FEATURE: np.tile(
+                np.repeat([f"f_{j}" for j in range(feats)], bins), nodes
+            ),
+            split_finder.FEATURE_VALUE: np.tile(
+                np.arange(bins, dtype=np.float64), nodes * feats
+            ),
+            "count_examples": np.zeros(n, dtype=np.int64),
+        }
+    )
+    for c in range(ncls):
+        col = rng.integers(0, 9, n)
+        pdf[f"class_{c}_count"] = col
+        pdf["count_examples"] += col
+    zero = pdf["count_examples"] == 0
+    pdf.loc[zero, "class_0_count"] += 1
+    pdf.loc[zero, "count_examples"] += 1
+    # engineered ties: every feature of node 0 gets IDENTICAL per-bin
+    # counts (same gains for all 6 features -> the position tie-break
+    # decides); NaN candidates on the last bin of two features
+    base = pdf[pdf["__node_id"] == 0]
+    for j in range(1, feats):
+        sel = (pdf["__node_id"] == 0) & (
+            pdf[split_finder.FEATURE] == f"f_{j}"
+        )
+        for c in range(ncls):
+            pdf.loc[sel, f"class_{c}_count"] = base.loc[
+                base[split_finder.FEATURE] == "f_0", f"class_{c}_count"
+            ].to_numpy()
+        pdf.loc[sel, "count_examples"] = base.loc[
+            base[split_finder.FEATURE] == "f_0", "count_examples"
+        ].to_numpy()
+    nan_rows = pdf[split_finder.FEATURE].isin(["f_1", "f_4"]) & (
+        pdf[split_finder.FEATURE_VALUE] == bins - 1
+    )
+    pdf.loc[nan_rows, split_finder.FEATURE_VALUE] = NAN
+
+    names = [f"f_{j}" for j in range(feats)]
+    fused = split_finder._best_splits_gini_local(pdf, ncls, names, "__node_id")
+    two_step = split_finder._best_split_rows_local(
+        split_finder._local_gains_gini_numpy(pdf, ncls, "__node_id"),
+        names,
+        "__node_id",
+    )
+    key = lambda r: r["node_id"]
+    assert sorted(fused, key=key) == sorted(two_step, key=key)
+    assert len(fused) == nodes
