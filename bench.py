@@ -273,8 +273,13 @@ def _mt_probe_sec(spark) -> float:
 # work" costs: a post-optimization record compared against the old-code
 # CPU pin would need ~2x real contention before the 1.25x threshold
 # fired.  The pins are only meaningful for THAT configuration, so the
-# verdict degrades to "unpinned" when sf/runs/query-set differ.
-_PIN_CONFIG = {"sf": 0.1, "runs": 5, "queries": 16}
+# verdict degrades to "unpinned" when sf/runs/query-set differ — and,
+# from r12, when the CORE COUNT differs: the 8-core ladder sweep used to
+# stamp "cpu_drift" (its mt probe is legitimately ~2.5x slower at 8
+# cores) because the pin carried no core count; off-core sweeps now read
+# "unpinned", which is what they are.  Records older than r12 carry no
+# "cpus" field and keep reading against the other three fields.
+_PIN_CONFIG = {"sf": 0.1, "runs": 5, "queries": 16, "cpus": 32}
 _PIN_ST_PROBE_SEC = 0.711  # mean of the pin record's before/after brackets
 _PIN_MT_PROBE_SEC = 1.654
 _PIN_SELF_CPU_SEC = 3295.0
@@ -311,6 +316,7 @@ def calibration_verdict(
     bw_pre: "float | None" = None,
     bw_rounds: "list[float] | None" = None,
     pins: "dict | None" = None,
+    cpus: "int | None" = None,
 ) -> dict:
     """The round-10 triangulation rule, computed from the record's own
     fields: {"verdict": "clean" | "cpu_drift" | "contention" | "unpinned",
@@ -386,10 +392,15 @@ def calibration_verdict(
             "bw_probe_slow": _BW_SLOW_RATIO,
         },
     }
+    # Core-count comparison is lenient in BOTH missing directions: records
+    # and pins older than r12 carry no "cpus", and re-stamping them
+    # "unpinned" retroactively would break the historical replay tests.
+    pin_cpus = pins["config"].get("cpus")
     config_matches = (
         sf == pins["config"]["sf"]
         and runs == pins["config"]["runs"]
         and n_queries == pins["config"]["queries"]
+        and (cpus is None or pin_cpus is None or cpus == pin_cpus)
     )
     if not config_matches or self_cpu_sec is None:
         return {"verdict": "unpinned", "basis": basis}
@@ -531,6 +542,13 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
+    # The sweep's core count (the master is local[$SPARK_GRAFT_CPUS]):
+    # recorded on the output and compared against the pin config so an
+    # off-core ladder sweep stamps "unpinned" instead of "cpu_drift".
+    try:
+        cpus = int(os.environ["SPARK_GRAFT_CPUS"])
+    except (KeyError, ValueError):
+        cpus = os.cpu_count()
 
     load_start, load_exceeded = wait_for_quiet_machine()
     calm_wait = wait_for_calm_window()
@@ -683,6 +701,7 @@ def main() -> None:
         len(BENCH_QUERIES),
         bw_pre=bw_before,
         bw_rounds=bw_rounds,
+        cpus=cpus,
     )
     calibration["calibration_verdict"] = verdict["verdict"]
     calibration["verdict_basis"] = verdict["basis"]
@@ -701,6 +720,7 @@ def main() -> None:
                 "cpu_accounting": cpu_accounting,
                 "calibration": calibration,
                 "sf": sf,
+                "cpus": cpus,
                 "runs_per_query": runs,
                 "aggregation": "median",
             }

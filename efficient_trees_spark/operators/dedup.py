@@ -329,20 +329,27 @@ def minhash_near_duplicates(
     """Full MinHash-LSH pipeline: signatures → banded candidates → exact
     Jaccard verification on the candidate set only (never all pairs).
 
-    Deliberately left fully lazy even though the composition re-derives
-    the shingle pipeline six times (the band self-join consumes the
-    signatures twice; verification reads shingles as a and b; sizes joins
-    back on both pair sides): an r11 A/B measured BOTH materialization
-    granularities losing — checkpointing shingles+signatures 0.65x (the
-    (doc, shingle) blow-up paid block-manager serialization + memory churn
-    that degraded later same-session runs), and checkpointing just the
-    doc-sized signatures 0.90x (the RDD plan boundary hides stats from the
-    planner, and the saved re-derivation is a map-only, embarrassingly
-    parallel pass that costs less than the materialization round-trip).
-    Contrast bm25_topk, where each redundant branch carries a full
-    shuffle and the same checkpoint is a measured 1.66x win."""
+    The doc-sized SIGNATURES relation is materialized once per call with a
+    lazy local checkpoint (r12): the band self-join consumes it on both
+    sides, and left lazy each side re-ran the whole corpus scan → tokenize
+    → shingle → k-hash → min-agg pipeline (the plan carried two complete
+    scan+Generate+Exchange pipelines for one logical relation).  A calm-
+    window interleaved A/B reads 2.24 → 1.74 s median (1.29x) at sf0.1 —
+    r11's 0.90x rejection of the same rewrite was taken in this host's
+    chronically contended windows and does not reproduce.  The relation is
+    k int64 columns per doc (tiny), recomputed from parquet every call.
+
+    The EXPLODED relations stay lazy, re-measured r12 with the sigs
+    checkpoint in place: checkpointing shingles as well (r11's other
+    variant) still loses (the (doc, shingle) blow-up pays block-manager
+    serialization), and checkpointing the doc-sized SIZES relation
+    measured 2.24 → 2.35 s — the extra materialization barrier costs more
+    than the one tokenize pass it saves (verification re-derives shingles
+    as a/b and sizes on both pair sides, all map-only)."""
     shingles = shingle_relation(df, id_col, text_col, ngram)
-    sigs = _signatures_from_shingles(shingles, id_col, num_hashes)
+    sigs = _signatures_from_shingles(shingles, id_col, num_hashes).localCheckpoint(
+        eager=False
+    )
     candidates = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")

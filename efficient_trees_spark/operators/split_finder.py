@@ -317,9 +317,11 @@ def candidate_split_gains(
 # Constructing the staged projections costs ~0.2 s of py4j round trips PER
 # CALL (measured: ~60 Column ops, each a gateway call) and the expressions
 # are pure functions of (keys, n_classes, criterion, include_child_counts)
-# — unresolved trees, reusable across any DataFrame with the schema.  The
-# cache key carries the py4j gateway's id so a restarted JVM (new gateway)
-# never sees stale handles.
+# — unresolved trees, reusable across any DataFrame with the schema.  Each
+# cached value carries the py4j gateway OBJECT it was built against and a
+# hit is honored only when that object IS the live gateway (identity, not
+# id(): CPython can reuse a GC'd gateway's id after a JVM restart, which
+# would revive Column handles pointing at the dead gateway — ADVICE r11).
 _GAINS_EXPR_CACHE: dict[tuple, tuple] = {}
 
 
@@ -332,11 +334,11 @@ def _gains_select_lists(
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    gw = id(sc._gateway) if sc is not None else None
-    cache_key = (gw, keys, n_classes, criterion, include_child_counts)
+    gateway = sc._gateway if sc is not None else None
+    cache_key = (keys, n_classes, criterion, include_child_counts)
     hit = _GAINS_EXPR_CACHE.get(cache_key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is gateway:
+        return hit[1]
 
     # Staged projections with NAMED intermediates, mirroring the reference's
     # chained selects (tree.py:278-330).  Building one inlined Column would
@@ -405,7 +407,7 @@ def _gains_select_lists(
         *(["left_counts", "right_counts"] if include_child_counts else []),
     ]
     out = (props_select, crits_select, final_select)
-    _GAINS_EXPR_CACHE[cache_key] = out
+    _GAINS_EXPR_CACHE[cache_key] = (gateway, out)
     return out
 
 
@@ -677,8 +679,13 @@ def find_best_splits_packed(
         cube_budget = min(
             _DENSE_CUBE_MAX_BYTES, stats_collect_budget(packed_df.sparkSession)
         )
+        # x1.25 on the partition count: when the caller's count came from
+        # the fan-out's file-size ESTIMATE it is a lower bound for budget
+        # purposes (ADVICE r11); both branches are bit-identical, so the
+        # pad only moves the (safe) fallback boundary.
         dense_ok = (
-            n_parts * max(1, n_pending_nodes or 1) * cube_bytes <= cube_budget
+            int(n_parts * 1.25) * max(1, n_pending_nodes or 1) * cube_bytes
+            <= cube_budget
         )
         distributions: dict[int, list] | None = None
         stages: dict[str, float] = {}

@@ -213,13 +213,19 @@ def fan_out_small_input(df: DataFrame) -> DataFrame:
     partitions < defaultParallelism; on a real cluster splits far exceed
     cores and this is a no-op.  Same discipline as the binned tree fit's
     ``tree._fan_out_small_input``.  The partition count comes from
-    :func:`estimate_scan_partitions` when the lineage allows (~1 ms), the
-    ``df.rdd`` planning probe (~0.4 s) only otherwise."""
+    :func:`estimate_scan_partitions` when the lineage allows (~1 ms);
+    when it can't (a non-scan lineage), the fan-out is SKIPPED rather
+    than probed via ``df.rdd`` (r12): under AQE, ``.rdd`` on a plan that
+    contains any Exchange EXECUTES the shuffle stages below it to resolve
+    the final plan — a full extra pass per probe (the trap r11 evicted
+    from the tree path; see tree._fan_out_small_input).  Every current
+    call site is a plain scan pipeline, so the skip is latent-only; an
+    operator composing onto a derived relation keeps that relation's
+    partitioning, which is the safe default (derived relations got their
+    width from whatever exchange produced them)."""
     sc = df.sparkSession.sparkContext
     n = estimate_scan_partitions(df)
-    if n is None:
-        n = df.rdd.getNumPartitions()
-    if n < sc.defaultParallelism:
+    if n is not None and n < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 

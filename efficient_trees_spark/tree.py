@@ -195,7 +195,13 @@ def _two_scan_binned_edges(
         # Budget decision only — both branches are bit-identical; but avoid
         # probing .rdd on an Exchange-bearing plan (AQE executes the stage).
         n_parts = prepared.rdd.getNumPartitions()
-    est_stats_bytes = n_parts * len(feature_names) * (2 * stats * 8 + 48)
+    # x1.25: when no repartition fired, n_parts is the ~1 ms FilePartition
+    # ESTIMATE (tree._fan_out_small_input), written for a parallelism
+    # heuristic where both miss directions are safe; feeding a driver-
+    # collect budget it must be treated as a lower bound (ADVICE r11) —
+    # the pad trades a slightly earlier distributed-merge fallback (bit-
+    # identical) for maxResultSize headroom.
+    est_stats_bytes = int(n_parts * 1.25) * len(feature_names) * (2 * stats * 8 + 48)
     if est_stats_bytes > stats_collect_budget(prepared.sparkSession):
         bin_edges, feat_counts = merge_order_stats_distributed(
             stats_df, feature_names, n_bins, with_counts=True

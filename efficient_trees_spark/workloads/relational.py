@@ -584,7 +584,23 @@ def u2_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("headline", "bench"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from efficient_trees_spark.sources.io import fan_out_small_input
+
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    # Fan out the few-split local scan before the partial aggregation
+    # (cluster no-op — splits >> cores there): the sf0.1 lineitem parquet
+    # is ONE 11 MB split, so the DECIMAL-heavy partial aggregation ran on
+    # 1 of 32 cores (r12; interleaved A/B 0.95 -> 0.79 s median).  The
+    # projection narrows the fanned-out shuffle to the 6 consumed columns
+    # (guide §2.3).  Bit-safe: every aggregate is an exact DECIMAL sum or
+    # a count — associative, so partial-aggregation order cannot change
+    # any output bit (verified identical rows).
+    li = fan_out_small_input(
+        li.select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
     dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
     # Two scale tricks keep the money sums bit-identical to DuckDB at ANY sf:
     # (1) product factors use NARROW decimals — price (14,4), rate (6,4) —

@@ -444,13 +444,26 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.normalized("text").alias("__norm"),
     )
     toks = F.col("__toks")
-    scored = bound.select(
-        "doc_id",
+    score_fields = [
         F.round(text.quality_score("text", toks=toks), 9).alias("quality"),
         text.token_count("text", toks=toks).alias("n_tokens"),
         text.content_fingerprint("text", norm=F.col("__norm")).alias("fp"),
         text.lang_id("text", toks=toks).alias("lang"),
-    )
+    ]
+    # The scored fields go through a single-element explode(array(struct))
+    # — semantically the identity, and a PUSHDOWN BARRIER (r12): a filter
+    # on generator output cannot be pushed below the Generate.  Without
+    # it, PushDownPredicates substitutes quality/n_tokens into the filter
+    # condition (re-inlining the tokenizer ~6x per row — project
+    # collapse's expensive-expression guard does not apply to filter
+    # substitution) and then pushes the filter below the fan-out Exchange,
+    # so the whole scoring pass ran on the source's single split.  The
+    # r12 before-plan shows exactly that shape; with the barrier the
+    # tokenize/score projection runs once per row, post-fan-out.
+    # Interleaved A/B at sf0.1: 1.156 -> 0.880 s median, rows identical.
+    scored = bound.select(
+        "doc_id", F.explode(F.array(F.struct(*score_fields))).alias("__s")
+    ).select("doc_id", "__s.*")
     kept = scored.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5))
     payload = F.struct("lang", "n_tokens", "quality")
     canonical = kept.groupBy("fp").agg(

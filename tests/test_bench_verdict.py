@@ -245,3 +245,25 @@ def test_calm_wait_gate_disabled_and_calm_paths(monkeypatch):
     out2 = bench.wait_for_calm_window()
     assert out2["calm"] is False
     assert out2["attempts"] == 1
+
+
+def test_off_core_count_reads_unpinned_lenient_when_unrecorded():
+    """r12: the pin config carries the core count, so the 8-core ladder
+    sweep stamps "unpinned" (its mt probe is legitimately ~2.5x slower —
+    it used to stamp "cpu_drift").  Leniency in both missing directions:
+    records/pins from before r12 carry no cpus field and keep reading
+    against the other three config fields."""
+    # current default pins carry cpus=32: an 8-core sweep is off-config
+    v = calibration_verdict(0.72, 4.2, [], 3300.0, 0.1, 5, 16, cpus=8)
+    assert v["verdict"] == "unpinned"
+    # same sweep at the pinned core count adjudicates normally
+    v32 = calibration_verdict(0.72, 1.66, [1.7], 3300.0, 0.1, 5, 16, cpus=32)
+    assert v32["verdict"] == "clean"
+    # pre-r12 pins (no cpus key) never gate on the core count
+    v_old = calibration_verdict(
+        0.92, 1.70, [1.7], 6500.0, 0.1, 5, 16, pins=R10_PINS, cpus=8
+    )
+    assert v_old["verdict"] == "clean"
+    # pre-r12 RECORD (cpus unknown) against current pins: lenient too
+    v_rec = calibration_verdict(0.72, 1.66, [1.7], 3300.0, 0.1, 5, 16)
+    assert v_rec["verdict"] == "clean"

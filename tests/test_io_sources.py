@@ -81,3 +81,33 @@ def test_write_parquet_for_wide_readers_bounds_row_groups(spark, tmp_path):
         total_groups += meta.num_row_groups
     # the bound actually engaged: far more groups than files
     assert total_groups > len(files)
+
+
+def test_fan_out_never_probes_rdd_and_skips_derived_lineages(
+    spark, sf_small, monkeypatch
+):
+    """r12 guard: ``fan_out_small_input`` must never touch ``df.rdd`` —
+    under AQE, ``.rdd`` on a plan containing any Exchange EXECUTES the
+    shuffle stages below it (a full extra pass per probe).  Scan
+    pipelines still fan out via the file-size estimate; a derived
+    lineage (post-aggregation) is returned unchanged instead of probed."""
+    import pyspark.sql.classic.dataframe as _cdf
+
+    def poisoned_rdd(self):
+        raise AssertionError(
+            ".rdd probe reached in fan_out_small_input — this executes "
+            "Exchange stages under AQE"
+        )
+
+    monkeypatch.setattr(
+        _cdf.DataFrame, "rdd", property(poisoned_rdd), raising=True
+    )
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    fanned = io.fan_out_small_input(docs.select("doc_id", "text"))
+    # the few-split local scan was widened (plan carries the repartition)
+    assert "Repartition" in fanned._jdf.queryExecution().analyzed().toString()
+    assert fanned.count() == docs.count()
+
+    derived = docs.groupBy("doc_id").count()
+    out = io.fan_out_small_input(derived)
+    assert out is derived  # skipped: no estimate, no .rdd probe
