@@ -261,12 +261,31 @@ def bm25_search(
             "broadcast_queries must be True, False, or 'auto'; got "
             f"{broadcast_queries!r}"
         )
-    qterms = (
-        queries.select(
-            F.col(query_id).alias("__qid"),
-            F.explode(text.tokens(query_text)).alias("__term"),
+    if broadcast_queries == "auto":
+        # Resolved BEFORE qterms is built (r12) so the query-side
+        # broadcast hint below can key off the final decision.
+        est_rows = (
+            queries.select(
+                F.sum(F.coalesce(F.size(text.tokens(query_text)), F.lit(0)))
+            ).first()[0]
+            or 0
         )
-        .distinct()
+        broadcast_queries = est_rows * _QTERM_ROW_BYTES <= broadcast_budget_bytes
+    q_distinct = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.explode(text.tokens(query_text)).alias("__term"),
+    ).distinct()
+    if broadcast_queries is True:
+        # Broadcast the DISTINCT QUERY-TERM side of the dfreq join
+        # explicitly (r12): left to size estimates, Spark broadcast the
+        # vocabulary-sized dfreq relation instead — backwards at any
+        # scale (the query-term set is bounded by the query batch, the
+        # vocabulary by the corpus), and the dfreq side keeps the
+        # partitioning its aggregation exchange just produced.  Scores
+        # identical (inner join, either build side).
+        q_distinct = F.broadcast(q_distinct)
+    qterms = (
+        q_distinct
         .join(index.dfreq, "__term")
         .crossJoin(F.broadcast(index.stats))
         .select(
@@ -280,15 +299,6 @@ def bm25_search(
             "__avgdl",
         )
     )
-
-    if broadcast_queries == "auto":
-        est_rows = (
-            queries.select(
-                F.sum(F.coalesce(F.size(text.tokens(query_text)), F.lit(0)))
-            ).first()[0]
-            or 0
-        )
-        broadcast_queries = est_rows * _QTERM_ROW_BYTES <= broadcast_budget_bytes
 
     # Broadcast the (queries x terms)-sized weight table on the default
     # path: the big postings side never shuffles for this join, and

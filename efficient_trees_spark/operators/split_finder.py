@@ -468,13 +468,22 @@ def find_best_splits_per_node(
     no arbitrary tie remains.
 
     Exact-mode GINI levels take a driver-local shortcut when the aggregated
-    candidate relation fits ``_LOCAL_GAINS_MAX_ROWS`` (the same budget the
-    packed path uses): the relation is checkpointed (the unbounded pipeline
-    materializes it anyway), its row count read off the materialized blocks,
-    and under budget the prefix sums + gini gains + argmax run driver-side
-    (``_local_gains_gini_numpy`` + ``_best_split_rows_local`` — both pinned
-    bit-identical to the distributed forms), replacing the two-phase
-    bucketed windows, broadcast joins and max_by shuffle with ONE collect.
+    candidate relation fits the local-gains budget: the relation is
+    checkpointed (the unbounded pipeline materializes it anyway) and
+    collected in ONE action — ``limit(cap + 1)`` + Arrow collect — where
+    the old form (r11) paid a ``count()`` job and then a ``toPandas()``
+    job per level (~0.2 s of per-level job latency, and at low core
+    counts a whole extra serialized stage).  ``cap + 1`` rows coming back
+    proves the relation is over budget and the distributed pipeline takes
+    over, reading the same (partially) materialized checkpoint blocks —
+    nothing is recomputed.  The cap itself is bounded in BYTES as well as
+    rows (ADVICE r11): rows x (n_classes + 3) x 8 B must fit the shared
+    driver-collect budget, so a high-class-count fit falls back to the
+    distributed form instead of blowing ``spark.driver.maxResultSize``.
+    Under budget the prefix sums + gini gains + argmax run driver-side
+    (``_local_gains_gini_numpy`` + ``_best_split_rows_local`` — both
+    pinned bit-identical to the distributed forms), replacing the
+    two-phase bucketed windows, broadcast joins and max_by shuffle.
     Entropy and over-budget relations keep the distributed pipeline.
     """
     if (
@@ -494,10 +503,17 @@ def find_best_splits_per_node(
             )
             .localCheckpoint(eager=False)
         )
-        if counts.count() <= _LOCAL_GAINS_MAX_ROWS:
+        cap = _local_gains_row_cap(df.sparkSession, n_classes)
+        head = counts.limit(cap + 1)
+        if hasattr(head, "toArrow"):
+            pdf = head.toArrow().to_pandas()
+        else:  # pragma: no cover - pre-Arrow-collect Spark
+            pdf = head.toPandas()
+        if len(pdf) <= cap:
             return _best_splits_gini_local(
-                counts.toPandas(), n_classes, feature_names, node_col
+                pdf, n_classes, feature_names, node_col
             )
+        del pdf
         gains = candidate_split_gains(
             df,
             feature_names,
@@ -534,6 +550,19 @@ def find_best_splits_per_node(
 # driver at any corpus size (the relation is nodes × features × bins —
 # row-count-INDEPENDENT).
 _LOCAL_GAINS_MAX_ROWS = 2_000_000
+
+
+def _local_gains_row_cap(spark, n_classes: int) -> int:
+    """Row cap for collecting a candidate counts relation to the driver:
+    ``_LOCAL_GAINS_MAX_ROWS`` additionally bounded in BYTES (ADVICE r11 —
+    a 100-class fit at 2M rows would serialize ~1.6 GB where the
+    distributed pipeline succeeds): rows x (n_classes + 3 key/count cols)
+    x 8 B must fit the same driver budget the packed dense-cube path
+    honors."""
+    from efficient_trees_spark.operators.histogram import stats_collect_budget
+
+    budget = min(_DENSE_CUBE_MAX_BYTES, stats_collect_budget(spark))
+    return min(_LOCAL_GAINS_MAX_ROWS, budget // ((n_classes + 3) * 8))
 
 # Budget for collecting DENSE per-(partition, node) histogram cubes to the
 # driver (the no-shuffle level-job form).  Volume = partitions × pending
