@@ -1574,3 +1574,277 @@ def merge_cubes_to_counts_pdf(
         data[class_count_col(i)] = class_out[i]
     data["count_examples"] = total_out
     return pd.DataFrame(data), distributions
+
+
+# ----------------------------------------------- pair cubes (two levels)
+#
+# A depth-d level-wise fit runs one histogram pass per level — at 100 TB
+# that is d full passes over the code cache, and locally d × the ~0.3 s
+# mapInArrow job floor (r12 measured).  When the fit is NARROW enough, one
+# pass can serve TWO levels: accumulate the joint (feature_a bin,
+# feature_b bin) PAIR histogram per pending node.  Level d's per-feature
+# histograms are exact marginals of the pair cube, and once level d's
+# splits are chosen, each CHILD's level-(d+1) per-feature histograms are
+# exact conditional slices (sum over the split feature's left/right slot
+# range) — all int64 additions over the same routed rows a real
+# level-(d+1) pass would count, so both levels' split decisions are
+# bit-identical to the one-level-per-pass form (test-pinned).
+#
+# Geometry: the pair axes give every feature lens[j] + 2 slots — its
+# edges, the NaN bucket (a real candidate, routes right), and a NULL slot
+# (rows NULL in the ROUTING feature leave both children; rows NULL in the
+# histogrammed feature are excluded from its bins — the NULL slot keeps
+# every row addressable on both axes so marginals and conditionals are
+# exact, and is dropped on the way out).  Cube volume is S2^2 x classes
+# x 8 B per (partition, node) where S2 = sum(lens + 2): ~470 KB at the
+# 4-feature/32-bin bench shape, ~700 MB at 190 features — the caller's
+# byte budget decides (wide fits keep the one-level pass), and per-row
+# accumulate work is width x the single-level kernel (trivial at the
+# widths that fit the budget).
+
+
+def _pair_geometry(feature_names, bin_edges):
+    """(names, lens, slot2_off, s2) — the lens+2 pair-axis layout."""
+    names = list(feature_names)
+    lens = np.array([len(bin_edges.get(f, ())) for f in names], dtype=np.int64)
+    slot2_off = np.zeros(len(names) + 1, dtype=np.int64)
+    np.cumsum(lens + 2, out=slot2_off[1:])
+    return names, lens, slot2_off, int(slot2_off[-1])
+
+
+def pair_cube_bytes(feature_names, bin_edges, n_classes: int) -> int:
+    """int64 bytes of ONE node's pair cube — the caller's budget unit."""
+    _, _, _, s2 = _pair_geometry(feature_names, bin_edges)
+    return s2 * s2 * n_classes * 8
+
+
+def packed_histogram_pair_cubes(
+    packed_df: DataFrame,
+    feature_names: list[str],
+    n_classes: int,
+    bin_edges: dict[str, list[float]],
+    target_idx_col: str,
+    routing_splits: list[tuple],
+    node_col: str,
+    packed_col: str = PACKED_COL,
+    feature_positions: list[int] | None = None,
+    matrix_width: int | None = None,
+    code_dtype: str = "u1",
+) -> DataFrame:
+    """Dense per-(partition, node) PAIR cubes: one row per node carrying
+    the flat ``int64[s2 * s2 * n_classes]`` joint histogram as bytes.
+    Same routing (``route_codes``) and row set as
+    :func:`packed_histogram_cubes`; only the accumulation is joint."""
+    import pyarrow as pa
+
+    names, lens, slot2_off, s2 = _pair_geometry(feature_names, bin_edges)
+    np_code, nan_code, null_code, _ = _code_info(code_dtype)
+    tcol = target_idx_col
+    n_feat = len(names)
+    width = matrix_width if matrix_width is not None else n_feat
+    pos = (
+        np.asarray(feature_positions, dtype=np.int64)
+        if feature_positions is not None
+        else np.arange(n_feat, dtype=np.int64)
+    )
+    subset = feature_positions is not None
+
+    def cubes(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        stride = s2 * s2 * n_classes
+        acc: dict[int, np.ndarray] = {}
+        base2 = slot2_off[:-1].astype(np.int64)[None, :]
+        cap_c = np.maximum(lens - 1, 0).astype(np_code)[None, :]
+        nan_slot = lens.astype(np.int64)[None, :]
+        null_slot = (lens + 1).astype(np.int64)[None, :]
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            mat = _unpack_binary(batch.column(packed_col), width, np_code)
+            target = batch.column(tcol).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            nodes = route_codes(mat, routing_splits, null_code=null_code)
+            keep = nodes >= 0
+            if not keep.any():
+                continue
+            if not keep.all():
+                mat, target, nodes = mat[keep], target[keep], nodes[keep]
+            if width != n_feat or subset:
+                mat = mat[:, pos]
+            is_nan = mat == nan_code
+            is_null = mat == null_code
+            idx = np.minimum(mat, cap_c).astype(np.int64)
+            np.copyto(idx, np.broadcast_to(nan_slot, idx.shape), where=is_nan)
+            np.copyto(idx, np.broadcast_to(null_slot, idx.shape), where=is_null)
+            fa = base2 + idx  # (rows x F) flat pair-axis slot, int64
+            fb = fa * n_classes + target[:, None]
+            uniq, inv = np.unique(nodes, return_inverse=True)
+            node_off = inv.astype(np.int64) * stride
+            total = uniq.size * stride
+            counts = np.zeros(total, dtype=np.int64)
+            for a in range(n_feat):
+                comb = fb + (fa[:, a] * (s2 * n_classes) + node_off)[:, None]
+                counts += np.bincount(comb.ravel(), minlength=total)
+            counts = counts.reshape(uniq.size, stride)
+            for k in range(uniq.size):
+                nv = int(uniq[k])
+                a_acc = acc.get(nv)
+                if a_acc is None:
+                    acc[nv] = counts[k].copy()
+                else:
+                    a_acc += counts[k]
+        if not acc:
+            _trim_malloc()
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    np.asarray(list(acc.keys()), dtype=np.int32),
+                    type=pa.int32(),
+                ),
+                pa.array([a.tobytes() for a in acc.values()], type=pa.binary()),
+            ],
+            names=[node_col, "__cube"],
+        )
+        _trim_malloc()
+
+    return packed_df.select(packed_col, tcol).mapInArrow(
+        cubes, f"{node_col} int, __cube binary"
+    )
+
+
+def merge_pair_cubes(rows) -> dict[int, "np.ndarray"]:
+    """Driver merge of collected pair-cube rows -> {node: flat int64}."""
+    merged: dict[int, np.ndarray] = {}
+    for r in rows:
+        nv = int(r[0])
+        cube = np.frombuffer(r[1], dtype=np.int64)
+        m = merged.get(nv)
+        if m is None:
+            merged[nv] = cube.copy()
+        else:
+            m += cube
+    return merged
+
+
+def _pair_keep_index(lens, slot2_off) -> "np.ndarray":
+    """Flat pair-axis slots that survive into the l+1 (edges + NaN) cube
+    layout: every feature's edge slots plus its NaN slot, NULL dropped."""
+    return np.concatenate(
+        [
+            slot2_off[j] + np.arange(lens[j] + 1, dtype=np.int64)
+            for j in range(len(lens))
+        ]
+    ) if len(lens) else np.zeros(0, dtype=np.int64)
+
+
+def pair_cubes_to_level_counts(
+    cubes: dict[int, "np.ndarray"],
+    feature_names: list[str],
+    n_classes: int,
+    bin_edges: dict[str, list[float]],
+    node_col: str,
+    emit_node_totals: bool = False,
+):
+    """Level-d outputs from merged pair cubes: the SAME (counts pdf,
+    distributions) :func:`merge_cubes_to_counts_pdf` yields — the
+    per-feature histogram of feature a is the pair cube's marginal over
+    feature 0's b-block (every row lands in exactly one of f0's lens+2
+    b-slots, so the marginal is exact), and a node's class totals are the
+    f0 x f0 diagonal block summed (each row once)."""
+    names, lens, slot2_off, s2 = _pair_geometry(feature_names, bin_edges)
+    _, lens1, slot_off, flat_slots, edges_flat, edge_off = _cube_geometry(
+        feature_names, bin_edges
+    )
+    keep = _pair_keep_index(lens, slot2_off)
+    b0 = slice(int(slot2_off[0]), int(slot2_off[1])) if names else slice(0, 0)
+    acc: dict[int, np.ndarray] = {}
+    distributions = None
+    if emit_node_totals:
+        distributions = {}
+    for nv, flat in cubes.items():
+        cube = flat.reshape(s2, s2, n_classes)
+        marg = cube[:, b0, :].sum(axis=1)  # (s2, classes)
+        acc[nv] = np.ascontiguousarray(marg[keep]).reshape(-1)
+        if emit_node_totals:
+            totals = marg[b0.start : b0.stop].sum(axis=0)
+            distributions[nv] = [
+                (i, int(c)) for i, c in enumerate(totals) if c > 0
+            ]
+    sparse = _sparsify_cubes(
+        acc, {}, names, lens1, slot_off, edges_flat, edge_off, n_classes
+    )
+    if sparse is None:
+        return None, distributions
+    import pandas as pd
+
+    node_out, feat_out, value_out, class_out, total_out = sparse
+    data = {
+        node_col: node_out.astype(np.int32),
+        FEATURE: feat_out,
+        FEATURE_VALUE: value_out,
+    }
+    for i in range(n_classes):
+        data[class_count_col(i)] = class_out[i]
+    data["count_examples"] = total_out
+    return pd.DataFrame(data), distributions
+
+
+def pair_cubes_to_child_counts(
+    cubes: dict[int, "np.ndarray"],
+    chosen: list[dict],
+    feature_names: list[str],
+    n_classes: int,
+    bin_edges: dict[str, list[float]],
+    node_col: str,
+):
+    """Level-(d+1) counts pdf from the pair cubes and level d's CHOSEN
+    splits: for node n split on feature a* at threshold t (always a
+    finite, non-maximal edge — the last-candidate filter drops the NaN
+    and max candidates), the left child's per-feature histograms are the
+    cube rows for a*'s edge slots <= code(t) summed, the right child's
+    the edge slots > code(t) plus a*'s NaN slot (NaN routes right); a*'s
+    NULL slot is excluded (those rows leave both children) — exactly the
+    rows ``route_codes`` would route in a real level-(d+1) pass, so the
+    emitted relation is bit-identical to one."""
+    from bisect import bisect_left
+
+    names, lens, slot2_off, s2 = _pair_geometry(feature_names, bin_edges)
+    _, lens1, slot_off, flat_slots, edges_flat, edge_off = _cube_geometry(
+        feature_names, bin_edges
+    )
+    keep = _pair_keep_index(lens, slot2_off)
+    pos_of = {name: j for j, name in enumerate(names)}
+    acc: dict[int, np.ndarray] = {}
+    for best in chosen:
+        nv = best["node_id"]
+        flat = cubes.get(nv)
+        if flat is None:
+            continue
+        cube = flat.reshape(s2, s2, n_classes)
+        j = pos_of[best["feature"]]
+        t = bisect_left(bin_edges[best["feature"]], best["threshold"])
+        a0 = int(slot2_off[j])
+        left = cube[a0 : a0 + t + 1].sum(axis=0)  # edge slots 0..t
+        # edge slots t+1..l-1 plus the NaN slot at l; NULL (l+1) excluded
+        right = cube[a0 + t + 1 : a0 + int(lens[j]) + 1].sum(axis=0)
+        acc[2 * nv + 1] = np.ascontiguousarray(left[keep]).reshape(-1)
+        acc[2 * nv + 2] = np.ascontiguousarray(right[keep]).reshape(-1)
+    sparse = _sparsify_cubes(
+        acc, {}, names, lens1, slot_off, edges_flat, edge_off, n_classes
+    )
+    if sparse is None:
+        return None
+    import pandas as pd
+
+    node_out, feat_out, value_out, class_out, total_out = sparse
+    data = {
+        node_col: node_out.astype(np.int32),
+        FEATURE: feat_out,
+        FEATURE_VALUE: value_out,
+    }
+    for i in range(n_classes):
+        data[class_count_col(i)] = class_out[i]
+    data["count_examples"] = total_out
+    return pd.DataFrame(data)

@@ -628,7 +628,12 @@ def find_best_splits_packed(
     want_distributions: bool = False,
     code_dtype: str = "u1",
     n_input_parts: int | None = None,
-) -> list[dict[str, Any]] | tuple[list[dict[str, Any]], dict[int, list] | None]:
+    lookahead: bool = False,
+) -> (
+    list[dict[str, Any]]
+    | tuple[list[dict[str, Any]], dict[int, list] | None]
+    | tuple[list[dict[str, Any]], dict[int, list] | None, Any]
+):
     """:func:`find_best_splits_per_node` over the packed bin-code matrix
     (uint8, or uint16 when a feature needs more than 253 edges —
     ``code_dtype`` must match the encode;
@@ -659,14 +664,33 @@ def find_best_splits_packed(
     histogram relation as ``DIST_FEATURE`` sentinel rows (no separate
     distribution job, no cache-materialization race with one), coming back
     as ``{node_id: [(class_idx, count), ...]}``; the distributed path
-    returns ``None`` for them and the caller falls back to its own job."""
+    returns ``None`` for them and the caller falls back to its own job.
+
+    ``lookahead=True`` (r12) switches the return to ``(splits,
+    distributions, next_level_counts_pdf)`` and, when the PAIR cube fits
+    the same byte budget, computes this level from one joint
+    (feature, feature) histogram pass whose conditional slices are the
+    NEXT level's counts — the caller then scores level d+1 entirely
+    driver-side, with no Spark job (``best_splits_from_counts_pdf``).
+    Two tree levels per pass over the code cache: at 100 TB that halves
+    the cache scans of a depth-2 binned fit; locally it removes one
+    ~0.3 s job-floor level job.  Both levels' decisions are bit-identical
+    to the one-level-per-pass form (exact int64 marginals/conditionals of
+    the same routed rows — ``histogram.packed_histogram_pair_cubes``;
+    test-pinned).  ``next_level_counts_pdf`` is None whenever the pair
+    budget excludes the pass (wide fits) or the level went distributed."""
     from efficient_trees_spark.functions.exprs import class_count_col
     from efficient_trees_spark.operators.histogram import (
         DIST_FEATURE,
         _trim_malloc,
         merge_cubes_to_counts_pdf,
+        merge_pair_cubes,
         packed_histogram_counts,
         packed_histogram_cubes,
+        packed_histogram_pair_cubes,
+        pair_cube_bytes,
+        pair_cubes_to_child_counts,
+        pair_cubes_to_level_counts,
         stats_collect_budget,
     )
 
@@ -716,10 +740,47 @@ def find_best_splits_packed(
             int(n_parts * 1.25) * max(1, n_pending_nodes or 1) * cube_bytes
             <= cube_budget
         )
+        pair_ok = False
+        if lookahead and dense_ok:
+            p_bytes = pair_cube_bytes(feature_names, bin_edges, n_classes)
+            pair_ok = (
+                int(n_parts * 1.25) * max(1, n_pending_nodes or 1) * p_bytes
+                <= cube_budget
+            )
         distributions: dict[int, list] | None = None
+        carry_pdf = None
         stages: dict[str, float] = {}
         t_level0 = time.perf_counter()
-        if dense_ok:
+        if pair_ok:
+            pair_df = packed_histogram_pair_cubes(
+                packed_df,
+                feature_names,
+                n_classes,
+                bin_edges,
+                target_idx_col,
+                routing_splits,
+                node_col,
+                feature_positions=positions,
+                matrix_width=width,
+                code_dtype=code_dtype,
+            )
+            if hasattr(pair_df, "toArrow"):
+                cube_rows = _arrow_cube_rows(pair_df.toArrow())
+            else:  # pragma: no cover - pre-Arrow-collect Spark
+                cube_rows = pair_df.collect()
+            stages["pair_cube_job_sec"] = time.perf_counter() - t_level0
+            t0 = time.perf_counter()
+            merged = merge_pair_cubes(cube_rows)
+            pdf, distributions = pair_cubes_to_level_counts(
+                merged, feature_names, n_classes, bin_edges, node_col,
+                emit_node_totals=want_distributions,
+            )
+            stages["driver_merge_sec"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            del cube_rows
+            _trim_malloc()
+            stages["malloc_trim_sec"] = time.perf_counter() - t0
+        elif dense_ok:
             cubes = packed_histogram_cubes(
                 packed_df,
                 feature_names,
@@ -793,39 +854,37 @@ def find_best_splits_packed(
                 }
                 pdf = pdf[~mask]
         t0 = time.perf_counter()
-        if pdf is None or pdf.empty:
-            best: list[dict[str, Any]] = []
-        elif criterion == Criterion.GINI:
-            # Gini is pure rational float64 arithmetic, bit-reproducible
-            # driver-side (see _gini_gains_arrays) — skip the per-level
-            # Catalyst roundtrip and its ~0.5 s of fixed
-            # plan/launch/collect latency.  Entropy keeps the Catalyst
-            # path below: its log2 is transcendental and only the JVM's
-            # own evaluation is bit-stable against the distributed form.
-            best = _best_splits_gini_local(
-                pdf, n_classes, feature_names, node_col
-            )
-        else:
-            with _no_local_relation_fold(packed_df.sparkSession):
-                cum = _local_prefix_sums(
-                    pdf, packed_df.sparkSession, n_classes, node_col
-                )
-                gains = _gains_from_prefix_sums(
-                    cum, [node_col, FEATURE], n_classes, criterion,
-                    include_child_counts=True,
-                )
-                gains_pdf = gains.toPandas()
-            best = _best_split_rows_local(gains_pdf, feature_names, node_col)
+        best = best_splits_from_counts_pdf(
+            pdf, packed_df.sparkSession, n_classes, feature_names, node_col,
+            criterion,
+        )
         stages["local_gains_sec"] = time.perf_counter() - t0
+        if pair_ok:
+            # Next level's counts from the same cubes: only nodes the
+            # caller will actually split produce children (gain > 0 —
+            # mirrors the tree loop's leaf rule).
+            t0 = time.perf_counter()
+            carry_pdf = pair_cubes_to_child_counts(
+                merged,
+                [b for b in best if b["information_gain"] > 0],
+                feature_names, n_classes, bin_edges, node_col,
+            )
+            del merged
+            stages["carry_derive_sec"] = time.perf_counter() - t0
         _emit_level_timings(
             {
-                "path": "dense" if dense_ok else "sparse_local",
+                "path": (
+                    "pair_dense" if pair_ok
+                    else "dense" if dense_ok else "sparse_local"
+                ),
                 "n_pending_nodes": n_pending_nodes,
                 "n_parts": n_parts,
                 "level_total_sec": round(time.perf_counter() - t_level0, 3),
                 "stages": {k: round(v, 3) for k, v in stages.items()},
             }
         )
+        if lookahead:
+            return best, distributions, carry_pdf
         return (best, distributions) if want_distributions else best
     t_level0 = time.perf_counter()
     counts = packed_histogram_counts(
@@ -860,7 +919,42 @@ def find_best_splits_packed(
             "stages": {},
         }
     )
+    if lookahead:
+        return best, None, None
     return (best, None) if want_distributions else best
+
+
+def best_splits_from_counts_pdf(
+    pdf,
+    spark,
+    n_classes: int,
+    feature_names: list[str],
+    node_col: str,
+    criterion: Criterion,
+) -> list[dict[str, Any]]:
+    """Best split per node from a DRIVER-LOCAL counts relation (the
+    collected/merged histogram rows) — the shared local-gains tail of the
+    dense-cube level job, also consumed directly by the tree loop for a
+    level whose counts were derived from the previous pass's PAIR cube.
+
+    Gini is pure rational float64 arithmetic, bit-reproducible driver-side
+    (see ``_gini_gains_arrays``) — it skips the per-level Catalyst
+    roundtrip and its ~0.5 s of fixed plan/launch/collect latency.
+    Entropy keeps the Catalyst path: its log2 is transcendental and only
+    the JVM's own evaluation is bit-stable against the distributed
+    form."""
+    if pdf is None or pdf.empty:
+        return []
+    if criterion == Criterion.GINI:
+        return _best_splits_gini_local(pdf, n_classes, feature_names, node_col)
+    with _no_local_relation_fold(spark):
+        cum = _local_prefix_sums(pdf, spark, n_classes, node_col)
+        gains = _gains_from_prefix_sums(
+            cum, [node_col, FEATURE], n_classes, criterion,
+            include_child_counts=True,
+        )
+        gains_pdf = gains.toPandas()
+    return _best_split_rows_local(gains_pdf, feature_names, node_col)
 
 
 def _arrow_cube_rows(tbl) -> list[tuple[int, "object"]]:

@@ -912,6 +912,10 @@ class DecisionTreeClassifier:
             # classes absent (value_counts semantics, reference tree.py:363-372).
             distributions: dict[int, list[tuple[int, int]]] = {}
             depth = 0
+            # Counts relation for the NEXT level, derived driver-side from
+            # the previous level's PAIR-cube pass (r12): when set, this
+            # level's splits are scored with NO Spark job at all.
+            carry_pdf = None
             while frontier:
                 at_max_depth = self.max_depth is not None and depth >= self.max_depth
                 need_root_dist = depth == 0
@@ -926,24 +930,63 @@ class DecisionTreeClassifier:
                         dist_src = data
 
                         all_names = packed_all_features or feature_names
+                        # Look one level ahead (pair-cube pass) only when
+                        # the NEXT level will need splits too; the budget
+                        # gate inside find_best_splits_packed decides
+                        # whether the pair pass actually fires.
+                        lookahead = (not at_max_depth) and (
+                            self.max_depth is None
+                            or depth + 1 < self.max_depth
+                        )
 
-                        def find_splits():
-                            return split_finder.find_best_splits_packed(
-                                data,
-                                feature_names,
-                                len(unique_targets),
-                                self.criterion,
-                                bin_edges,
-                                self._compile_routing_splits(
-                                    root, all_names, bin_edges
-                                ),
-                                node_col=node_col,
-                                all_feature_names=all_names,
-                                n_pending_nodes=len(frontier),
-                                want_distributions=need_root_dist,
-                                code_dtype=packed_code_dtype,
-                                n_input_parts=packed_n_parts,
-                            )
+                        if carry_pdf is not None:
+                            level_pdf, carry_pdf = carry_pdf, None
+                            lookahead = False
+
+                            def find_splits():
+                                import time as _time
+
+                                t0 = _time.perf_counter()
+                                best = split_finder.best_splits_from_counts_pdf(
+                                    level_pdf,
+                                    data.sparkSession,
+                                    len(unique_targets),
+                                    feature_names,
+                                    node_col,
+                                    self.criterion,
+                                )
+                                split_finder._emit_level_timings(
+                                    {
+                                        "path": "carried",
+                                        "n_pending_nodes": len(frontier),
+                                        "level_total_sec": round(
+                                            _time.perf_counter() - t0, 3
+                                        ),
+                                        "stages": {},
+                                    }
+                                )
+                                return best
+
+                        else:
+
+                            def find_splits():
+                                return split_finder.find_best_splits_packed(
+                                    data,
+                                    feature_names,
+                                    len(unique_targets),
+                                    self.criterion,
+                                    bin_edges,
+                                    self._compile_routing_splits(
+                                        root, all_names, bin_edges
+                                    ),
+                                    node_col=node_col,
+                                    all_feature_names=all_names,
+                                    n_pending_nodes=len(frontier),
+                                    want_distributions=need_root_dist,
+                                    code_dtype=packed_code_dtype,
+                                    n_input_parts=packed_n_parts,
+                                    lookahead=lookahead,
+                                )
 
                     else:
                         with_node = data.withColumn(
@@ -979,8 +1022,16 @@ class DecisionTreeClassifier:
                         # materialize the code cache (both used to encode
                         # the same uncached partitions concurrently).
                         splits_out = find_splits()
-                        if need_root_dist:
+                        if lookahead:
+                            # 3-tuple contract: splits, fused distributions
+                            # (root level only), and — when the pair pass
+                            # fired — the NEXT level's counts relation.
+                            splits_out, fused_dists, carry_pdf = splits_out
+                        elif need_root_dist:
                             splits_out, fused_dists = splits_out
+                        else:
+                            fused_dists = None
+                        if need_root_dist:
                             distributions[0] = (
                                 fused_dists[0]
                                 if fused_dists is not None and 0 in fused_dists

@@ -146,14 +146,15 @@ def test_level_timings_knob_emits_stage_attribution(spark, tmp_path, monkeypatch
     m.fit(data, "target")
     monkeypatch.delenv("SPARK_GRAFT_LEVEL_TIMINGS")
     lines = [json.loads(ln) for ln in open(out)]
-    assert len(lines) == 2  # depth-2 fit: one line per level job
+    # depth-2 fit, r12 pair lookahead: ONE pair-cube Spark pass covers
+    # level 0 and the carried level 1 (scored driver-side, no job)
+    assert [rec["path"] for rec in lines] == ["pair_dense", "carried"]
     for rec in lines:
-        assert rec["path"] == "dense"
-        assert rec["level_total_sec"] > 0
-        assert set(rec["stages"]) == {
-            "cube_job_sec", "driver_merge_sec", "malloc_trim_sec",
-            "local_gains_sec",
-        }
+        assert rec["level_total_sec"] >= 0
+    assert set(lines[0]["stages"]) == {
+        "pair_cube_job_sec", "driver_merge_sec", "malloc_trim_sec",
+        "local_gains_sec", "carry_derive_sec",
+    }
     m2 = DecisionTreeClassifier(
         max_depth=2, criterion=Criterion.ENTROPY, max_bins=8, hist_method="arrow"
     )
@@ -863,3 +864,137 @@ def test_best_splits_gini_local_matches_two_step_form():
     key = lambda r: r["node_id"]
     assert sorted(fused, key=key) == sorted(two_step, key=key)
     assert len(fused) == nodes
+
+
+def test_pair_lookahead_fit_matches_single_level_passes(spark, monkeypatch):
+    """r12 pair-cube lookahead: a binned fit that scores two levels from
+    ONE joint-histogram pass must produce the BIT-identical tree to the
+    one-level-per-pass form (exact int64 marginals/conditionals of the
+    same routed rows).  Exercised with NULLs (drop-from-both-children)
+    and NaNs (route right, own candidate bucket) in the mix, at a depth
+    where a carried level is followed by another pair pass."""
+    from efficient_trees_spark.operators import histogram
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.when(F.col("l_quantity") > 45, F.lit(None)).otherwise(
+            F.col("l_quantity")
+        ).alias("q_nullable"),
+        F.when(F.col("l_discount") > 0.09, F.lit(float("nan"))).otherwise(
+            F.col("l_extendedprice")
+        ).alias("price_nanable"),
+        "l_discount", "l_tax",
+        F.col("l_returnflag").alias("target"),
+    )
+
+    def fit(criterion, max_bins, hist_method="auto", max_depth=4):
+        m = DecisionTreeClassifier(
+            max_depth=max_depth, criterion=criterion, max_bins=max_bins,
+            hist_method=hist_method,
+        )
+        m.fit(li, "target")
+        return m.tree
+
+    for criterion, max_bins, hist in (
+        (Criterion.GINI, 16, "auto"),       # binned gini (numpy local gains)
+        (Criterion.ENTROPY, 16, "auto"),    # binned entropy (Catalyst gains)
+    ):
+        pair_tree = fit(criterion, max_bins, hist)
+        # force the pair budget to always exclude: every level runs its
+        # own single-level pass (the r11 shape)
+        monkeypatch.setattr(
+            histogram, "pair_cube_bytes", lambda *a, **k: 1 << 62
+        )
+        single_tree = fit(criterion, max_bins, hist)
+        monkeypatch.undo()
+        assert pair_tree == single_tree, (criterion, max_bins)
+
+
+def test_pair_cube_child_counts_match_real_second_level(spark):
+    """The pair cube's conditional slices must equal a REAL level-1
+    histogram pass over the same routing — row-for-row, count-for-count
+    (the relation the carried level scores is what a Spark job would
+    have produced)."""
+    from efficient_trees_spark.operators import histogram, split_finder as sf
+    from efficient_trees_spark.operators.histogram import (
+        merge_cubes_to_counts_pdf, merge_pair_cubes,
+        packed_histogram_cubes, packed_histogram_pair_cubes,
+        pair_cubes_to_child_counts, pair_cubes_to_level_counts,
+        pack_encode_features, distinct_edges_packed,
+    )
+    from efficient_trees_spark.operators.split_finder import TARGET_IDX
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_quantity").cast("double").alias("q"),
+        F.when(F.col("l_tax") > 0.05, F.lit(None))
+        .otherwise(F.col("l_discount")).cast("double").alias("d_nullable"),
+        F.when(F.col("l_linenumber") > 5, F.lit(float("nan")))
+        .otherwise(F.col("l_tax")).cast("double").alias("t_nanable"),
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2).alias(TARGET_IDX),
+    )
+    names = ["q", "d_nullable", "t_nanable"]
+    edges, _ = distinct_edges_packed(
+        li, names, dtype="f8", packed=False, with_counts=True
+    )
+    packed = pack_encode_features(li, names, edges, TARGET_IDX, dtype="f8")
+    packed = packed.persist()
+    n_classes = 3
+
+    # level 0 from the pair cube
+    pair_rows = sf._arrow_cube_rows(
+        packed_histogram_pair_cubes(
+            packed, names, n_classes, edges, TARGET_IDX, [], "__node_id"
+        ).toArrow()
+    )
+    merged = merge_pair_cubes(pair_rows)
+    pdf0_pair, dists = pair_cubes_to_level_counts(
+        merged, names, n_classes, edges, "__node_id", emit_node_totals=True
+    )
+    # level 0 from the one-level cube pass
+    rows0 = sf._arrow_cube_rows(
+        packed_histogram_cubes(
+            packed, names, n_classes, edges, TARGET_IDX, [], "__node_id",
+            emit_node_totals=True,
+        ).toArrow()
+    )
+    pdf0, dists0 = merge_cubes_to_counts_pdf(
+        rows0, names, n_classes, edges, "__node_id", emit_node_totals=True
+    )
+    import pandas as pd
+
+    key = ["__node_id", sf.FEATURE, sf.FEATURE_VALUE]
+    pd.testing.assert_frame_equal(
+        pdf0_pair.sort_values(key).reset_index(drop=True),
+        pdf0.sort_values(key).reset_index(drop=True),
+    )
+    assert dists == dists0
+
+    # choose level-0 splits, derive level-1 from the pair cube, and
+    # compare against a REAL routed level-1 pass
+    best = sf._best_splits_gini_local(pdf0, n_classes, names, "__node_id")
+    chosen = [b for b in best if b["information_gain"] > 0]
+    assert chosen, "fixture must produce a splittable root"
+    carry = pair_cubes_to_child_counts(
+        merged, chosen, names, n_classes, edges, "__node_id"
+    )
+    from bisect import bisect_left
+
+    b = chosen[0]
+    splits = [
+        (0, names.index(b["feature"]),
+         bisect_left(edges[b["feature"]], b["threshold"]), 1, 2)
+    ]
+    rows1 = sf._arrow_cube_rows(
+        packed_histogram_cubes(
+            packed, names, n_classes, edges, TARGET_IDX, splits, "__node_id"
+        ).toArrow()
+    )
+    pdf1, _ = merge_cubes_to_counts_pdf(
+        rows1, names, n_classes, edges, "__node_id"
+    )
+    pd.testing.assert_frame_equal(
+        carry.sort_values(key).reset_index(drop=True),
+        pdf1.sort_values(key).reset_index(drop=True),
+    )
+    packed.unpersist()
