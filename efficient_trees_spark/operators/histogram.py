@@ -353,8 +353,11 @@ def _merge_feature_edge_stats(
     bit-identical edges.  Concatenation order of the partition stats is
     immaterial: equal values permute only among themselves under the stable
     argsort, and the SELECTED entries are values, not indices."""
-    all_vals = np.concatenate([np.asarray(x) for x in vals_list])
-    all_gaps = np.concatenate([np.asarray(x) for x in gaps_list])
+    # Explicit f64 upcast: stats may arrive as float32 values / int32 gaps
+    # (the narrow transfer format of an f4 fit — exact upcasts both ways),
+    # and the cumulative weights must accumulate in f64 regardless.
+    all_vals = np.concatenate([np.asarray(x, dtype=np.float64) for x in vals_list])
+    all_gaps = np.concatenate([np.asarray(x, dtype=np.float64) for x in gaps_list])
     order = np.argsort(all_vals, kind="stable")
     sv = all_vals[order]
     cw = np.cumsum(all_gaps[order])
@@ -708,10 +711,10 @@ def _matrix_order_stats(full: "np.ndarray", names: list[str], g: int):
     return feats, vals_out, gaps_out, vmax_out, n_out
 
 
-def _f64_list_array(chunks: list["np.ndarray"]):
-    """Arrow ``list<double>`` array from per-row numpy chunks WITHOUT
-    boxing: one concatenate + an offsets vector instead of ``tolist()``
-    per chunk (which created ~stats_per_partition Python floats per
+def _np_list_array(chunks: list["np.ndarray"], np_dtype, pa_type):
+    """Arrow list array from per-row numpy chunks WITHOUT boxing: one
+    concatenate + an offsets vector instead of ``tolist()`` per chunk
+    (which created ~stats_per_partition Python floats per
     (feature, partition) row — ~380k boxed objects per wide-fit stats
     task)."""
     import pyarrow as pa
@@ -721,10 +724,14 @@ def _f64_list_array(chunks: list["np.ndarray"]):
     np.cumsum(sizes, out=offsets[1:])
     flat = (
         np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-    ).astype(np.float64, copy=False)
+    ).astype(np_dtype, copy=False)
     return pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.float64())
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa_type)
     )
+
+
+def _f64_list_array(chunks: list["np.ndarray"]):
+    return _np_list_array(chunks, np.float64, __import__("pyarrow").float64())
 
 
 # Stats side-channel column of the order-stats relations.
@@ -753,7 +760,15 @@ def partition_order_stats(
     re-reading a cache several times that size, and peak executor memory
     drops to scan + the 1-byte/cell code cache.  Rows-only output also
     means the Arrow return stream is negligible — the pass pays one
-    JVM→Arrow crossing of the matrix and nothing else."""
+    JVM→Arrow crossing of the matrix and nothing else.
+
+    Transfer format (r12, guide §2.3 — the stats volume is partitions ×
+    features × stats, the wide fit's whole collect/merge-shuffle price):
+    stat VALUES ship at the matrix dtype (float for an f4 fit — every
+    stat IS an f32 value, so the f64 upcast at the merge is exact) and
+    the gap run-lengths as int32 (exact integers < partition rows) —
+    half the bytes of the all-double format for shrunk fits,
+    bit-identical edges (the merge core upcasts to f64 first)."""
     import pyarrow as pa
 
     names = list(feature_names)
@@ -761,6 +776,8 @@ def partition_order_stats(
     n_feat = len(names)
     g = int(stats_per_partition)
     elem_type = "float" if dtype == "f4" else "double"
+    sv_pa = pa.float32() if dtype == "f4" else pa.float64()
+    sv_np = np.float32 if dtype == "f4" else np.float64
     src = df.select(array_cast_expr(names, elem_type).alias("__arr"))
 
     def order_stats(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -792,8 +809,8 @@ def partition_order_stats(
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(feats, type=pa.string()),
-                _f64_list_array(vals_out),
-                _f64_list_array(gaps_out),
+                _np_list_array(vals_out, sv_np, sv_pa),
+                _np_list_array(gaps_out, np.int32, pa.int32()),
                 pa.array(vmax_out, type=pa.float64()),
                 pa.array(n_out, type=pa.int64()),
             ],
@@ -801,9 +818,10 @@ def partition_order_stats(
         )
         _trim_malloc()
 
+    sv_sql = "float" if dtype == "f4" else "double"
     return src.mapInArrow(
         order_stats,
-        f"{STATS_FEATURE} string, __sv array<double>, __sg array<double>, "
+        f"{STATS_FEATURE} string, __sv array<{sv_sql}>, __sg array<int>, "
         "__svx double, __sn long",
     )
 

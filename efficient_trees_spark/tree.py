@@ -201,7 +201,12 @@ def _two_scan_binned_edges(
     # collect budget it must be treated as a lower bound (ADVICE r11) —
     # the pad trades a slightly earlier distributed-merge fallback (bit-
     # identical) for maxResultSize headroom.
-    est_stats_bytes = int(n_parts * 1.25) * len(feature_names) * (2 * stats * 8 + 48)
+    # Row width: stat values at the matrix dtype + int32 gaps (the r12
+    # narrow transfer format) + fixed per-row fields.
+    val_bytes = 4 if dtype == "f4" else 8
+    est_stats_bytes = (
+        int(n_parts * 1.25) * len(feature_names) * (stats * (val_bytes + 4) + 48)
+    )
     if est_stats_bytes > stats_collect_budget(prepared.sparkSession):
         bin_edges, feat_counts = merge_order_stats_distributed(
             stats_df, feature_names, n_bins, with_counts=True
