@@ -40,6 +40,7 @@ histogram relation.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -344,6 +345,22 @@ def partition_quantile_edges(
     return _merge_edge_stats(partials, names, n_bins)
 
 
+@lru_cache(maxsize=65536)
+def _linspace_gaps(n: int, g: int) -> "np.ndarray":
+    """Reconstruct the per-(partition, feature) gap run-lengths from the
+    non-null count alone: the stage-1 kernels place their order statistics
+    at ``pos = unique(round(linspace(0, n-1, min(g, n))))`` — a pure
+    function of ``(n, g)`` — so the gaps ``diff([-1] ++ pos)`` never need
+    to cross the wire at all (r12, guide §2.3: the gaps array was HALF the
+    stats-relation bytes).  This expression is kept token-identical to
+    ``_matrix_order_stats`` / the stage-1 sorts, so reconstructed gaps are
+    bit-identical to transferred ones.  Cached: within one fit almost every
+    (partition, feature) pair shares the same ``n`` (counts differ only by
+    the ~1% null cells)."""
+    pos = np.unique(np.round(np.linspace(0, n - 1, min(g, n))).astype(np.int64))
+    return np.diff(np.concatenate(([np.int64(-1)], pos))).astype(np.float64)
+
+
 def _merge_feature_edge_stats(
     vals_list, gaps_list, vmax_list, n_list, n_bins: int
 ) -> list[float]:
@@ -370,7 +387,7 @@ def _merge_feature_edge_stats(
 
 def _merge_edge_stats(
     partials: DataFrame, feature_names: list[str], n_bins: int,
-    with_counts: bool = False,
+    with_counts: bool = False, stats_per_partition: int | None = None,
 ):
     """Stage 2 of the order-statistic edge computation (shared by the
     column-wise and packed stage-1 variants): weighted merge of the
@@ -379,12 +396,22 @@ def _merge_edge_stats(
     ``with_counts=True`` additionally returns ``{feature: total_n}`` (the
     summed per-partition non-null counts) riding the SAME merge job — the
     caller-side row estimate for sizing the persisted code cache's
-    partitions costs no extra pass."""
+    partitions costs no extra pass.  When ``partials`` carries no ``gaps``
+    column (the r12 gap-free transfer), ``stats_per_partition`` must be
+    given and the gaps are reconstructed per row via
+    :func:`_linspace_gaps` — bit-identical by construction."""
     import pandas as pd
 
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if "gaps" in pdf.columns:
+            gaps_list = list(pdf["gaps"])
+        else:
+            gaps_list = [
+                _linspace_gaps(int(n), int(stats_per_partition))
+                for n in pdf["n"]
+            ]
         edges = _merge_feature_edge_stats(
-            list(pdf["vals"]), list(pdf["gaps"]), list(pdf["vmax"]),
+            list(pdf["vals"]), gaps_list, list(pdf["vmax"]),
             list(pdf["n"]), n_bins,
         )
         return pd.DataFrame(
@@ -411,25 +438,37 @@ def _merge_edge_stats(
 
 
 def merge_edge_stats_rows(
-    rows, feature_names: list[str], n_bins: int, with_counts: bool = False
+    rows, feature_names: list[str], n_bins: int, with_counts: bool = False,
+    stats_per_partition: int | None = None,
 ):
-    """Driver-local stage-2 merge over COLLECTED stats rows (feature, vals,
-    gaps, vmax, n) — the fused-pack path's counterpart of
-    :func:`_merge_edge_stats`.  The per-partition stats volume is
-    partitions × features × stats doubles (KBs at any corpus size: it does
-    not grow with rows), so collecting it is cluster-safe, and skipping
-    the feature-keyed shuffle + applyInPandas saves a whole Spark job.
-    Same numeric core — edges are bit-identical.  ``with_counts=True``
-    additionally returns ``{feature: total_n}`` summed from the already-held
-    per-partition counts (the :func:`_merge_edge_stats` contract)."""
+    """Driver-local stage-2 merge over COLLECTED stats rows — the
+    fused-pack path's counterpart of :func:`_merge_edge_stats`.  Rows are
+    either 5-tuples ``(feature, vals, gaps, vmax, n)`` or, from the r12
+    gap-free transfer, 4-tuples ``(feature, vals, vmax, n)`` with
+    ``stats_per_partition`` given so gaps are reconstructed driver-side
+    via :func:`_linspace_gaps` (bit-identical).  The per-partition stats
+    volume is partitions × features × stats values (KBs at any corpus
+    size: it does not grow with rows), so collecting it is cluster-safe,
+    and skipping the feature-keyed shuffle + applyInPandas saves a whole
+    Spark job.  Same numeric core — edges are bit-identical.
+    ``with_counts=True`` additionally returns ``{feature: total_n}``
+    summed from the already-held per-partition counts (the
+    :func:`_merge_edge_stats` contract)."""
     by_feature: dict[str, list[list]] = {}
     for r in rows:
         by_feature.setdefault(r[0], [[], [], [], []])
         acc = by_feature[r[0]]
-        acc[0].append(np.asarray(r[1], dtype=np.float64))
-        acc[1].append(np.asarray(r[2], dtype=np.float64))
-        acc[2].append(float(r[3]))
-        acc[3].append(int(r[4]))
+        if len(r) == 4:
+            n = int(r[3])
+            acc[0].append(np.asarray(r[1], dtype=np.float64))
+            acc[1].append(_linspace_gaps(n, int(stats_per_partition)))
+            acc[2].append(float(r[2]))
+            acc[3].append(n)
+        else:
+            acc[0].append(np.asarray(r[1], dtype=np.float64))
+            acc[1].append(np.asarray(r[2], dtype=np.float64))
+            acc[2].append(float(r[3]))
+            acc[3].append(int(r[4]))
     del rows
     edges_map = {
         name: (
@@ -485,7 +524,7 @@ def stats_collect_budget(spark) -> int:
 
 def merge_order_stats_distributed(
     stats_df: DataFrame, feature_names: list[str], n_bins: int,
-    with_counts: bool = False,
+    with_counts: bool = False, stats_per_partition: int | None = None,
 ):
     """Cluster-scale stage-2 merge over :func:`partition_order_stats`
     output: a feature-keyed shuffle + ``applyInPandas`` merge so the
@@ -494,41 +533,39 @@ def merge_order_stats_distributed(
     :func:`merge_edge_stats_rows` (``_merge_feature_edge_stats``) —
     edges are bit-identical; tree.py switches here when the raw stats
     volume would approach ``spark.driver.maxResultSize``.
-    ``with_counts`` as in :func:`_merge_edge_stats`."""
+    ``with_counts`` as in :func:`_merge_edge_stats`.
+    ``stats_per_partition`` (the stage-1 ``g``) drives the per-row gap
+    reconstruction — the gaps never cross the shuffle (r12)."""
     partials = stats_df.select(
         F.col(STATS_FEATURE).alias(FEATURE),
         F.col("__sv").alias("vals"),
-        F.col("__sg").alias("gaps"),
         F.col("__svx").alias("vmax"),
         F.col("__sn").alias("n"),
     )
-    return _merge_edge_stats(partials, feature_names, n_bins, with_counts)
+    return _merge_edge_stats(
+        partials, feature_names, n_bins, with_counts,
+        stats_per_partition=stats_per_partition,
+    )
 
 
 def arrow_stat_rows(tbl) -> list[tuple]:
-    """Collected order-stats Arrow table -> (feature, vals, gaps, vmax, n)
-    tuples whose vals/gaps are ZERO-COPY numpy views over the list columns'
-    flat value buffers.  ``to_pylist`` here would explode partitions ×
+    """Collected order-stats Arrow table -> (feature, vals, vmax, n)
+    tuples whose vals are ZERO-COPY numpy views over the list column's
+    flat value buffer.  ``to_pylist`` here would explode partitions ×
     features × stats doubles into millions of Python float objects — a
     measured ~2 GiB driver transient at the 5.4M × 190 benchmark shape —
-    while the views cost nothing beyond the IPC table itself."""
+    while the views cost nothing beyond the IPC table itself.  Gaps are
+    absent from the transfer entirely (r12): the merge reconstructs them
+    from ``n`` via :func:`_linspace_gaps`."""
     feats = tbl.column(0).to_pylist()
     out: list[tuple] = []
-    views = []
-    for ci in (1, 2):
-        col = tbl.column(ci).combine_chunks()
-        flat = col.values.to_numpy(zero_copy_only=False).astype(
-            np.float64, copy=False
-        )
-        off = col.offsets.to_numpy()
-        views.append((flat, off))
-    vmax = tbl.column(3).to_numpy(zero_copy_only=False)
-    ns = tbl.column(4).to_numpy(zero_copy_only=False)
-    (sv, so), (gv, go) = views
+    col = tbl.column(1).combine_chunks()
+    sv = col.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    so = col.offsets.to_numpy()
+    vmax = tbl.column(2).to_numpy(zero_copy_only=False)
+    ns = tbl.column(3).to_numpy(zero_copy_only=False)
     for i, name in enumerate(feats):
-        out.append(
-            (name, sv[so[i]:so[i + 1]], gv[go[i]:go[i + 1]], vmax[i], ns[i])
-        )
+        out.append((name, sv[so[i]:so[i + 1]], vmax[i], ns[i]))
     return out
 
 
@@ -766,9 +803,12 @@ def partition_order_stats(
     features × stats, the wide fit's whole collect/merge-shuffle price):
     stat VALUES ship at the matrix dtype (float for an f4 fit — every
     stat IS an f32 value, so the f64 upcast at the merge is exact) and
-    the gap run-lengths as int32 (exact integers < partition rows) —
-    half the bytes of the all-double format for shrunk fits,
-    bit-identical edges (the merge core upcasts to f64 first)."""
+    the gap run-lengths ship NOT AT ALL — they are a pure function of
+    the non-null count ``n`` and the stats budget ``g``
+    (:func:`_linspace_gaps`), so both merges reconstruct them from the
+    ``__sn`` column.  Together 4x fewer transfer bytes than the r11
+    all-double format for shrunk fits, bit-identical edges (the merge
+    core upcasts to f64 first)."""
     import pyarrow as pa
 
     names = list(feature_names)
@@ -805,23 +845,21 @@ def partition_order_stats(
         if not feats:
             _trim_malloc()
             return
-        k = len(feats)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(feats, type=pa.string()),
                 _np_list_array(vals_out, sv_np, sv_pa),
-                _np_list_array(gaps_out, np.int32, pa.int32()),
                 pa.array(vmax_out, type=pa.float64()),
                 pa.array(n_out, type=pa.int64()),
             ],
-            names=[STATS_FEATURE, "__sv", "__sg", "__svx", "__sn"],
+            names=[STATS_FEATURE, "__sv", "__svx", "__sn"],
         )
         _trim_malloc()
 
     sv_sql = "float" if dtype == "f4" else "double"
     return src.mapInArrow(
         order_stats,
-        f"{STATS_FEATURE} string, __sv array<{sv_sql}>, __sg array<int>, "
+        f"{STATS_FEATURE} string, __sv array<{sv_sql}>, "
         "__svx double, __sn long",
     )
 

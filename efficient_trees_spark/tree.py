@@ -201,15 +201,17 @@ def _two_scan_binned_edges(
     # collect budget it must be treated as a lower bound (ADVICE r11) —
     # the pad trades a slightly earlier distributed-merge fallback (bit-
     # identical) for maxResultSize headroom.
-    # Row width: stat values at the matrix dtype + int32 gaps (the r12
-    # narrow transfer format) + fixed per-row fields.
+    # Row width: stat values at the matrix dtype + fixed per-row fields —
+    # the gap run-lengths never transfer at all (r12 gap-free format:
+    # reconstructed from __sn via histogram._linspace_gaps).
     val_bytes = 4 if dtype == "f4" else 8
     est_stats_bytes = (
-        int(n_parts * 1.25) * len(feature_names) * (stats * (val_bytes + 4) + 48)
+        int(n_parts * 1.25) * len(feature_names) * (stats * val_bytes + 48)
     )
     if est_stats_bytes > stats_collect_budget(prepared.sparkSession):
         bin_edges, feat_counts = merge_order_stats_distributed(
-            stats_df, feature_names, n_bins, with_counts=True
+            stats_df, feature_names, n_bins, with_counts=True,
+            stats_per_partition=stats,
         )
     else:
         if hasattr(stats_df, "toArrow"):
@@ -220,7 +222,8 @@ def _two_scan_binned_edges(
         else:  # pragma: no cover - pre-Arrow-collect Spark
             stat_rows = stats_df.collect()
         bin_edges, feat_counts = merge_edge_stats_rows(
-            stat_rows, feature_names, n_bins, with_counts=True
+            stat_rows, feature_names, n_bins, with_counts=True,
+            stats_per_partition=stats,
         )
         del stat_rows
     _trim_malloc()

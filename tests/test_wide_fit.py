@@ -416,11 +416,31 @@ def test_arrow_stat_rows_matches_collect(spark):
     for a, r in zip(sorted(via_arrow, key=key), sorted(via_rows, key=key)):
         assert a[0] == r[0]
         assert list(map(float, a[1])) == list(map(float, r[1]))
-        assert list(map(float, a[2])) == list(map(float, r[2]))
-        assert float(a[3]) == float(r[3]) and int(a[4]) == int(r[4])
-    ea = merge_edge_stats_rows(via_arrow, ["a", "b"], 4)
-    er = merge_edge_stats_rows(via_rows, ["a", "b"], 4)
+        assert float(a[2]) == float(r[2]) and int(a[3]) == int(r[3])
+    ea = merge_edge_stats_rows(via_arrow, ["a", "b"], 4, stats_per_partition=8)
+    er = merge_edge_stats_rows(via_rows, ["a", "b"], 4, stats_per_partition=8)
     assert ea == er
+
+
+def test_linspace_gaps_reconstruction_matches_stage1():
+    """The gap-free stats transfer (r12) reconstructs gap run-lengths from
+    (n, g) alone; the reconstruction must be token-identical to the stage-1
+    kernel's computation and must cover every non-null row exactly once."""
+    from efficient_trees_spark.operators.histogram import _linspace_gaps
+
+    for n in [1, 2, 3, 7, 8, 9, 100, 999, 1000, 1001, 54321]:
+        for g in [2, 8, 16, 1000]:
+            # the exact expression from _matrix_order_stats / the stage-1 sorts
+            pos = np.unique(
+                np.round(np.linspace(0, n - 1, min(g, n))).astype(np.int64)
+            )
+            gaps = np.diff(np.concatenate(([np.int64(-1)], pos))).astype(
+                np.float64
+            )
+            got = _linspace_gaps(n, g)
+            assert got.dtype == np.float64
+            assert np.array_equal(got, gaps)
+            assert got.sum() == n and got.size == pos.size
 
 
 def test_distributed_stats_merge_matches_driver_merge(spark):
@@ -440,9 +460,12 @@ def test_distributed_stats_merge_matches_driver_merge(spark):
     ).repartition(6)
     stats_df = partition_order_stats(df, ["a", "b"], 16, dtype="f4")
     driver = merge_edge_stats_rows(
-        arrow_stat_rows(stats_df.toArrow()), ["a", "b"], 6
+        arrow_stat_rows(stats_df.toArrow()), ["a", "b"], 6,
+        stats_per_partition=16,
     )
-    dist = merge_order_stats_distributed(stats_df, ["a", "b"], 6)
+    dist = merge_order_stats_distributed(
+        stats_df, ["a", "b"], 6, stats_per_partition=16
+    )
     assert dist == driver
 
 
@@ -545,15 +568,17 @@ def test_stats_merges_with_counts(spark):
     ).repartition(6)
     stats_df = partition_order_stats(df, ["a", "b"], 16, dtype="f4")
     stat_rows = arrow_stat_rows(stats_df.toArrow())
-    plain = merge_edge_stats_rows(stat_rows, ["a", "b"], 6)
+    plain = merge_edge_stats_rows(
+        stat_rows, ["a", "b"], 6, stats_per_partition=16
+    )
     edges_d, counts_d = merge_edge_stats_rows(
-        stat_rows, ["a", "b"], 6, with_counts=True
+        stat_rows, ["a", "b"], 6, with_counts=True, stats_per_partition=16
     )
     assert edges_d == plain
     # per-feature non-null totals: 'a' misses the NULL row, 'b' the NaN row
     assert counts_d == {"a": 700, "b": 700}
     edges_x, counts_x = merge_order_stats_distributed(
-        stats_df, ["a", "b"], 6, with_counts=True
+        stats_df, ["a", "b"], 6, with_counts=True, stats_per_partition=16
     )
     assert edges_x == plain
     assert counts_x == counts_d
