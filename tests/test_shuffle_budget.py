@@ -92,6 +92,48 @@ def test_cosine_threshold_shuffles_corpus_fanout_only(spark, sf_small):
     assert 0 < moved < 256 * 1024
 
 
+def test_bm25_topk_shuffles_one_postings_derivation(spark, sf_small):
+    # r11/r12: the postings relation is materialized once per one-shot
+    # call (was 3 corpus derivations) and the bounded query-term side is
+    # the broadcast build side.  Measured 457 KiB at sf0.001 (r12 audit).
+    # A lost postings checkpoint re-shuffles the tokenized corpus per
+    # consumer and a flipped broadcast ships the vocabulary-sized dfreq
+    # relation — both land well past this budget.
+    from efficient_trees_spark.workloads.similarity_queries import (
+        ann_bm25_topk,
+    )
+
+    moved = _audit(spark, sf_small, ann_bm25_topk)
+    assert 0 < moved < 1536 * 1024
+
+
+def test_substring_spans_shuffles_binary_window_keys(spark, sf_small):
+    # r11: the window hash shuffles as unhex(md5) 16-byte binary, not
+    # 32-char hex (measured 12.3 vs 19.0 MB at sf0.1; 1.28 MiB at
+    # sf0.001, r12 audit).  Reverting to hex keys reads ~1.9 MiB and an
+    # extra window-relation shuffle ~2.6 MiB — both over budget.
+    from efficient_trees_spark.workloads.dedup_queries import (
+        dedup_substring_span_stats,
+    )
+
+    moved = _audit(spark, sf_small, dedup_substring_span_stats)
+    assert 0 < moved < 1900 * 1024
+
+
+def test_minhash_lsh_shuffles_signatures_once(spark, sf_small):
+    # r12: the aggregated signatures relation is a per-invocation local
+    # checkpoint consumed by both band-join sides (was six corpus
+    # scan+tokenize pipelines).  Measured 282 KiB write at sf0.001 (r12
+    # audit); hex band keys or a second signature derivation land past
+    # this budget.
+    from efficient_trees_spark.workloads.dedup_queries import (
+        dedup_minhash_lsh,
+    )
+
+    moved = _audit(spark, sf_small, dedup_minhash_lsh)
+    assert 0 < moved < 1024 * 1024
+
+
 def test_exact_dedup_shuffles_fingerprints_only(spark, sf_small):
     # one shuffle keyed on the content fingerprint: bytes are
     # fingerprint-relation-sized (measured 19.2 KiB), never the documents
